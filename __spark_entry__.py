@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship reduction query (SURVEY.md §3.1 — the
+reference's "interesting stations" CTE+window query re-keyed to the
+synthetic star schema) at sf0.001. ``queries()`` /``oracle_sql()`` expose
+every implemented SURVEY.md §2 + §7 operator with its DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -13,26 +12,42 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from citibike_analysis_spark.plans.relational import q20_interesting_suppliers
+    from citibike_analysis_spark.session import tune
+
+    tune(spark)
+    # sf0.001 has only 10 suppliers — ntile(100) buckets are 1..10, so the
+    # sf0.01-scale percentile gates (40/30/30) would select nothing; use
+    # proportionally scaled gates for the smoke check.
+    return q20_interesting_suppliers(spark, SF0001, gates=(4, 3, 3))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 / §7."""
+    from citibike_analysis_spark.plans import all_queries
+    from citibike_analysis_spark.session import tune
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only check)."""
+    from citibike_analysis_spark.plans import all_queries
+
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

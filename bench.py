@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Headline set spans the engine's main cost shapes: grouped aggregation
+(q01), the flagship CTE+window reduction (q20), broadcast-join chain
+(q05), windowed rollup (q19), spatial band join (q21), shingle near-dup
+(q34), minhash LSH (q36), and brute-force ANN (q38).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_regional_revenue",
+    "q19_interval_rollup",
+    "q20_interesting_suppliers",
+    "q21_spatial_neighbors",
+    "q34_ngram_jaccard",
+    "q36_minhash_dedup",
+    "q38_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from citibike_analysis_spark.plans import all_queries
+    from citibike_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # warm the JVM + parquet footers once (untimed)
+    specs["q01_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Text-analysis column expressions (north-star surface, SURVEY.md §7 stage 7).
+
+Everything is built-in array/string expressions (split/transform/filter/
+aggregate) — JVM-side, no Python UDFs — so the same code runs unchanged over
+a 100 TB documents table. Token-level ops operate on an ``array<string>``
+produced once by :func:`tokens` and reused across derived features (Catalyst
+collapses the shared projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny language-marker stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "las", "es", "una", "que"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+
+#: Default stopword list for quality scoring.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(tokens(text)).cast("long")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word-level n-gram shingles → array<string> (space-joined, distinct).
+
+    The unit of near-duplicate detection: MinHash/LSH and n-gram Jaccard
+    both consume this. Distinct because shingle *sets* define Jaccard.
+    """
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Count of tokens that are stopwords."""
+    toks = tokens(text)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not [a-zA-Z0-9 ] — crude noise score."""
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def lang_score(text: Column | str, lang: str) -> Column:
+    """Stopword-hit count for one language's marker list."""
+    return stopword_hits(text, LANG_MARKERS[lang])
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-list hit counts.
+
+    Ties break by the fixed ordering of ``LANG_MARKERS`` keys ('unk' when
+    nothing matches) — fully deterministic, oracle-expressible.
+    """
+    scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    out = F.lit("unk")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier keys win ties
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def bag_fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token bag.
+
+    Catches reorder-only and repetition-only duplicates that exact-hash
+    dedup misses; a cheap complement to shingle-based near-dup.
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))

@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §7 stage 7).
+
+Four tiers, all pure DataFrame composition:
+
+- **exact**: content-hash groupBy — one shuffle on the hash key.
+- **bag fingerprint**: order/multiplicity-insensitive exact dedup.
+- **n-gram Jaccard**: exact near-dup via shingle inverted index — the
+  self-join is on the *shingle* key, so work is proportional to shared
+  shingles, not to |docs|².
+- **MinHash + LSH**: approximate near-dup at corpus scale — signatures are
+  computed array-side (no explode, no shuffle), banding turns candidate
+  generation into an equi-join on (band, band-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from citibike_analysis_spark.functions.text import bag_fingerprint, shingles, tokens
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, canonical_id, dup_count).
+
+    Canonical = min id. One hash-partitioned aggregation; at 100 TB the
+    md5 key distributes uniformly so there is no skew by construction.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the sorted-distinct token bag (reorder-insensitive)."""
+    return (
+        df.groupBy(bag_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-duplicate pairs (a < b, jaccard ≥ threshold).
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle, count intersections per pair, then
+    ``J = |∩| / (|A| + |B| - |∩|)``. High-frequency shingles dominate the
+    join fan-out; at corpus scale add a document-frequency cap on the
+    index side (drop shingles with df > limit) — standard candidate
+    pruning which only *misses* pairs whose every shared shingle is
+    ubiquitous.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: (id, h0..h{k-1}) with ``hi = min(xxhash64(i, s))``.
+
+    Plan shape: explode shingles once, then ONE hash-aggregate computing
+    all k family minima (partial agg map-side, so the shuffle moves k
+    longs per document — not the shingles). This deliberately avoids the
+    tempting array-side ``transform(sequence(k), i -> array_min(...))``
+    projection: Catalyst re-inlines the shingle-derivation subtree under
+    every hash family (no CSE inside nested lambdas; ProjectCollapse undoes
+    manual materialization), recomputing the shingling k times per row —
+    measured ~20x slower. The explode+agg form evaluates each shingle
+    exactly once per family and scales linearly.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
+    )
+    return exploded.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via banded MinHash-LSH.
+
+    Split the k-hash signature into ``bands`` bands of ``k/bands`` rows;
+    two docs are candidates iff some band hashes identically. Candidate
+    generation is groupBy(band, band_hash) + within-bucket pairing — an
+    equi-join, not a cross product. Pair probability ≈ 1-(1-J^r)^b.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.col(f"h{j * rows + r}") for r in range(rows)])
+                ).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_structs).alias("_b")).select(
+        "_id", "_b.band", "_b.bh"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").cast("long").alias("id_a"),
+            F.col("b._id").cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard (a < b, J ≥ threshold).
+
+    The verify join re-attaches shingle sets only for candidate ids —
+    at scale this touches a vanishing fraction of the corpus.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    j = (
+        cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_shb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: (_id, _h long bit pattern).
+
+    Per bit b: majority vote of token-hash bit b over the token stream
+    (multiplicity-weighted); bit set iff the vote is positive. Compare
+    signatures with ``bit_count(a ^ b)`` (Hamming distance).
+
+    Same plan rationale as :func:`minhash_signatures`: explode tokens,
+    hash once per token, ONE aggregate computing all 64 bit votes
+    map-side — the shuffle carries 64 ints per document. Documents with
+    zero tokens produce no signature (no explode rows).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).withColumn("_th", F.xxhash64(F.col("_t")))
+    votes = exploded.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("_th"), b).bitwiseAND(F.lit(1))
+                    == F.lit(1),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("_id", acc.alias("_h"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming (a < b).
+
+    Candidate generation uses the pigeonhole trick: split the 64-bit hash
+    into ``max_hamming + 1`` blocks; any pair within the distance budget
+    agrees exactly on at least one block, so candidates come from an
+    equi-join on (block_idx, block_bits) rather than a cross join.
+    """
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sig = simhash64_signatures(df, id_col, text_col)
+    # Block bits via shiftrightunsigned (avoids sign-extension on bit 63);
+    # block offsets are Python literals, so build the (blk, bits) array
+    # driver-side and explode it.
+    blocks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.shiftrightunsigned(F.col("_h"), j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for j in range(blocks)
+        ]
+    )
+    exploded = sig.select(
+        "_id", "_h", F.explode(blocks_arr).alias("_b")
+    ).select("_id", "_h", "_b.blk", "_b.bits")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming")
+    )

@@ -1,0 +1,69 @@
+"""Window-function operators with scale-aware variants (SURVEY.md W1-W3, §7).
+
+``ntile(n) OVER (ORDER BY ...)`` with no PARTITION BY — the reference's
+percentile bucketing (README.md:249-258) — collapses to a single task in
+any engine: one global sort on one partition. Fine for 858 stations,
+fatal at 100 TB. ``approx_ntile`` replaces it with a two-pass plan:
+compute (n-1) approximate quantile cutoffs (one aggregation, tiny
+result), broadcast them, and bucket by comparison — no global sort, no
+single-task stage, error bounded by ``relative_error``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_ntile(df: DataFrame, order_cols: list[Column | str], n: int, out: str) -> DataFrame:
+    """Reference-parity global ntile (single-partition sort; small inputs only)."""
+    return df.withColumn(out, F.ntile(n).over(Window.orderBy(*order_cols)).cast("long"))
+
+
+def approx_ntile(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    out: str,
+    relative_error: float = 0.0001,
+) -> DataFrame:
+    """Scalable ntile: approx-quantile cutoffs + broadcast bucket lookup.
+
+    Plan shape: one pass computes ``percentile_approx`` cutoffs
+    (Greenwald-Khanna sketch, mergeable ⇒ map-side partial agg), the
+    bucket assignment is then a per-row expression against the broadcast
+    cutoff array. Two narrow stages; no global sort; no skew.
+
+    Ties land in the lowest qualifying bucket (deterministic), which can
+    differ from exact ntile's positional splitting when duplicates strand
+    a quantile boundary — documented deviation, bounded by relative_error.
+    """
+    qs = [i / n for i in range(1, n)]
+    cuts = df.select(
+        F.percentile_approx(value_col, qs, int(1.0 / relative_error)).alias("cuts")
+    )
+    with_cuts = df.join(F.broadcast(cuts))
+    # bucket = 1 + number of cutoffs strictly below the value
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("cuts"), lambda c: c < F.col(value_col))
+    )
+    return with_cuts.withColumn(out, bucket.cast("long")).drop("cuts")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int = 1,
+    rank_fn: Column | None = None,
+    out: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via ranking window (SURVEY.md O3/W2).
+
+    Spark pushes a per-partition top-k (WindowGroupLimit) below the
+    shuffle for rank/row_number filters, so each map task emits ≤ k rows
+    per group — the shuffle carries survivors, not the full table.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    rk = (rank_fn if rank_fn is not None else F.rank()).over(w)
+    return df.withColumn(out, rk.cast("long")).filter(F.col(out) <= k)

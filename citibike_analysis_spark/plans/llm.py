@@ -1,0 +1,348 @@
+"""LLM-data-pipeline query surface (north-star, SURVEY.md §7 stage 7).
+
+Dedup, text analysis, and similarity search over the ``documents`` and
+``embeddings`` tables. Where the computation is portable SQL (md5, token
+arithmetic, shingle Jaccard, double-precision cosine) the query carries a
+DuckDB oracle; the hash-family operators (MinHash/SimHash use Spark's
+xxhash64, which no other engine reproduces) are declared without an
+oracle — the driver records a rows-only check and pytest verifies them
+against the exact operators instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citibike_analysis_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    bag_fingerprint,
+    punct_ratio,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from citibike_analysis_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from citibike_analysis_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    near_duplicate_embeddings,
+)
+from citibike_analysis_spark.operators.windows import approx_ntile
+from citibike_analysis_spark.plans import QuerySpec
+from citibike_analysis_spark.sources.tables import load_table
+
+#: DuckDB token expression kept textually in sync with functions.text.tokens.
+_DUCK_TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# q30 — exact dedup via content hash.
+# --------------------------------------------------------------------------
+
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+Q30_SQL = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 — token counting (whitespace tokenization).
+# --------------------------------------------------------------------------
+
+def q31_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+Q31_SQL = f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — quality scoring: token stats, punctuation ratio, stopword ratio.
+# --------------------------------------------------------------------------
+
+def q32_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(
+            stopword_hits(F.col("text")) / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+Q32_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       round(list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))
+             / greatest(len(tk), 1), 6) AS avg_token_len,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST(len(list_filter(tk, t -> t IN ({_SW}))) AS DOUBLE)
+             / greatest(len(tk), 1), 6) AS stopword_ratio
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — language ID: argmax of per-language marker-stopword hits, ties to
+# the earlier language in the fixed list, 'unk' when nothing matches.
+# --------------------------------------------------------------------------
+
+def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n       ".join(
+        "CAST(len(list_filter(tk, t -> t IN ({}))) AS BIGINT) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    m = "greatest({})".format(", ".join(f"s_{lang}" for lang in langs))
+    case = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = m THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+       {score_cols},
+       {m} AS m
+  FROM base
+)
+SELECT doc_id, lang, CASE {case} ELSE 'unk' END AS lang_pred
+FROM scored
+"""
+
+
+Q33_SQL = _lang_sql()
+
+
+# --------------------------------------------------------------------------
+# q34 — n-gram Jaccard near-dup pairs (exact, inverted-index plan).
+# --------------------------------------------------------------------------
+
+def q34_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+Q34_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[t.i : t.i + 2], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(c / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE c / (na.n + nb.n - c) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 — bag-fingerprint dedup (order/multiplicity-insensitive exact).
+# --------------------------------------------------------------------------
+
+def q35_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(bag_fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+Q35_SQL = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_DUCK_TOKENS})), ' ')) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q36/q37 — MinHash-LSH and SimHash near-dup (hash-family operators; no
+# SQL oracle — xxhash64 is Spark-specific. pytest verifies recall against
+# the exact q34 pairs instead).
+# --------------------------------------------------------------------------
+
+def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# q38 — brute-force cosine top-k (exact ANN baseline). All math in double;
+# ties broken by neighbor id.
+# --------------------------------------------------------------------------
+
+def q38_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rk",
+    )
+
+
+Q38_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.v, e.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(sim, 6) AS cosine_sim,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q39 — embedding-cosine near-duplicate pairs. Bucketed LSH would prune
+# real near-dups (cos ≥ 0.95+); this corpus's max pairwise cosine is
+# ~0.51, so the declared query runs the exact all-pairs form at a 0.45
+# threshold to produce a verifiable non-empty result. The LSH-bucketed
+# scale path (operators.similarity.near_duplicate_embeddings) is
+# pytest-verified against this exact form.
+# --------------------------------------------------------------------------
+
+def q39_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.similarity import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("cosine_sim", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select(
+            F.col("a._id").cast("long").alias("id_a"),
+            F.col("b._id").cast("long").alias("id_b"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+Q39_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(b.vec_id AS BIGINT) AS id_b,
+       round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# q40 — scalable ntile (approx-quantile bucketing; SURVEY.md §7 "scale
+# redesign of global windows"). Approximate by construction → no oracle;
+# pytest bounds its divergence from exact ntile.
+# --------------------------------------------------------------------------
+
+def q40_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
+    return approx_ntile(per_supp, "total_qty", 10, "decile").select(
+        "l_suppkey", F.round("total_qty", 2).alias("total_qty"), "decile"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
+    "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
+    "q32_text_quality": QuerySpec(q32_text_quality, Q32_SQL, "§7 text-quality"),
+    "q33_lang_id": QuerySpec(q33_lang_id, Q33_SQL, "§7 text-langid"),
+    "q34_ngram_jaccard": QuerySpec(q34_ngram_jaccard, Q34_SQL, "§7 dedup-ngram"),
+    "q35_fingerprint_dedup": QuerySpec(q35_fingerprint_dedup, Q35_SQL, "§7 dedup-fingerprint"),
+    "q36_minhash_dedup": QuerySpec(q36_minhash_dedup, None, "§7 dedup-minhash-lsh"),
+    "q37_simhash_pairs": QuerySpec(q37_simhash_pairs, None, "§7 dedup-simhash"),
+    "q38_ann_topk": QuerySpec(q38_ann_topk, Q38_SQL, "§7 similarity-bruteforce"),
+    "q39_embedding_near_dup": QuerySpec(q39_embedding_near_dup, Q39_SQL, "§7 dedup-embedding"),
+    "q40_approx_ntile": QuerySpec(q40_approx_ntile, None, "§7 scalable-ntile"),
+}

@@ -1,0 +1,850 @@
+"""Relational query surface (SURVEY.md §2) over the synthetic star schema.
+
+Each query re-expresses one or more reference operators (ids cited per
+query) as idiomatic DataFrame plans, paired with a DuckDB oracle. Shared
+conventions keeping the Spark and DuckDB results hash-identical:
+
+- computed integer columns are cast to BIGINT on both sides (DuckDB's
+  ``sum(int)`` is HUGEINT, Spark's is LONG; date parts are BIGINT in
+  DuckDB, INT in Spark);
+- aggregated doubles are rounded identically on both sides (sum→2,
+  avg/stddev→4, ratios/distances→6) — partial aggregation makes Spark's
+  summation order nondeterministic, so raw double sums are not
+  bit-stable across engines;
+- every window ORDER BY carries a unique tie-break key (ntile/row_number
+  on ties are otherwise order-dependent);
+- timestamps are TIMESTAMP_NTZ wall-clock on the Spark side, matching
+  DuckDB's naive TIMESTAMP (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from citibike_analysis_spark.operators.rollup import interval_rollup
+from citibike_analysis_spark.operators.spatial import within_distance_pairs
+from citibike_analysis_spark.operators.windows import top_k_per_group
+from citibike_analysis_spark.plans import QuerySpec
+from citibike_analysis_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary: grouped conditional aggregation (A1, F18, P5, S1)
+# Reference shape: the variability CTE (README.md:233-247) — grouped
+# multi-aggregate with CASE WHEN measures over a date-filtered fact scan.
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02").cast("timestamp_ntz")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 4)                                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                                       AS avg_price,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — conditional flag counting (A1/F18/F13): the "times_no_bikes /
+# times_no_docks" pattern (README.md:240-241) as zero-discount / zero-tax
+# line counts per supplier.
+# --------------------------------------------------------------------------
+
+def q02_conditional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("times_no_discount"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("times_no_tax"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q02_SQL = """
+SELECT l_suppkey,
+       max(l_quantity)                                                AS max_qty,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS times_no_discount,
+       CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT)      AS times_no_tax,
+       count(*)                                                       AS n_lines
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — projection + conjunctive range/equality filter (P1, P3, P5, O1)
+# --------------------------------------------------------------------------
+
+def q03_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000.0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — IN-list filter + aggregation (P6): query('name in @list') pattern
+# (notebooks/citibike_ck.ipynb:418).
+# --------------------------------------------------------------------------
+
+def q04_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part
+WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') AND p_size >= 10
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — dimension-join chain with broadcast (J1): revenue per region/nation.
+# The zip→coords lookup join (README.md:633) generalized: small dims are
+# broadcast so the fact scan never shuffles.
+# --------------------------------------------------------------------------
+
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+Q05_SQL = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — left outer join + null patch (J2/P4): the weather-patch join
+# (README.md:896) — missing dimension rows surface as NULL and are
+# repaired with a default.
+# --------------------------------------------------------------------------
+
+def q06_left_join_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .withColumn("segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — split → union → dedup (J6/U1/A7): the split-patch-union-dedup
+# pipeline (README.md:869-900). The two halves overlap, so the dedup is
+# load-bearing; unionByName mirrors pandas concat-by-name semantics.
+# --------------------------------------------------------------------------
+
+def q07_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    open_orders = o.filter(F.col("o_orderstatus") == "O")
+    big_orders = o.filter(F.col("o_totalprice") > 150000.0).select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"  # different column order
+    )
+    both = open_orders.unionByName(big_orders).dropDuplicates(["o_orderkey"])
+    return both.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+Q07_SQL = """
+SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+FROM (
+  SELECT DISTINCT o_orderkey, o_orderstatus, o_totalprice
+  FROM (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000.0
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — anti join (§2.3 "free" surface): customers with no orders.
+# --------------------------------------------------------------------------
+
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+Q08_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — semi join as filter (J3): "keep fact rows whose key survived the
+# ranking CTE" (README.md:281-287) — semi, not inner, so rank ties cannot
+# duplicate fact rows.
+# --------------------------------------------------------------------------
+
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return (
+        li.join(big, li.l_orderkey == big.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+Q09_SQL = """
+SELECT l_returnflag, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 300000.0
+)
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — two-stage aggregation (A5): mean per (user, hour) then min over
+# hours per user (notebooks/citibike_ck.ipynb:397-409).
+# --------------------------------------------------------------------------
+
+def q10_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.avg("value").alias("hourly_avg"))
+    )
+    return hourly.groupBy("user_id").agg(
+        F.round(F.min("hourly_avg"), 4).alias("min_hourly_avg"),
+        F.count("*").alias("n_hours"),
+    )
+
+
+Q10_SQL = """
+SELECT user_id,
+       round(min(hourly_avg), 4) AS min_hourly_avg,
+       count(*) AS n_hours
+FROM (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, avg(value) AS hourly_avg
+  FROM events GROUP BY 1, 2
+)
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — pivot aggregation (A6): event_type × day-of-week matrix of mean
+# value (pivot_table at notebooks/citibike_ck.ipynb:418-419). Explicit
+# pivot values avoid the extra distinct-scan pass.
+# --------------------------------------------------------------------------
+
+def q11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday … 7=Saturday → normalize to 0=Sunday.
+    dow = (F.dayofweek(F.col("ts")) - F.lit(1)).cast("long")
+    pivoted = (
+        e.withColumn("dow", dow)
+        .groupBy("event_type")
+        .pivot("dow", list(range(7)))
+        .agg(F.round(F.avg("value"), 4))
+    )
+    return pivoted.select(
+        "event_type", *[F.col(str(d)).alias(f"d{d}") for d in range(7)]
+    )
+
+
+Q11_SQL = """
+SELECT event_type,
+       round(avg(CASE WHEN dayofweek(ts) = 0 THEN value END), 4) AS d0,
+       round(avg(CASE WHEN dayofweek(ts) = 1 THEN value END), 4) AS d1,
+       round(avg(CASE WHEN dayofweek(ts) = 2 THEN value END), 4) AS d2,
+       round(avg(CASE WHEN dayofweek(ts) = 3 THEN value END), 4) AS d3,
+       round(avg(CASE WHEN dayofweek(ts) = 4 THEN value END), 4) AS d4,
+       round(avg(CASE WHEN dayofweek(ts) = 5 THEN value END), 4) AS d5,
+       round(avg(CASE WHEN dayofweek(ts) = 6 THEN value END), 4) AS d6
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — distinct / cardinality profiling (A7/A8/A9).
+# --------------------------------------------------------------------------
+
+def q12_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    pairs = e.select("user_id", "event_type").distinct()
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+Q12_SQL = """
+SELECT count(*) AS n_pairs,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — summary statistics (A10): describe()-style numeric profile with
+# exact interpolated percentiles.
+# --------------------------------------------------------------------------
+
+def q13_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_extendedprice").alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev"),
+        F.round(F.min("l_extendedprice"), 2).alias("min"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.max("l_extendedprice"), 2).alias("max"),
+    )
+
+
+Q13_SQL = """
+SELECT count(l_extendedprice) AS n,
+       round(avg(l_extendedprice), 4) AS mean,
+       round(stddev_samp(l_extendedprice), 4) AS stddev,
+       round(min(l_extendedprice), 2) AS min,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(max(l_extendedprice), 2) AS max
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — first-row-per-group (A11/W3/O3): representative row per key via
+# row_number over a fully-determined order (README.md:570,585).
+# --------------------------------------------------------------------------
+
+def q14_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    picked = top_k_per_group(
+        p,
+        ["p_brand"],
+        [F.asc("p_retailprice"), F.asc("p_partkey")],
+        k=1,
+        rank_fn=F.row_number(),
+    )
+    return picked.select("p_brand", "p_partkey", "p_retailprice")
+
+
+Q14_SQL = """
+SELECT p_brand, p_partkey, p_retailprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rk
+  FROM part
+)
+WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — grouped collect to sorted list (A12): station → neighbor-list
+# shape (notebooks/CitiBike-1.ipynb:225-240) as order → line numbers.
+# Serialized to a string so the hash comparison is representation-stable.
+# --------------------------------------------------------------------------
+
+def q15_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("l_linenumber")))
+            ).alias("line_numbers"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 6)
+    )
+
+
+Q15_SQL = """
+SELECT l_orderkey,
+       string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_numbers,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) >= 6
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — global ntile percentile bucketing (W1): README.md:249-258. Unique
+# tie-break key (suppkey) makes the bucket assignment deterministic.
+# Reference-parity form; the 100 TB-safe variant is
+# operators.windows.approx_ntile (rows-only checked, see llm module).
+# --------------------------------------------------------------------------
+
+def q16_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+Q16_SQL = """
+SELECT s_suppkey, s_acctbal,
+       CAST(ntile(10) OVER (ORDER BY s_acctbal, s_suppkey) AS BIGINT) AS decile,
+       round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank
+FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — rank within partition + top-1 filter (W2/O3): rank stations within
+# hood by score (README.md:259-277) as top customer per nation.
+# --------------------------------------------------------------------------
+
+def q17_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    top = top_k_per_group(
+        joined, ["n_name"], [F.desc("c_acctbal"), F.asc("c_custkey")], k=1
+    )
+    return top.select("n_name", "c_custkey", "c_acctbal")
+
+
+Q17_SQL = """
+SELECT n_name, c_custkey, c_acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         rank() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — analytic windows: lag + running total (§2.5 extended surface).
+# Deterministic frame: ordered by (ts, event_id) within user.
+# --------------------------------------------------------------------------
+
+def q18_lag_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+Q18_SQL = """
+SELECT event_id, user_id,
+       round(lag(value) OVER w, 2) AS prev_value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — tumbling-window interval rollup (W4): the 15-minute availability
+# grain (README.md:200) over the events stream, batch form.
+# --------------------------------------------------------------------------
+
+def q19_interval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return interval_rollup(
+        e,
+        "ts",
+        ["event_type"],
+        [
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.count("*").alias("n_events"),
+        ],
+        interval="15 minutes",
+    ).select("bucket_ts", "event_type", "min_value", "max_value", "n_events")
+
+
+Q19_SQL = """
+SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900) * 1000000) AS bucket_ts,
+       event_type,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — the flagship reduction query (§3.1; README.md:232-288): grouped
+# conditional agg → triple global ntile → gated composite score → rank
+# per group → top-1 → semi-join back to the fact table. Re-keyed from
+# (station, hood) to (supplier, nation).
+# --------------------------------------------------------------------------
+
+def q20_interesting_suppliers(
+    spark: SparkSession, sf_dir: str, gates: tuple[int, int, int] = (40, 30, 30)
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    variability = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.max("l_quantity").alias("max_qty"),
+            F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("times_no_discount"),
+            F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("times_no_tax"),
+        )
+    )
+    percentiles = variability.select(
+        "*",
+        F.ntile(100)
+        .over(Window.orderBy(F.asc("max_qty"), F.asc("l_suppkey")))
+        .cast("long")
+        .alias("max_qty_pctl"),
+        F.ntile(100)
+        .over(Window.orderBy(F.asc("times_no_discount"), F.asc("l_suppkey")))
+        .cast("long")
+        .alias("no_discount_pctl"),
+        F.ntile(100)
+        .over(Window.orderBy(F.asc("times_no_tax"), F.asc("l_suppkey")))
+        .cast("long")
+        .alias("no_tax_pctl"),
+    )
+    gated = percentiles.filter(
+        (F.col("max_qty_pctl") > gates[0])
+        & (F.col("no_discount_pctl") > gates[1])
+        & (F.col("no_tax_pctl") > gates[2])
+    ).withColumn(
+        "score",
+        F.col("max_qty_pctl") + F.col("no_discount_pctl") + F.col("no_tax_pctl"),
+    )
+    with_nation = gated.join(
+        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        gated.l_suppkey == F.col("s_suppkey"),
+    ).join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    top = top_k_per_group(
+        with_nation, ["n_name"], [F.desc("score"), F.asc("l_suppkey")], k=1
+    ).select(F.col("l_suppkey").alias("pick_suppkey"))
+
+    return (
+        li.join(top, li.l_suppkey == F.col("pick_suppkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+Q20_SQL = """
+WITH variability AS (
+  SELECT l_suppkey,
+         max(l_quantity) AS max_qty,
+         CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS times_no_discount,
+         CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS times_no_tax
+  FROM lineitem
+  GROUP BY l_suppkey
+), percentiles AS (
+  SELECT *,
+         CAST(ntile(100) OVER (ORDER BY max_qty, l_suppkey) AS BIGINT) AS max_qty_pctl,
+         CAST(ntile(100) OVER (ORDER BY times_no_discount, l_suppkey) AS BIGINT) AS no_discount_pctl,
+         CAST(ntile(100) OVER (ORDER BY times_no_tax, l_suppkey) AS BIGINT) AS no_tax_pctl
+  FROM variability
+), gated AS (
+  SELECT *, max_qty_pctl + no_discount_pctl + no_tax_pctl AS score
+  FROM percentiles
+  WHERE max_qty_pctl > 40 AND no_discount_pctl > 30 AND no_tax_pctl > 30
+), ranked AS (
+  SELECT g.l_suppkey, n_name,
+         rank() OVER (PARTITION BY n_name ORDER BY score DESC, g.l_suppkey) AS rk
+  FROM gated g
+  JOIN supplier ON g.l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+)
+SELECT l_suppkey, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM ranked WHERE rk = 1 AND ranked.l_suppkey = lineitem.l_suppkey)
+GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — spatial within-radius self-join (J5): the nearest-stations join
+# (notebooks/CitiBike-1.ipynb:222-240). Synthetic station coordinates are
+# derived from customer keys with exact integer arithmetic so both engines
+# construct identical doubles. Spark side runs the grid-bucketed band
+# join; the oracle brute-forces the cross join — same result, which is
+# precisely the operator's correctness property.
+# --------------------------------------------------------------------------
+
+def _stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("station_id"),
+        (F.lit(40.5) + ((F.col("c_custkey") * 37) % 1000) * F.lit(0.0003)).alias("lat"),
+        (F.lit(-74.1) + ((F.col("c_custkey") * 91) % 1000) * F.lit(0.0003)).alias("lon"),
+        (F.col("c_custkey") % 20 != 0).alias("in_service"),
+    )
+
+
+def q21_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _stations(spark, sf_dir).filter("in_service")
+    pairs = within_distance_pairs(
+        st, "station_id", "lat", "lon", radius_km=0.5, max_abs_lat_deg=41.0
+    )
+    return pairs.select(
+        F.col("a_station_id").cast("long").alias("station_id"),
+        F.col("b_station_id").cast("long").alias("neighbor_id"),
+        F.round("dist_km", 6).alias("dist_km"),
+    )
+
+
+Q21_SQL = """
+WITH stations AS (
+  SELECT c_custkey AS station_id,
+         40.5 + ((c_custkey * 37) % 1000) * 0.0003 AS lat,
+         -74.1 + ((c_custkey * 91) % 1000) * 0.0003 AS lon
+  FROM customer
+  WHERE c_custkey % 20 <> 0
+)
+SELECT CAST(a.station_id AS BIGINT) AS station_id,
+       CAST(b.station_id AS BIGINT) AS neighbor_id,
+       round(2 * 6371.0088 * asin(sqrt(
+         sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+         + cos(radians(a.lat)) * cos(radians(b.lat))
+           * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+       )), 6) AS dist_km
+FROM stations a
+JOIN stations b ON a.station_id <> b.station_id
+WHERE 2 * 6371.0088 * asin(sqrt(
+        sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+      )) < 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — temporal derivation stack (F1-F7, F4/F5): the derived time-column
+# block (README.md:1004-1143) over events.
+# --------------------------------------------------------------------------
+
+def q22_temporal_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.temporal import (
+        day_name,
+        day_type,
+        trunc_day,
+        trunc_hour,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        trunc_hour(F.col("ts")).alias("time_hour"),
+        trunc_day(F.col("ts")).alias("time_day"),
+        F.to_date(F.col("ts")).alias("date"),
+        F.hour(F.col("ts")).cast("long").alias("hour_of_day"),
+        day_name(F.col("ts")).alias("day_name"),
+        day_type(F.col("ts")).alias("day_type"),
+    )
+
+
+Q22_SQL = """
+SELECT event_id,
+       date_trunc('hour', ts) AS time_hour,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS time_day,
+       CAST(ts AS DATE) AS date,
+       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       dayname(ts) AS day_name,
+       CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_type
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — round-to-nearest-hour, half-to-even (F3): pandas dt.round('H')
+# parity (notebooks/citibike_ck.ipynb:368). The oracle spells out the
+# same integer arithmetic on epoch seconds.
+# --------------------------------------------------------------------------
+
+def q23_round_half_even_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.temporal import round_to_hour
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        round_to_hour(F.col("ts")).alias("rounded_hour"),
+        F.hour(round_to_hour(F.col("ts"))).cast("long").alias("rounded_hour_of_day"),
+    )
+
+
+Q23_SQL = """
+WITH base AS (
+  SELECT event_id,
+         date_trunc('hour', ts) AS h,
+         minute(ts) * 60 + CAST(floor(second(ts)) AS BIGINT) AS rem,
+         CASE WHEN microsecond(ts) % 1000000 >= 1000 THEN TRUE ELSE FALSE END AS frac_ms,
+         hour(ts) % 2 AS odd
+  FROM events
+)
+SELECT event_id,
+       h + to_microseconds((CASE
+             WHEN rem > 1800 OR (rem = 1800 AND frac_ms) THEN 1
+             WHEN rem < 1800 THEN 0
+             ELSE odd END) * 3600000000) AS rounded_hour,
+       CAST(hour(h + to_microseconds((CASE
+             WHEN rem > 1800 OR (rem = 1800 AND frac_ms) THEN 1
+             WHEN rem < 1800 THEN 0
+             ELSE odd END) * 3600000000)) AS BIGINT) AS rounded_hour_of_day
+FROM base
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "A1 F18 P5 S1"),
+    "q02_conditional_flags": QuerySpec(q02_conditional_flags, Q02_SQL, "A1 F13 F18"),
+    "q03_filter_project": QuerySpec(q03_filter_project, Q03_SQL, "P1 P3 P5"),
+    "q04_in_list": QuerySpec(q04_in_list, Q04_SQL, "P6 A2"),
+    "q05_regional_revenue": QuerySpec(q05_regional_revenue, Q05_SQL, "J1 A2"),
+    "q06_left_join_patch": QuerySpec(q06_left_join_patch, Q06_SQL, "J2 P4 F16"),
+    "q07_union_dedup": QuerySpec(q07_union_dedup, Q07_SQL, "J6 U1 A7"),
+    "q08_anti_join": QuerySpec(q08_anti_join, Q08_SQL, "U2 J-ext"),
+    "q09_semi_join": QuerySpec(q09_semi_join, Q09_SQL, "J3"),
+    "q10_two_stage_agg": QuerySpec(q10_two_stage_agg, Q10_SQL, "A5 F1"),
+    "q11_pivot": QuerySpec(q11_pivot, Q11_SQL, "A6 F4"),
+    "q12_distinct_profile": QuerySpec(q12_distinct_profile, Q12_SQL, "A7 A8 A9"),
+    "q13_summary_stats": QuerySpec(q13_summary_stats, Q13_SQL, "A10"),
+    "q14_first_per_group": QuerySpec(q14_first_per_group, Q14_SQL, "A11 W3 O3"),
+    "q15_collect_list": QuerySpec(q15_collect_list, Q15_SQL, "A12"),
+    "q16_ntile": QuerySpec(q16_ntile, Q16_SQL, "W1"),
+    "q17_rank_per_group": QuerySpec(q17_rank_per_group, Q17_SQL, "W2 O3"),
+    "q18_lag_running_sum": QuerySpec(q18_lag_running_sum, Q18_SQL, "W-ext"),
+    "q19_interval_rollup": QuerySpec(q19_interval_rollup, Q19_SQL, "W4"),
+    "q20_interesting_suppliers": QuerySpec(q20_interesting_suppliers, Q20_SQL, "A1 W1 W2 O3 J3 §3.1"),
+    "q21_spatial_neighbors": QuerySpec(q21_spatial_neighbors, Q21_SQL, "J5 F17"),
+    "q22_temporal_derive": QuerySpec(q22_temporal_derive, Q22_SQL, "F1 F2 F4 F5 F7"),
+    "q23_round_half_even_hour": QuerySpec(q23_round_half_even_hour, Q23_SQL, "F3"),
+}
