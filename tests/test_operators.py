@@ -1,0 +1,223 @@
+"""Operator unit/property tests (SURVEY.md §5.2.1/§5.2.4):
+
+- MinHash-LSH recall vs the exact n-gram Jaccard pairs
+- sign-LSH ANN recall vs brute force
+- approx_ntile divergence bound vs exact ntile
+- spatial band join == brute-force cross join (threshold boundary incl.)
+- half-even hour rounding vs pandas dt.round('H')
+- haversine vs geodesic tolerance (documented <0.5% at city scale)
+- multimodal mapInPandas plumbing with injected fake decoder
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    from citibike_analysis_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "documents")
+    df.persist().count()
+    return df
+
+
+class TestMinhashRecall:
+    def test_lsh_finds_true_near_dups(self, spark, documents):
+        from citibike_analysis_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(documents, "doc_id", "text", 3, 0.5).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(documents, "doc_id", "text", 0.5).collect()
+        }
+        assert exact, "fixture contains no near-dup pairs?"
+        # verified-candidate pairs are a subset of exact pairs…
+        assert approx <= exact
+        # …and banding (b=16, r=4) at J≥0.5 should catch nearly all
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall}"
+
+
+class TestAnnRecall:
+    def test_lsh_topk_recall(self, spark):
+        from citibike_analysis_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = brute_force_topk(emb, queries, k=5).collect()
+        approx = lsh_topk(emb, queries, k=5, bits=4, tables=8).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        # random 64-d vectors (cos≈0.4-0.5 for true top-k): 8 tables x 4
+        # bits gives ≈1-(1-p^4)^8 ≈ 0.7-0.8 expected recall
+        assert recall > 0.5, f"recall {recall}"
+
+    def test_bruteforce_is_exact_and_deterministic(self, spark):
+        from citibike_analysis_spark.operators.similarity import brute_force_topk
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        a = brute_force_topk(emb, q, k=3).collect()
+        b = brute_force_topk(emb, q, k=3).collect()
+        assert [r["neighbor_id"] for r in a] == [r["neighbor_id"] for r in b]
+        assert [r["rk"] for r in a] == [1, 2, 3]
+
+
+class TestApproxNtile:
+    def test_bucket_divergence_bounded(self, spark):
+        from citibike_analysis_spark.operators.windows import approx_ntile, exact_ntile
+        from citibike_analysis_spark.sources.tables import load_table
+
+        li = load_table(spark, SF, "lineitem")
+        per_supp = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("v"))
+        ex = exact_ntile(per_supp, [F.asc("v"), F.asc("l_suppkey")], 10, "b")
+        ap = approx_ntile(per_supp, "v", 10, "b2")
+        joined = ex.join(ap.select("l_suppkey", "b2"), "l_suppkey")
+        off = joined.filter(F.abs(F.col("b") - F.col("b2")) > 1).count()
+        assert off == 0, "approx ntile bucket differs from exact by >1"
+
+
+class TestSpatialJoin:
+    def test_band_join_equals_bruteforce(self, spark):
+        from citibike_analysis_spark.functions.geo import haversine_km
+        from citibike_analysis_spark.operators.spatial import within_distance_pairs
+
+        # grid includes pairs straddling cell borders at ~0.49-0.51 km
+        pts = [(i, 40.70 + 0.0009 * i, -74.00 + 0.0013 * (i % 7)) for i in range(60)]
+        df = spark.createDataFrame(pts, ["sid", "lat", "lon"])
+        banded = {
+            (r["a_sid"], r["b_sid"])
+            for r in within_distance_pairs(df, "sid", "lat", "lon", 0.5, 41.0).collect()
+        }
+        a, b = df.alias("a"), df.alias("b")
+        brute = {
+            (r["x"], r["y"])
+            for r in a.crossJoin(b)
+            .filter(F.col("a.sid") != F.col("b.sid"))
+            .withColumn(
+                "d",
+                haversine_km(
+                    F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+                ),
+            )
+            .filter(F.col("d") < 0.5)
+            .select(F.col("a.sid").alias("x"), F.col("b.sid").alias("y"))
+            .collect()
+        }
+        assert banded == brute
+
+    def test_haversine_close_to_geodesic(self, spark):
+        # documented tolerance (SURVEY.md J5): <0.5% at city scale
+        from math import asin, cos, radians, sin, sqrt
+
+        from citibike_analysis_spark.functions.geo import EARTH_RADIUS_KM
+
+        def hav(lat1, lon1, lat2, lon2):
+            a = (
+                sin(radians(lat2 - lat1) / 2) ** 2
+                + cos(radians(lat1)) * cos(radians(lat2)) * sin(radians(lon2 - lon1) / 2) ** 2
+            )
+            return 2 * EARTH_RADIUS_KM * asin(sqrt(a))
+
+        try:
+            from geopy.distance import geodesic  # not installed here: skip
+        except ImportError:
+            pytest.skip("geopy not available")
+        d1 = hav(40.70, -74.00, 40.75, -73.95)
+        d2 = geodesic((40.70, -74.00), (40.75, -73.95)).km
+        assert abs(d1 - d2) / d2 < 0.005
+
+
+class TestRoundHalfEvenHour:
+    def test_matches_pandas_round_h(self, spark):
+        from citibike_analysis_spark.functions.temporal import round_to_hour
+
+        ts = pd.to_datetime(
+            [
+                "2019-05-12 08:29:59",
+                "2019-05-12 08:30:00",  # half → even hour (08)
+                "2019-05-12 09:30:00",  # half → even hour (10)
+                "2019-05-12 09:30:00.001",  # just past half → up
+                "2019-05-12 09:29:59.999",
+                "2019-05-12 23:30:00",  # day rollover to even hour 00
+                "2019-05-12 00:00:00",
+            ],
+            format="mixed",
+        )
+        expected = ts.round("h").to_pydatetime().tolist()
+        df = spark.createDataFrame(pd.DataFrame({"ts": ts}))
+        out = df.select(round_to_hour(F.col("ts")).alias("r")).toPandas()
+        got = out["r"].dt.to_pydatetime().tolist()
+        assert got == expected
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from citibike_analysis_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            fake_decode_image,
+            media_dedup,
+        )
+
+        rows = [
+            ("img-1", "image", b"\x89PNG-fake-1", (4, 4, 3, None, "png")),
+            ("img-2", "image", b"\x89PNG-fake-2", (4, 4, 3, None, "png")),
+            ("img-3", "image", b"\x89PNG-fake-1", (4, 4, 3, None, "png")),  # dup bytes
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = extract_features(media, decode=fake_decode_image)
+        got = {r["content_id"]: r for r in feats.collect()}
+        assert set(got) == {"img-1", "img-2", "img-3"}
+        assert all(len(r["feature"]) == 8 for r in got.values())
+        assert got["img-1"]["payload_sha"] == got["img-3"]["payload_sha"]
+        assert got["img-1"]["feature"] == got["img-3"]["feature"]  # deterministic
+
+        dups = media_dedup(feats)
+        assert dups.filter("dup_count = 2").count() == 1
+
+    def test_default_decode_raises(self, spark):
+        from citibike_analysis_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        media = spark.createDataFrame(
+            [("x", "image", b"abc", (1, 1, 1, None, "raw"))], MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception, match="NotImplementedError|decode kernel"):
+            extract_features(media).collect()
+
+
+class TestSimhash:
+    def test_identical_docs_zero_hamming(self, spark):
+        from citibike_analysis_spark.operators.dedup import simhash_near_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again and again"),
+                (2, "the quick brown fox jumps over the lazy dog again and again"),
+                (3, "completely different text about spark shuffles and partitions"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
+        assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
