@@ -37,18 +37,43 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set from a token-array column (distinct).
+
+    ``toks`` MUST be a *column reference* to an already-projected token
+    array, not the ``tokens(...)`` expression itself: the expression is
+    embedded ``n`` times (once per ``element_at`` position) inside an
+    interpreted lambda, so inlining re-tokenizes the document n times per
+    shingle (measured ~10x slowdown). A named projection below survives —
+    CollapseProject keeps non-cheap aliases referenced more than once.
+
+    Built with per-position ``element_at`` concat rather than
+    ``slice``+``concat_ws``: higher-order expressions run interpreted
+    (CodegenFallback), and slice allocates an array per shingle — the
+    element_at form measures ~7x faster on real documents.
+    """
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word-level n-gram shingles → array<string> (space-joined, distinct).
 
     The unit of near-duplicate detection: MinHash/LSH and n-gram Jaccard
     both consume this. Distinct because shingle *sets* define Jaccard.
+    Convenience form for small inputs/tests — hot paths should project
+    ``tokens()`` to a column first and use :func:`shingles_of` (see its
+    docstring for why).
     """
-    toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    return shingles_of(tokens(text), n)
 
 
 def stopword_hits(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from citibike_analysis_spark.functions.text import bag_fingerprint, shingles, tokens
+from citibike_analysis_spark.functions.text import (
+    bag_fingerprint,
+    shingles_of,
+    tokens,
+)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,14 +67,26 @@ def ngram_jaccard_pairs(
     pruning which only *misses* pairs whose every shared shingle is
     ubiquitous.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
-    )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    # The inverted index carries ONLY (doc id, 64-bit shingle hash):
+    # 16-byte rows through the join shuffle. Two expression-shape traps,
+    # both measured ~10x at sf0.1:
+    # - the shingle expression must be exploded *directly* over the named
+    #   token projection (a named array column gets an inferred
+    #   size(...)>0 filter that re-evaluates the whole array per row);
+    # - |shingle set| must NOT ride through the explode (a projected
+    #   size(array-expr) column is re-evaluated per exploded row) — set
+    #   sizes are re-aggregated from the index and joined onto the far
+    #   smaller pair table instead.
+    # A 64-bit hash collision would conflate two shingles — negligible at
+    # any realistic shingle cardinality (birthday bound ≈ n²/2⁶⁵).
+    tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+    inv = tk.select(
+        "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("_common"))
     )
@@ -110,9 +126,8 @@ def minhash_signatures(
     exactly once per family and scales linearly.
     """
     exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
-    )
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    ).select("_id", F.explode(shingles_of(F.col("_tk"), shingle_n)).alias("_s"))
     return exploded.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"h{i}")
@@ -183,8 +198,18 @@ def minhash_dedup_pairs(
     at scale this touches a vanishing fraction of the corpus.
     """
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
+    # Shingle only candidate documents: broadcast-semi-join the candidate
+    # id set *below* the shingle projection, so tokenization runs on the
+    # (vanishing at scale) candidate subset, not the corpus.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    sh = (
+        df.join(F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "left_semi")
+        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+        .select("_id", shingles_of(F.col("_tk"), shingle_n).alias("_sh"))
     )
     j = (
         cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"}), "id_a")

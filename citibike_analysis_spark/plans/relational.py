@@ -649,8 +649,10 @@ def q20_interesting_suppliers(
         with_nation, ["n_name"], [F.desc("score"), F.asc("l_suppkey")], k=1
     ).select(F.col("l_suppkey").alias("pick_suppkey"))
 
+    # top is provably small (≤ one supplier per nation): broadcast the
+    # semi-join so the fact scan never shuffles (README.md:598-639 ladder).
     return (
-        li.join(top, li.l_suppkey == F.col("pick_suppkey"), "left_semi")
+        li.join(F.broadcast(top), li.l_suppkey == F.col("pick_suppkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(
             F.count("*").alias("n_lines"),
