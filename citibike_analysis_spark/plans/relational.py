@@ -850,3 +850,206 @@ QUERIES: dict[str, QuerySpec] = {
     "q22_temporal_derive": QuerySpec(q22_temporal_derive, Q22_SQL, "F1 F2 F4 F5 F7"),
     "q23_round_half_even_hour": QuerySpec(q23_round_half_even_hour, Q23_SQL, "F3"),
 }
+
+
+# --------------------------------------------------------------------------
+# q24 — boolean existence flag per group, joined back (A4/F13/J4): the
+# rainy-day pattern (README.md:1700-1781) — did ANY error event happen
+# for (user, date); count events on such days per user.
+# --------------------------------------------------------------------------
+
+def q24_rainy_day_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    flags = (
+        e.groupBy("user_id", F.to_date("ts").alias("date"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("had_error")
+        )
+    )
+    with_flag = e.withColumn("date", F.to_date("ts")).join(
+        flags, ["user_id", "date"], "inner"
+    )
+    return (
+        with_flag.filter(F.col("had_error") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("events_on_error_days"),
+            F.countDistinct("date").alias("error_days"),
+        )
+    )
+
+
+Q24_SQL = """
+WITH flags AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS had_error
+  FROM events GROUP BY 1, 2
+)
+SELECT e.user_id,
+       count(*) AS events_on_error_days,
+       count(DISTINCT f.date) AS error_days
+FROM events e
+JOIN flags f ON e.user_id = f.user_id AND CAST(e.ts AS DATE) = f.date
+WHERE f.had_error = 1
+GROUP BY e.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — wide group-by mean (A3): per-group means of every numeric column
+# (notebooks/CitiBike-1.ipynb:210-213).
+# --------------------------------------------------------------------------
+
+def q25_wide_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        *[F.round(F.avg(c), 4).alias(f"avg_{c}") for c in measures]
+    )
+
+
+Q25_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(avg(l_quantity), 4)      AS avg_l_quantity,
+       round(avg(l_extendedprice), 4) AS avg_l_extendedprice,
+       round(avg(l_discount), 4)      AS avg_l_discount,
+       round(avg(l_tax), 4)           AS avg_l_tax
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — hierarchical rollup (§2.4 extended surface: cube/rollup are free
+# in Spark; exposed for engine completeness).
+# --------------------------------------------------------------------------
+
+def q26_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+Q26_SQL = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 — multiset difference (U2 extended: exceptAll).
+# --------------------------------------------------------------------------
+
+def q27_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderpriority"
+    )
+    big_keys = o.filter(F.col("o_totalprice") > 150000.0).select(
+        "o_custkey", "o_orderpriority"
+    )
+    return (
+        open_keys.exceptAll(big_keys)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+Q27_SQL = """
+SELECT o_orderpriority, count(*) AS n_rows
+FROM (
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 150000.0
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — correlated scalar subquery (J7): the reference's per-row lookup
+# anti-pattern (README.md:552-553, 42.96s) written as SQL — Catalyst
+# decorrelates it into a join automatically; the engine must never
+# execute a per-row scan (BASELINE.md regression guard).
+# --------------------------------------------------------------------------
+
+def q28_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+Q28_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT avg(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — string scalar functions (F14/F15/F16 generalized): case, substring,
+# padding, replacement — the zip-repair toolbox (README.md:367-390).
+# --------------------------------------------------------------------------
+
+def q29_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+Q29_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+       replace(p_type, ' ', '_') AS type_snake,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+QUERIES.update(
+    {
+        "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
+        "q25_wide_mean": QuerySpec(q25_wide_mean, Q25_SQL, "A3"),
+        "q26_rollup_revenue": QuerySpec(q26_rollup_revenue, Q26_SQL, "A-ext rollup"),
+        "q27_except_all": QuerySpec(q27_except_all, Q27_SQL, "U2-ext"),
+        "q28_correlated_subquery": QuerySpec(q28_correlated_subquery, Q28_SQL, "J7 §4"),
+        "q29_string_funcs": QuerySpec(q29_string_funcs, Q29_SQL, "F14 F15 F16"),
+    }
+)

@@ -1,0 +1,126 @@
+"""CSV / JSON sources and sinks with declared schemas (SURVEY.md §2.1).
+
+S1: CSV scan with explicit schema + timestamp format — replaces the
+reference's ``pd.read_csv(parse_dates=..., dtype={'zip': str})``
+(reference README.md:299-300,376-380). No ``inferSchema`` option exists
+here on purpose: inference is the reference's headline bug (zip leading
+zeros, README.md:294).
+
+S2: CSV sink (interchange); engine-internal interchange is parquet,
+optionally partitioned for pruning.
+
+S5: JSON document sink — always ``overwrite``; the reference's
+append-mode writer produced a corrupt file of 3 concatenated JSON
+documents (notebooks/CitiBike-1.ipynb:243, output/nearby_stations.json).
+:func:`read_json_strict` surfaces that corruption as a clear error
+instead of silently parsing the first document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_TS = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    timestamp_format: str = DEFAULT_TS,
+    header: bool = True,
+) -> DataFrame:
+    """S1 — schema-declared CSV scan."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampFormat", timestamp_format)
+        .option("timestampNTZFormat", timestamp_format)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S2 — CSV sink (overwrite; single logical dataset, many part files).
+
+    Timestamp format pinned to match :func:`read_csv` so round-trips are
+    lossless (Spark's CSV default writes ISO-8601 with 'T', which a
+    reader configured for the reference's 'yyyy-MM-dd HH:mm:ss' would
+    null out).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("timestampFormat", DEFAULT_TS)
+        .option("timestampNTZFormat", DEFAULT_TS)
+        .csv(path)
+    )
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Engine-internal interchange: parquet partitioned for pruning.
+
+    The availability fact is partitioned by day (SURVEY.md §4
+    "Partitioning") so date-ranged queries prune at the file-listing
+    level — at 100 TB this is the difference between listing a day and
+    scanning two months.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S5 — JSON sink, overwrite mode (never append: the reference's
+    append-mode bug concatenated documents into an unparseable file)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json_strict(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON scan that REJECTS concatenated-document corruption loudly.
+
+    Guards against exactly the corruption the reference shipped
+    (output/nearby_stations.json: 3 appended documents). Spark's
+    Jackson-based JSON source — even in FAILFAST mode — parses the first
+    object on a line and silently DROPS trailing documents, so a plain
+    schema'd read cannot detect this. Validation runs as an Arrow-batched
+    pandas UDF using Python's strict decoder (raises on trailing data);
+    it touches each line once and only on this explicitly-strict path.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _is_single_doc(lines):  # type: ignore[no-untyped-def]
+        import json
+
+        dec = json.JSONDecoder()
+
+        def ok(s: str) -> bool:
+            s = s.strip()
+            if not s:
+                return True
+            try:
+                _, end = dec.raw_decode(s)
+            except ValueError:
+                return False
+            return s[end:].strip() == ""
+
+        return lines.map(ok)
+
+    text = spark.read.text(path)
+    bad = text.filter(~_is_single_doc(F.col("value"))).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"corrupt JSON in {path}: line holds multiple/partial documents "
+            f"(first offender: {bad[0]['value'][:120]!r}). This is the "
+            "append-mode corruption pattern; regenerate the file with an "
+            "overwrite-mode writer."
+        )
+    reader = spark.read.option("mode", "FAILFAST")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,95 @@
+"""Source/sink layer tests (SURVEY.md §2.1 S1-S5, §5.2.6).
+
+Covers: schema-declared CSV round-trip (zip leading zeros survive),
+partitioned-parquet partition pruning, JSON sink overwrite semantics,
+and the strict JSON reader rejecting the reference's concatenated-
+document corruption (output/nearby_stations.json).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from citibike_analysis_spark.sources.files import (
+    read_csv,
+    read_json_strict,
+    write_csv,
+    write_json,
+    write_parquet_partitioned,
+)
+
+
+@pytest.fixture()
+def tmp():
+    d = tempfile.mkdtemp(prefix="cbs_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("zip", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+
+def test_csv_roundtrip_preserves_zip_and_timestamps(spark, tmp):
+    import datetime as dt
+
+    rows = [
+        ("07306", dt.datetime(2019, 5, 12, 8, 15), 3),
+        ("10001", dt.datetime(2019, 7, 1, 23, 45), 7),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    write_csv(df, f"{tmp}/out")
+    back = read_csv(spark, f"{tmp}/out", SCHEMA)
+    got = sorted((r["zip"], r["ts"], r["v"]) for r in back.collect())
+    assert got == sorted(rows)
+    assert dict(back.dtypes)["zip"] == "string"  # no inference, ever
+
+
+def test_partitioned_write_prunes(spark, tmp):
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_parquet_partitioned(df, f"{tmp}/part", ["day"])
+    back = spark.read.parquet(f"{tmp}/part").filter(F.col("day") == 3)
+    assert back.count() == 100
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (no day=3 data read elsewhere)
+    assert "PartitionFilters" in plan
+    assert "day#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_json_sink_overwrite_not_append(spark, tmp):
+    df1 = spark.createDataFrame([(1, "a")], ["station_id", "x"])
+    df2 = spark.createDataFrame([(2, "b")], ["station_id", "x"])
+    write_json(df1, f"{tmp}/j")
+    write_json(df2, f"{tmp}/j")  # second write REPLACES (no concat corruption)
+    back = spark.read.json(f"{tmp}/j")
+    assert [r["station_id"] for r in back.collect()] == [2]
+
+
+def test_strict_reader_rejects_concatenated_documents(spark, tmp):
+    # reproduce the reference's corruption shape: two JSON documents
+    # appended into one file (notebooks/CitiBike-1.ipynb:243)
+    with open(f"{tmp}/bad.json", "w") as f:
+        f.write('{"a": {"b": 1}}\n{"a": {"b": 2}}{"a": {"b": 3}}\n')
+    schema = T.StructType(
+        [T.StructField("a", T.StructType([T.StructField("b", T.LongType())]))]
+    )
+    with pytest.raises(Exception):
+        read_json_strict(spark, f"{tmp}/bad.json", schema).collect()
+    # a well-formed file parses fine through the same strict path
+    with open(f"{tmp}/good.json", "w") as f:
+        f.write('{"a": {"b": 1}}\n{"a": {"b": 2}}\n')
+    assert read_json_strict(spark, f"{tmp}/good.json", schema).count() == 2
