@@ -50,6 +50,36 @@ def approx_ntile(
     return with_cuts.withColumn(out, bucket.cast("long")).drop("cuts")
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    out: str = "session_idx",
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based session assignment (lag + running count of boundaries).
+
+    A new session starts at a row whose time since the previous row for
+    the same key exceeds ``gap_seconds`` (or at the key's first row).
+    ``out`` is a per-key 1-based session index. This is the batch dual of
+    streaming session windows: one shuffle on the key, one in-partition
+    sort — both windows share the same (partition, order) spec so Spark
+    plans a single Sort+Window pass.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (tie_break or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # interval comparison (not epoch math): works for TIMESTAMP_NTZ and is
+    # immune to session-timezone/DST reinterpretation
+    gap_iv = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    is_new = F.when(prev.isNull() | (F.col(ts_col) > prev + gap_iv), 1).otherwise(0)
+    running = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out, F.sum(is_new).over(running).cast("long"))
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_cols: list[str],

@@ -333,6 +333,57 @@ def q40_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q44 — LSH-bucketed approximate top-k (the ANN scale path; q38 is its
+# exact baseline). Approximate by construction → no oracle; pytest bounds
+# recall against brute force (tests/test_operators.py lsh recall test).
+# --------------------------------------------------------------------------
+
+def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = lsh_topk(e, queries, "vec_id", "embedding", k=5, bits=6, tables=8)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rk",
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — multimodal feature extraction plumbing (SURVEY.md §7 "multimodal
+# columns"). Documents' text bytes stand in for media payloads; the
+# mapInPandas Arrow path (schema, batching, payload-dropping output) is
+# the real engine surface, the decode kernel is the deterministic test
+# stand-in. The byte-level outputs (length, sha256) ARE oracle-checkable;
+# the 8-dim feature vector is pytest-verified (tests/test_operators.py).
+# --------------------------------------------------------------------------
+
+def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.multimodal import (
+        extract_features,
+        fake_decode_image,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("content_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media, decode=fake_decode_image)
+    return feats.select("content_id", "n_bytes", "payload_sha")
+
+
+Q45_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS content_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -345,4 +396,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q38_ann_topk": QuerySpec(q38_ann_topk, Q38_SQL, "§7 similarity-bruteforce"),
     "q39_embedding_near_dup": QuerySpec(q39_embedding_near_dup, Q39_SQL, "§7 dedup-embedding"),
     "q40_approx_ntile": QuerySpec(q40_approx_ntile, None, "§7 scalable-ntile"),
+    "q44_ann_lsh": QuerySpec(q44_ann_lsh, None, "§7 similarity-lsh"),
+    "q45_multimodal_features": QuerySpec(q45_multimodal_features, Q45_SQL, "§7 multimodal"),
 }

@@ -1043,6 +1043,145 @@ FROM part
 """
 
 
+# --------------------------------------------------------------------------
+# q41 — backward as-of join (SURVEY.md §2.3 surface completion: "the domain
+# needs as-of (nearest weather reading)"). For each error event, the latest
+# click at-or-before it by the same user. Spark side is the scalable
+# union+window plan (operators/asof.py); the oracle is an independent
+# formulation (per-row LATERAL top-1).
+# --------------------------------------------------------------------------
+
+def q41_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("error_event"),
+        "ts",
+        F.col("ts_asof").alias("last_click_ts"),
+        F.col("event_id_asof").alias("last_click_event"),
+        F.col("value_asof").alias("last_click_value"),
+    )
+
+
+Q41_SQL = """
+SELECT e.user_id,
+       e.event_id AS error_event,
+       e.ts,
+       c.ts AS last_click_ts,
+       c.event_id AS last_click_event,
+       c.value AS last_click_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT c.ts, c.event_id, c.value
+  FROM events c
+  WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) c ON true
+WHERE e.event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# q42 — gap-based sessionization (batch dual of streaming session windows;
+# the training-data-pipeline shape of the reference's time-interval
+# bucketing). 30-minute inactivity gap per user.
+# --------------------------------------------------------------------------
+
+def q42_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        e, ["user_id"], "ts", gap_seconds=1800, tie_break=["event_id"]
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+Q42_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q43 — interval/range join (SURVEY.md §2.3 "interval-overlap joins ...
+# surfaced in the API"): clicks within 10 minutes after each error by the
+# same user. The user_id equi-key keeps this a hash/sort-merge join with a
+# residual range predicate — never a cross product.
+# --------------------------------------------------------------------------
+
+def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t0"), "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("ct"),
+        F.col("event_id").alias("click_id"),
+    )
+    win = F.expr("INTERVAL 600 SECOND")
+    joined = errors.join(
+        clicks,
+        (F.col("u") == F.col("cu"))
+        & (F.col("ct") >= F.col("t0"))
+        & (F.col("ct") <= F.col("t0") + win),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("event_id"), F.col("u").alias("user_id")
+    ).agg(F.count("click_id").alias("n_clicks_10min"))
+
+
+Q43_SQL = """
+SELECT e.event_id, e.user_id, count(c.event_id) AS n_clicks_10min
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 600 SECOND
+WHERE e.event_type = 'error'
+GROUP BY 1, 2
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1051,5 +1190,8 @@ QUERIES.update(
         "q27_except_all": QuerySpec(q27_except_all, Q27_SQL, "U2-ext"),
         "q28_correlated_subquery": QuerySpec(q28_correlated_subquery, Q28_SQL, "J7 §4"),
         "q29_string_funcs": QuerySpec(q29_string_funcs, Q29_SQL, "F14 F15 F16"),
+        "q41_asof_join": QuerySpec(q41_asof_join, Q41_SQL, "§2.3-ext as-of"),
+        "q42_sessionize": QuerySpec(q42_sessionize, Q42_SQL, "§2.9-ext sessions"),
+        "q43_range_join": QuerySpec(q43_range_join, Q43_SQL, "§2.3-ext range"),
     }
 )

@@ -1,0 +1,120 @@
+"""Unit tests for the as-of join and sessionization operators
+(SURVEY.md §2.3 surface completion / §2.9 batch dual).
+
+Edge cases pinned here: no-match rows stay null, backward-inclusive
+equal-timestamp matching, deterministic tie-break at equal timestamps,
+tolerance cutoff, single-event sessions, and exact-gap boundaries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from citibike_analysis_spark.operators.asof import asof_join
+from citibike_analysis_spark.operators.windows import sessionize
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("lid", T.LongType()),
+    ]
+)
+RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("rid", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+class TestAsofJoin:
+    def _run(self, spark, left_rows, right_rows, **kw):
+        left = spark.createDataFrame(left_rows, LEFT_SCHEMA)
+        right = spark.createDataFrame(right_rows, RIGHT_SCHEMA)
+        out = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rid", "v"], **kw
+        )
+        return {r["lid"]: (r["rid_asof"], r["v_asof"]) for r in out.collect()}
+
+    def test_backward_inclusive_and_no_match(self, spark):
+        got = self._run(
+            spark,
+            [("a", _ts(5), 1), ("a", _ts(10), 2), ("b", _ts(5), 3)],
+            [("a", _ts(5), 100, 1.0), ("a", _ts(7), 101, 2.0)],
+        )
+        # equal timestamp matches (backward-inclusive); later row takes
+        # the newest preceding; key with no right rows stays null
+        assert got == {1: (100, 1.0), 2: (101, 2.0), 3: (None, None)}
+
+    def test_equal_ts_tie_breaks_to_largest_payload(self, spark):
+        got = self._run(
+            spark,
+            [("a", _ts(9), 1)],
+            [("a", _ts(9), 100, 1.0), ("a", _ts(9), 102, 2.0), ("a", _ts(9), 101, 3.0)],
+        )
+        # ties on ts resolve to the right row sorting last by payload
+        # struct (ts, rid, v) → max rid
+        assert got == {1: (102, 2.0)}
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        got = self._run(
+            spark,
+            [("a", _ts(10), 1), ("a", _ts(20), 2)],
+            [("a", _ts(9), 100, 1.0)],
+            tolerance_seconds=120,
+        )
+        # 60s-old match survives a 120s tolerance; 11min-old does not
+        assert got == {1: (100, 1.0), 2: (None, None)}
+
+    def test_left_row_count_preserved(self, spark):
+        left = [("a", _ts(m), m) for m in range(1, 30)]
+        right = [("a", _ts(m, 30), 1000 + m, float(m)) for m in range(0, 30, 5)]
+        got = self._run(spark, left, right)
+        assert len(got) == len(left)
+
+
+class TestSessionize:
+    SCHEMA = T.StructType(
+        [
+            T.StructField("u", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("eid", T.LongType()),
+        ]
+    )
+
+    def _run(self, spark, rows, gap):
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = sessionize(df, ["u"], "ts", gap_seconds=gap, tie_break=["eid"])
+        return {r["eid"]: r["session_idx"] for r in out.collect()}
+
+    def test_gap_boundary_is_exclusive(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("a", _ts(0), 1),
+                ("a", _ts(10), 2),   # exactly gap → same session
+                ("a", _ts(20, 1), 3),  # gap + 1s → new session
+            ],
+            gap=600,
+        )
+        assert got == {1: 1, 2: 1, 3: 2}
+
+    def test_per_key_independence_and_singletons(self, spark):
+        got = self._run(
+            spark,
+            [("a", _ts(0), 1), ("b", _ts(0), 2), ("a", _ts(59), 3)],
+            gap=60,
+        )
+        # each key starts at session 1; b's lone event is its own session
+        assert got == {1: 1, 2: 1, 3: 2}
