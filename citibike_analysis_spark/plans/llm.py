@@ -384,6 +384,65 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# q46 — dedup clustering: transitive closure of the q34 near-dup pairs
+# into canonical clusters (operators/graph.py connected components). The
+# oracle recomputes the same pairs and closes them with a recursive CTE —
+# a full value-level check even though the Spark side is iterative.
+# --------------------------------------------------------------------------
+
+def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(d, "doc_id", pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+Q46_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[t.i : t.i + 2], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes na ON id_a = na.doc_id
+  JOIN sizes nb ON id_b = nb.doc_id
+  WHERE c / (na.n + nb.n - c) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labeled AS (
+  SELECT d.doc_id,
+         CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS canonical_id
+  FROM documents d
+  LEFT JOIN reach r ON d.doc_id = r.a
+  GROUP BY d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM labeled
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -398,4 +457,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q40_approx_ntile": QuerySpec(q40_approx_ntile, None, "§7 scalable-ntile"),
     "q44_ann_lsh": QuerySpec(q44_ann_lsh, None, "§7 similarity-lsh"),
     "q45_multimodal_features": QuerySpec(q45_multimodal_features, Q45_SQL, "§7 multimodal"),
+    "q46_dedup_clusters": QuerySpec(q46_dedup_clusters, Q46_SQL, "§7 dedup-clusters"),
 }
