@@ -6,7 +6,8 @@ Prints exactly one JSON line:
 Headline set spans the engine's main cost shapes: grouped aggregation
 (q01), the flagship CTE+window reduction (q20), broadcast-join chain
 (q05), windowed rollup (q19), spatial band join (q21), shingle near-dup
-(q34), minhash LSH (q36), and brute-force ANN (q38).
+(q34), minhash LSH (q36), brute-force ANN (q38), as-of join (q41),
+LSH-bucketed ANN (q44), and dedup clustering / connected components (q46).
 """
 
 from __future__ import annotations
@@ -26,6 +27,9 @@ HEADLINE = [
     "q34_ngram_jaccard",
     "q36_minhash_dedup",
     "q38_ann_topk",
+    "q41_asof_join",
+    "q44_ann_lsh",
+    "q46_dedup_clusters",
 ]
 
 

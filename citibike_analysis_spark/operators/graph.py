@@ -53,6 +53,10 @@ def connected_components(
         .distinct()
         .select("id", F.col("id").alias("component"))
     )
+    # Convergence detector: labels only ever decrease, so the label sum is
+    # strictly monotone until fixpoint — one cheap aggregate on the freshly
+    # checkpointed result replaces a join-against-previous + count job.
+    prev_sum = None
     for _ in range(max_iter):
         msgs = sym.join(
             labels, sym["a"] == labels["id"]
@@ -63,16 +67,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        label_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
 
 

@@ -84,14 +84,43 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
+def _sign_bits(vec: Column, planes: Column) -> Column:
+    """array<long> of sign(plane·vec) bits for every plane in ``planes``
+    (a Column of array<array<double>>)."""
+    return F.transform(
+        planes,
+        lambda p: F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def _planes_expr(planes: list[list[float]]) -> Column:
+    """Plane matrix as ONE SQL-parsed literal expression.
+
+    For joining DataFrames prefer :func:`_planes_frame` — this literal
+    parses to thousands of AST nodes that every subsequent DataFrame op
+    re-walks during analysis (measured ~0.14 s per op at 48×64 planes).
+    Fine for one-shot column helpers over short plans.
+    """
+    body = ",".join(
+        "array(" + ",".join(f"{float(w)!r}D".upper() for w in p) + ")"
+        for p in planes
+    )
+    return F.expr(f"array({body})")
+
+
+def _pack_bits(bits_arr: Column) -> Column:
+    """Fold an array of 0/1 longs into a single long key (acc*2 + bit —
+    no per-bit shift constants, so the fold stays a tiny lambda)."""
+    return F.aggregate(
+        bits_arr, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
 def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Pack sign(plane·vec) bits into a long bucket key."""
-    acc = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(w)) for w in plane])
-        positive = dot(vec, plane_col) > 0
-        acc = acc + F.when(positive, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-    return acc
+    return _pack_bits(_sign_bits(vec, _planes_expr(planes)))
 
 
 def lsh_topk(
@@ -115,21 +144,45 @@ def lsh_topk(
     the candidate join is an equi-join on (table, bucket). Tune
     bits↑/tables↓ for throughput, bits↓/tables↑ for recall.
     """
-    all_planes = [
-        _hyperplanes(dim, bits, seed + 1000 * t) for t in range(tables)
+    # All tables' planes flattened into one (tables*bits) × dim matrix,
+    # shipped as a 1-row broadcast DataFrame rather than a literal: a
+    # parsed array(array(...)) literal is thousands of AST nodes that
+    # every later DataFrame op re-walks during analysis (~0.14 s/op
+    # measured at 48×64), and F.lit(nested_list) pays ~1.6 s of py4j
+    # element conversion. The 24 KB broadcast joins for free (1-row BNLJ,
+    # pipelined, no shuffle) and keeps every plan tree tiny. Per row we
+    # compute all sign bits once, then slice+pack per table.
+    flat_planes = [
+        plane
+        for t in range(tables)
+        for plane in _hyperplanes(dim, bits, seed + 1000 * t)
     ]
+    planes_df = corpus.sparkSession.createDataFrame(
+        [(flat_planes,)], "__planes: array<array<double>>"
+    )
 
     def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    sign_lsh_bucket(F.col(vecname), all_planes[t]).alias("bkt"),
-                )
-                for t in range(tables)
-            ]
+        # Materialize the 48 sign bits in their OWN projection: the
+        # per-table lambda below slices them 8×, and codegen subexpression
+        # elimination cannot see through higher-order-function lambdas —
+        # without the projection boundary every table re-ran all 48
+        # plane·vec dots (measured 4× slowdown). CollapseProject keeps the
+        # boundary because __bits is non-cheap and referenced 8 times.
+        with_bits = df.crossJoin(F.broadcast(planes_df)).select(
+            idname,
+            vecname,
+            _sign_bits(F.col(vecname), F.col("__planes")).alias("__bits"),
         )
-        return df.select(
+        buckets = F.transform(
+            F.sequence(F.lit(0), F.lit(tables - 1)),
+            lambda t: F.struct(
+                t.cast("int").alias("tbl"),
+                _pack_bits(
+                    F.slice(F.col("__bits"), t * F.lit(bits) + 1, bits)
+                ).alias("bkt"),
+            ),
+        )
+        return with_bits.select(
             idname, vecname, F.explode(buckets).alias("_b")
         ).select(idname, vecname, "_b.tbl", "_b.bkt")
 
