@@ -1,0 +1,167 @@
+"""Streaming enrichment: dedup-within-watermark + stream-static weather
+join + stateful sessionization (SURVEY.md §2.9 rows 3-4, §2.10 U5).
+
+Completes the collection-tier re-model:
+
+- the feed re-reports stations with stale ``last_communication_time``
+  (reference README.md:122) → :func:`dedup_samples` drops duplicate
+  (station, event-time) reports with bounded state
+  (``dropDuplicatesWithinWatermark``);
+- hourly weather joined onto samples by (zip, hour)
+  (reference README.md:162,187-188) → :func:`join_weather` as a
+  stream-static broadcast join: the dimension is re-read per
+  micro-batch, so a concurrently-maintained weather table is picked up
+  without restarting the query, and no stream-stream state is held;
+- :func:`track_sessions` is the custom stateful operator slice
+  (``applyInPandasWithState``): per-key session accumulation with
+  explicit state and event-time timeout — the streaming dual of the
+  batch ``operators.windows.sessionize`` (same gap semantics), for
+  per-station outage/activity episodes the built-in windowed aggs
+  cannot express (state must live across micro-batches per key, emit on
+  closure only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_samples(
+    samples: DataFrame,
+    ts_col: str = "last_communication_time",
+    key: str = "station_id",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Drop duplicate (key, event-time) reports with state bounded by the
+    watermark — the feed repeats a station's last report until it phones
+    home again, so identical (station, comm-time) rows are re-deliveries,
+    not new samples."""
+    return samples.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key, ts_col]
+    )
+
+
+def join_weather(
+    samples: DataFrame,
+    weather: DataFrame,
+    ts_col: str = "last_communication_time",
+    zip_col: str = "zip",
+) -> DataFrame:
+    """Stream-static equi-join: sample → hourly weather by (zip, hour).
+
+    The static side is broadcast per micro-batch (dimension scale: 27
+    zips × hours — reference README.md:148,162). Stream-static holds NO
+    join state; late weather rows simply appear in later batches'
+    snapshots, replacing the reference's re-fetch/patch cycle.
+    """
+    w = weather.select(
+        F.col(zip_col).alias("__wzip"),
+        F.col("time_hour").alias("__whour"),
+        *[c for c in weather.columns if c not in (zip_col, "time_hour")],
+    )
+    keyed = samples.withColumn("__hour", F.date_trunc("hour", F.col(ts_col)))
+    return (
+        keyed.join(
+            F.broadcast(w),
+            (keyed[zip_col] == w["__wzip"]) & (keyed["__hour"] == w["__whour"]),
+            "left",
+        )
+        .drop("__wzip", "__whour", "__hour")
+    )
+
+
+SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n long"
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("station_id", T.IntegerType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _session_fn(gap_seconds: int):
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "station_id": [key[0]],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_samples": [n],
+                }
+            )
+            return
+
+        ts = pd.concat([b["ts"] for b in batches]).sort_values()
+        closed: list[tuple[Any, Any, int]] = []
+        if state.exists:
+            s0, l0, n = state.get
+            start, last = pd.Timestamp(s0), pd.Timestamp(l0)
+        else:
+            start, last, n = ts.iloc[0], ts.iloc[0], 0
+        for t in ts:
+            if t - last > gap:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
+        # event-time timeout: close the open session once the watermark
+        # passes its end + gap (clamped above the current watermark, which
+        # may already have advanced past an old session's close point)
+        desired = int(last.timestamp() * 1000) + gap_seconds * 1000
+        state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "station_id": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_samples": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def track_sessions(
+    samples: DataFrame,
+    ts_col: str = "last_communication_time",
+    key: str = "station_id",
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessions per station, emitted
+    when closed (by a new out-of-gap sample or by event-time timeout).
+
+    State per key is (start, last, n) — constant size regardless of
+    session length; the watermark drives the timeout clock so idle keys
+    close and free their state.
+    """
+    keyed = samples.withWatermark(ts_col, watermark).select(
+        F.col(key), F.col(ts_col).alias("ts")
+    )
+    return keyed.groupBy(key).applyInPandasWithState(
+        _session_fn(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

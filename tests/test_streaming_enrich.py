@@ -1,0 +1,103 @@
+"""Streaming enrichment tests (SURVEY.md §2.9 rows 3-4, §2.10 U5):
+dedup-within-watermark, stream-static weather join, and the
+applyInPandasWithState session tracker.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from citibike_analysis_spark.streaming.enrich import (
+    dedup_samples,
+    join_weather,
+    track_sessions,
+)
+from citibike_analysis_spark.streaming.ingest import read_feed_stream
+from tests.test_streaming import _feed_line
+
+BASE = datetime(2019, 5, 12, 8, 0, 0)
+
+
+@pytest.fixture()
+def dirs():
+    d = {k: tempfile.mkdtemp(prefix=f"cbs_en_{k}_") for k in ("in", "ckpt")}
+    yield d
+    for p in d.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _run_stream(df, name, ckpt):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, dirs):
+    # the feed repeats a station's last report until it phones home again:
+    # same (station, comm-time) arrives in two different micro-batches
+    with open(f"{dirs['in']}/b1.json", "w") as f:
+        f.write(_feed_line(72, BASE, 5) + "\n")
+        f.write(_feed_line(72, BASE, 5) + "\n")  # in-batch duplicate
+    with open(f"{dirs['in']}/b2.json", "w") as f:
+        f.write(_feed_line(72, BASE, 5) + "\n")  # cross-batch re-delivery
+        f.write(_feed_line(72, BASE + timedelta(minutes=3), 4) + "\n")
+    stream = dedup_samples(read_feed_stream(spark, dirs["in"]))
+    _run_stream(
+        stream.select("station_id", "last_communication_time"), "dd", dirs["ckpt"]
+    )
+    out = spark.table("dd").collect()
+    assert len(out) == 2  # one per distinct (station, comm-time)
+
+
+def test_stream_static_weather_join(spark, dirs):
+    with open(f"{dirs['in']}/b1.json", "w") as f:
+        f.write(_feed_line(72, BASE.replace(minute=10), 5) + "\n")
+        f.write(_feed_line(79, BASE.replace(minute=40), 2) + "\n")
+    weather = spark.createDataFrame(
+        [("10001", BASE, 61.2, "observed")],
+        "zip string, time_hour timestamp, temperature double, weather_status string",
+    )
+    stream = read_feed_stream(spark, dirs["in"]).withColumn(
+        "zip", F.lit("10001")
+    )
+    joined = join_weather(stream, weather)
+    _run_stream(
+        joined.select("station_id", "temperature", "weather_status"),
+        "wj",
+        dirs["ckpt"],
+    )
+    got = {r["station_id"]: r["temperature"] for r in spark.table("wj").collect()}
+    # both samples fall in the 08:00 hour → both enriched
+    assert got == {72: 61.2, 79: 61.2}
+
+
+def test_stateful_sessions_close_on_gap(spark, dirs):
+    # session 1: two samples 5 min apart; a sample 2h later exceeds the
+    # 30-min gap, closing session 1 in-batch and opening session 2
+    with open(f"{dirs['in']}/b1.json", "w") as f:
+        f.write(_feed_line(72, BASE, 5) + "\n")
+        f.write(_feed_line(72, BASE + timedelta(minutes=5), 4) + "\n")
+    with open(f"{dirs['in']}/b2.json", "w") as f:
+        f.write(_feed_line(72, BASE + timedelta(hours=2), 3) + "\n")
+    sessions = track_sessions(read_feed_stream(spark, dirs["in"]))
+    _run_stream(sessions, "ss", dirs["ckpt"])
+    out = spark.table("ss").collect()
+    assert len(out) == 1  # only the closed session emits
+    row = out[0]
+    assert row["station_id"] == 72
+    assert row["session_start"] == BASE
+    assert row["session_end"] == BASE + timedelta(minutes=5)
+    assert row["n_samples"] == 2
