@@ -1182,6 +1182,51 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q47/q48 — skew-safe aggregation (SURVEY.md §4): salted two-stage plans
+# for the non-combinable aggregates where one hot key would otherwise
+# serialize into a single reducer. Results are identical to the plain
+# single-stage forms — which is exactly what the oracle checks.
+# --------------------------------------------------------------------------
+
+def q47_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.skew import salted_count_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_count_distinct(
+        o, ["o_orderpriority"], "o_custkey", buckets=16
+    )
+
+
+Q47_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q48_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.skew import salted_collect_list
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    merged = salted_collect_list(li, ["l_suppkey"], "l_orderkey", buckets=16)
+    return merged.select(
+        "l_suppkey",
+        F.array_join(
+            F.transform(F.col("l_orderkey"), lambda x: x.cast("string")), ","
+        ).alias("order_keys"),
+    )
+
+
+Q48_SQL = """
+SELECT l_suppkey,
+       string_agg(l_orderkey, ',' ORDER BY l_orderkey) AS order_keys
+FROM lineitem
+WHERE l_quantity >= 49
+GROUP BY l_suppkey
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1193,5 +1238,7 @@ QUERIES.update(
         "q41_asof_join": QuerySpec(q41_asof_join, Q41_SQL, "§2.3-ext as-of"),
         "q42_sessionize": QuerySpec(q42_sessionize, Q42_SQL, "§2.9-ext sessions"),
         "q43_range_join": QuerySpec(q43_range_join, Q43_SQL, "§2.3-ext range"),
+        "q47_salted_distinct": QuerySpec(q47_salted_distinct, Q47_SQL, "§4 skew"),
+        "q48_salted_collect": QuerySpec(q48_salted_collect, Q48_SQL, "§4 skew"),
     }
 )

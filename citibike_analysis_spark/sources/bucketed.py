@@ -1,0 +1,48 @@
+"""Bucketed-table layout for co-located joins (SURVEY.md §4
+"Partitioning & shuffle: bucketing for co-located joins").
+
+A fact-fact equi-join (availability ⋈ weather by zip+hour, lineitem ⋈
+orders by orderkey) shuffles BOTH sides every query. Writing each table
+``bucketBy(N, key)`` pre-partitions the data by ``hash(key) % N`` at
+write time: every later join or aggregation on the bucket key reads the
+matching buckets directly and the Exchange disappears from the plan —
+the shuffle is paid once at layout time instead of per query. At 100 TB
+this converts the dominant per-query cost into a one-time ETL cost.
+
+Rules the helpers enforce/encode:
+
+- both join sides must use the same bucket count (or multiples, with
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``);
+- ``sortBy`` the bucket key too, so sort-merge joins also skip their
+  per-task sort;
+- bucket counts should target ~100-200 MB per bucket file at production
+  scale; at 100 TB / 128 MB that is O(10⁵) buckets — set per table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed parquet table."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata rides on the catalog entry,
+    which is why this goes through the table name, not the raw path)."""
+    return spark.table(table)
