@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for as-of join and sessionization.
+
+Each operator is checked against a deliberately naive pure-Python
+reference on randomized inputs — the references are O(n²)/sequential,
+the operators are distributed plans; the property is exact agreement.
+Example counts are small (each example runs Spark jobs), but hypothesis
+shrinks failures to minimal cases, which unit examples cannot.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from citibike_analysis_spark.operators.asof import asof_join
+from citibike_analysis_spark.operators.windows import sessionize
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, seconds-offset) pairs; duplicates and shared timestamps on purpose
+events = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 5000)),
+    min_size=0,
+    max_size=14,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("lid", T.LongType()),
+    ]
+)
+RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("rid", T.LongType()),
+    ]
+)
+
+
+@given(left=events, right=events)
+@settings(**SETTINGS)
+def test_asof_matches_naive_scan(spark, left, right):
+    left_rows = [
+        (k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)
+    ]
+    right_rows = [
+        (k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(right)
+    ]
+    out = asof_join(
+        spark.createDataFrame(left_rows, LEFT_SCHEMA),
+        spark.createDataFrame(right_rows, RIGHT_SCHEMA),
+        on=["k"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["rid"],
+    )
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+
+    def naive(k, ts):
+        cands = [(rts, rid) for rk, rts, rid in right_rows if rk == k and rts <= ts]
+        return max(cands)[1] if cands else None
+
+    assert len(got) == len(left_rows)  # left rows always preserved
+    for k, ts, lid in left_rows:
+        assert got[lid] == naive(k, ts), (k, ts, lid)
+
+
+@given(rows=events, gap=st.sampled_from([1, 60, 600]))
+@settings(**SETTINGS)
+def test_sessionize_matches_naive_splitter(spark, rows, gap):
+    data = [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data,
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("eid", T.LongType()),
+            ]
+        ),
+    )
+    out = sessionize(df, ["k"], "ts", gap_seconds=gap, tie_break=["eid"])
+    got = {r["eid"]: r["session_idx"] for r in out.collect()}
+
+    expected: dict[int, int] = {}
+    for key in {k for k, _, _ in data}:
+        mine = sorted(
+            ((ts, eid) for k, ts, eid in data if k == key)
+        )
+        idx, last = 0, None
+        for ts, eid in mine:
+            if last is None or (ts - last).total_seconds() > gap:
+                idx += 1
+            expected[eid] = idx
+            last = ts
+    assert got == expected
