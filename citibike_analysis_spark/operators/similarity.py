@@ -217,6 +217,124 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustering-based ANN
+    scale path, complementing sign-LSH (:func:`lsh_topk`).
+
+    Index: ``nlist`` centroids trained with a few Lloyd iterations;
+    every corpus vector is assigned to its nearest centroid (the
+    "inverted list"). Search: each query probes only its ``nprobe``
+    nearest lists — an equi-join on the centroid id — then candidates are
+    verified with exact cosine. Recall/throughput tunes via
+    nprobe/nlist (probe fraction ≈ nprobe/nlist).
+
+    Scale shape: centroids are tiny (nlist × dim floats) and ride the
+    driver/broadcast path exactly like Spark MLlib's KMeans centers; the
+    corpus is touched once per training iteration (broadcast join + one
+    aggregation) and once to assign — no corpus self-join ever.
+    Determinism: init takes the ``nlist`` lowest-id vectors; assignment
+    ties break on centroid id; centroid components are rounded to 6
+    decimals per iteration so float summation order cannot flip
+    assignments across runs.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    spark = corpus.sparkSession
+
+    # --- train: Lloyd iterations with driver-held centroids -------------
+    centroids = [
+        (i, r["_cv"])
+        for i, r in enumerate(
+            c.orderBy("neighbor_id").limit(nlist).collect()
+        )
+    ]
+
+    def cent_df(cents):
+        return spark.createDataFrame(
+            cents, "cid: int, _cvec: array<double>"
+        )
+
+    def assign(df: DataFrame, idname: str, vec: str, cents) -> DataFrame:
+        """argmin over centroids: broadcast-join then min(struct) pick —
+        the group key is the id, the vector rides as any_value."""
+        scored = df.crossJoin(F.broadcast(cent_df(cents))).withColumn(
+            "_d", dot(F.col(vec), F.col("_cvec"))
+            / (norm(F.col(vec)) * norm(F.col("_cvec"))),
+        )
+        return (
+            scored.groupBy(idname)
+            .agg(
+                F.min(
+                    F.struct((-F.col("_d")).alias("nd"), F.col("cid"))
+                ).alias("_m"),
+                F.any_value(vec).alias(vec),
+            )
+            .select(idname, vec, F.col("_m.cid").alias("cid"))
+        )
+
+    for _ in range(train_iters):
+        assigned = assign(c, "neighbor_id", "_cv", centroids)
+        new_means = (
+            assigned.select("cid", F.posexplode("_cv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: F.round(s["v"], 6),
+                ).alias("_cvec")
+            )
+        )
+        updated = {r["cid"]: r["_cvec"] for r in new_means.collect()}
+        # empty clusters keep their previous centroid
+        centroids = [(cid, updated.get(cid, vec)) for cid, vec in centroids]
+
+    # --- index + probe --------------------------------------------------
+    lists = assign(c, "neighbor_id", "_cv", centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df(centroids)))
+        .withColumn(
+            "_d", dot(F.col("_qv"), F.col("_cvec"))
+            / (norm(F.col("_qv")) * norm(F.col("_cvec"))),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "cid")
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def near_duplicate_embeddings(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -31,6 +31,7 @@ from citibike_analysis_spark.operators.dedup import (
 )
 from citibike_analysis_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
     near_duplicate_embeddings,
 )
@@ -352,6 +353,24 @@ def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q49 — IVF approximate top-k (clustering-based ANN; the other scale
+# path beside sign-LSH q44). Approximate + iterative → no oracle; pytest
+# bounds recall against the exact q38 baseline.
+# --------------------------------------------------------------------------
+
+def q49_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = ivf_topk(e, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=6)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rk",
+    )
+
+
+# --------------------------------------------------------------------------
 # q45 — multimodal feature extraction plumbing (SURVEY.md §7 "multimodal
 # columns"). Documents' text bytes stand in for media payloads; the
 # mapInPandas Arrow path (schema, batching, payload-dropping output) is
@@ -458,4 +477,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q44_ann_lsh": QuerySpec(q44_ann_lsh, None, "§7 similarity-lsh"),
     "q45_multimodal_features": QuerySpec(q45_multimodal_features, Q45_SQL, "§7 multimodal"),
     "q46_dedup_clusters": QuerySpec(q46_dedup_clusters, Q46_SQL, "§7 dedup-clusters"),
+    "q49_ann_ivf": QuerySpec(q49_ann_ivf, None, "§7 similarity-ivf"),
 }

@@ -69,6 +69,27 @@ class TestAnnRecall:
         # bits gives ≈1-(1-p^4)^8 ≈ 0.7-0.8 expected recall
         assert recall > 0.5, f"recall {recall}"
 
+    def test_ivf_topk_recall(self, spark):
+        from citibike_analysis_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = brute_force_topk(emb, queries, k=5).collect()
+        approx = ivf_topk(emb, queries, k=5, nlist=16, nprobe=6).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        # probing 6/16 lists: true neighbors concentrate in the probed
+        # lists, so recall should stay well above the probe fraction
+        assert recall >= 0.7, f"recall {recall}"
+        # approximate results are a subset of real similarity ranking:
+        # every reported pair carries its true cosine
+        assert all(r["rk"] >= 1 and r["rk"] <= 5 for r in approx)
+
     def test_bruteforce_is_exact_and_deterministic(self, spark):
         from citibike_analysis_spark.operators.similarity import brute_force_topk
         from citibike_analysis_spark.sources.tables import load_table
