@@ -53,7 +53,11 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
     element_at form measures ~7x faster on real documents.
     """
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # guard: sequence(1, 0) counts DOWN, and element_at past the end
+    # throws under ANSI — documents with < n tokens get an empty set
+    idx = F.when(k < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), k)
+    )
     return F.array_distinct(
         F.transform(
             idx,
@@ -107,6 +111,49 @@ def lang_id(text: Column | str) -> Column:
     for lang in reversed(list(LANG_MARKERS)):  # earlier keys win ties
         out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
     return out
+
+
+def kgram_hashes_of(toks: Column, k: int = 3) -> Column:
+    """Positional k-gram hash sequence (NOT distinct — order preserved).
+
+    The winnowing substrate: element i hashes tokens [i, i+k). Same
+    expression-shape rule as :func:`shingles_of`: pass a *projected*
+    token-array column, never the ``tokens(...)`` expression.
+    """
+    n = F.size(toks) - (k - 1)
+    # same short-document guard as shingles_of (sequence(1,0) counts down)
+    idx = F.when(n < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n)
+    )
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+        ),
+    )
+
+
+def winnow_of(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03
+    "Winnowing: Local Algorithms for Document Fingerprinting"): slide a
+    window of ``w`` over the positional k-gram hash sequence, keep each
+    window's minimum, dedupe. Guarantee: two documents sharing a token
+    run of ≥ w+k-1 tokens share at least one fingerprint — positional
+    (unlike MinHash, which samples the global set), so it catches long
+    verbatim spans inside otherwise-different documents.
+
+    ``hashes`` must be a projected column (CSE-through-lambda rule).
+    Documents with fewer than w k-grams contribute one window over what
+    exists; empty documents produce an empty fingerprint set.
+    """
+    m = F.size(hashes) - (w - 1)
+    upper = F.greatest(m, F.least(F.size(hashes), F.lit(1)))
+    # sequence(1, 0) would count DOWN; empty docs need an empty window list
+    widx = F.when(upper < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), upper)
+    )
+    fps = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_distinct(F.filter(fps, lambda x: x.isNotNull()))
 
 
 def bag_fingerprint(text: Column | str) -> Column:

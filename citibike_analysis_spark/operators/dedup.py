@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 
 from citibike_analysis_spark.functions.text import (
     bag_fingerprint,
+    kgram_hashes_of,
     shingles_of,
     tokens,
+    winnow_of,
 )
 
 
@@ -229,6 +231,59 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) winnowing index — one row per selected k-gram
+    hash (functions.text.winnow_of). Positional fingerprinting: shared
+    fingerprints localize *where* documents overlap, which set-sampling
+    (MinHash) cannot."""
+    return (
+        df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+        .select("_id", kgram_hashes_of(F.col("_tk"), k).alias("_kh"))
+        .select("_id", F.explode(winnow_of(F.col("_kh"), w)).alias("fingerprint"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ min_shared winnowing fingerprints (a < b).
+
+    Same inverted-index join shape as :func:`ngram_jaccard_pairs`: the
+    shuffle moves (id, 64-bit fingerprint) rows; candidate work scales
+    with shared fingerprints, never |docs|². The w+k-1 guarantee makes
+    this the detector for long verbatim spans (quotes, boilerplate,
+    near-exact plagiarism) between otherwise-different documents.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("n_shared"),
+        )
+    )
 
 
 def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

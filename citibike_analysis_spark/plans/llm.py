@@ -28,6 +28,7 @@ from citibike_analysis_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    winnow_overlap_pairs,
 )
 from citibike_analysis_spark.operators.similarity import (
     brute_force_topk,
@@ -353,6 +354,17 @@ def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q50 — winnowing (rolling-hash) fingerprint overlap pairs. xxhash64-based
+# like MinHash/SimHash → no SQL oracle; pytest pins the w+k-1 shared-span
+# guarantee and agreement with shingle-Jaccard on strong near-dups.
+# --------------------------------------------------------------------------
+
+def q50_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, "doc_id", "text", k=3, w=4, min_shared=3)
+
+
+# --------------------------------------------------------------------------
 # q49 — IVF approximate top-k (clustering-based ANN; the other scale
 # path beside sign-LSH q44). Approximate + iterative → no oracle; pytest
 # bounds recall against the exact q38 baseline.
@@ -478,4 +490,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q45_multimodal_features": QuerySpec(q45_multimodal_features, Q45_SQL, "§7 multimodal"),
     "q46_dedup_clusters": QuerySpec(q46_dedup_clusters, Q46_SQL, "§7 dedup-clusters"),
     "q49_ann_ivf": QuerySpec(q49_ann_ivf, None, "§7 similarity-ivf"),
+    "q50_winnow_pairs": QuerySpec(q50_winnow_pairs, None, "§7 dedup-winnow"),
 }
