@@ -85,6 +85,9 @@ def ngram_jaccard_pairs(
     inv = tk.select(
         "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
     ).select("_id", F.xxhash64("_s").alias("_h"))
+    # the index feeds three plan branches (sizes + both join sides);
+    # checkpoint it so tokenize+shingle+explode runs once, not three times
+    inv = inv.localCheckpoint(eager=False)
     sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
@@ -207,6 +210,10 @@ def minhash_dedup_pairs(
     at scale this touches a vanishing fraction of the corpus.
     """
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    # the candidate list feeds three branches (the verify join + both
+    # halves of the id set); checkpoint so the signature+banding pipeline
+    # runs once, not three times
+    cand = cand.localCheckpoint(eager=False)
     # Shingle only candidate documents: broadcast-semi-join the candidate
     # id set *below* the shingle projection, so tokenization runs on the
     # (vanishing at scale) candidate subset, not the corpus.
@@ -219,7 +226,7 @@ def minhash_dedup_pairs(
         df.join(F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "left_semi")
         .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
         .select("_id", shingles_of(F.col("_tk"), shingle_n).alias("_sh"))
-    )
+    ).localCheckpoint(eager=False)  # reused by both sides of the verify join
     j = (
         cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_shb"}), "id_b")
@@ -267,7 +274,9 @@ def winnow_overlap_pairs(
     this the detector for long verbatim spans (quotes, boilerplate,
     near-exact plagiarism) between otherwise-different documents.
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
+        eager=False  # both join sides read the same index — compute once
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(
