@@ -118,3 +118,122 @@ def media_dedup(features: DataFrame) -> DataFrame:
     return features.groupBy("payload_sha").agg(
         F.min("content_id").alias("canonical_id"), F.count("*").alias("dup_count")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_channels", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """payload → resized payload + updated meta, via mapInPandas.
+
+    The resize kernel is pluggable like the decode kernel (production:
+    PIL/opencv; default raises; tests inject a deterministic fake). The
+    Spark-side contract is what's tested: meta.width/height are REWRITTEN
+    to the target dims (stale meta after transform is the classic
+    multimodal-pipeline bug), other meta fields carry through, and output
+    partitioning follows input (narrow op, no shuffle).
+    """
+
+    def _no_kernel(payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError(
+            "no image codecs in this environment; inject resize=..."
+        )
+
+    kernel = resize or _no_kernel
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                {**(m if isinstance(m, dict) else m.asDict()),
+                 "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["content_id"],
+                    "payload": [
+                        kernel(bytes(p), width, height) for p in pdf["payload"]
+                    ],
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    extract: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Video payload → one row per sampled frame (UDTF shape: mapInPandas
+    emitting more rows than it consumes).
+
+    Frames are sampled every ``every_ms`` over ``meta.duration_ms``,
+    capped at ``max_frames`` per video — the cap bounds the row fan-out
+    so one long video cannot blow up a task's output (the multimodal
+    analog of the shingle document-frequency cap). The frame-extract
+    kernel is pluggable (production: ffmpeg seek+decode; default raises;
+    tests inject a deterministic fake).
+    """
+
+    def _no_kernel(payload: bytes, ms: int) -> bytes:
+        raise NotImplementedError(
+            "no video codecs in this environment; inject extract=..."
+        )
+
+    kernel = extract or _no_kernel
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "content_id": [], "frame_idx": [], "frame_ms": [], "frame": []
+            }
+            for cid, payload, meta in zip(
+                pdf["content_id"], pdf["payload"], pdf["meta"]
+            ):
+                m = meta if isinstance(meta, dict) else meta.asDict()
+                duration = int(m.get("duration_ms") or 0)
+                n = min(max_frames, max(duration // every_ms, 0) + 1)
+                for i in range(n):
+                    ms = i * every_ms
+                    out["content_id"].append(cid)
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(ms)
+                    out["frame"].append(kernel(bytes(payload), ms))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
