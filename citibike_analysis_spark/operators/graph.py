@@ -65,7 +65,8 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # the agg below materializes it —
+            # one job per round instead of checkpoint-job + agg-job
         )
         label_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels

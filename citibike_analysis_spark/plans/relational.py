@@ -1227,6 +1227,95 @@ GROUP BY l_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# q51-q53 — surface completion (SURVEY.md §2.3/§2.7 closing notes: the
+# join types and set ops the reference never used but the engine
+# exposes): multiset intersection, full outer join, GROUPING SETS.
+# --------------------------------------------------------------------------
+
+def q51_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderpriority"
+    )
+    big_keys = o.filter(F.col("o_totalprice") > 100000.0).select(
+        "o_custkey", "o_orderpriority"
+    )
+    return (
+        open_keys.intersectAll(big_keys)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+Q51_SQL = """
+SELECT o_orderpriority, count(*) AS n_rows
+FROM (
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 100000.0
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q52_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    errors = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    joined = spend.join(errors, spend["o_custkey"] == errors["user_id"], "full")
+    return joined.select(
+        F.coalesce("o_custkey", "user_id").alias("entity_id"),
+        "total_spend",
+        "n_errors",
+    )
+
+
+Q52_SQL = """
+WITH errors AS (
+  SELECT user_id, count(*) AS n_errors FROM events
+  WHERE event_type = 'error' GROUP BY user_id
+), spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(o_custkey, user_id) AS entity_id, total_spend, n_errors
+FROM spend FULL OUTER JOIN errors ON o_custkey = user_id
+"""
+
+
+def q53_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+Q53_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1240,5 +1329,8 @@ QUERIES.update(
         "q43_range_join": QuerySpec(q43_range_join, Q43_SQL, "§2.3-ext range"),
         "q47_salted_distinct": QuerySpec(q47_salted_distinct, Q47_SQL, "§4 skew"),
         "q48_salted_collect": QuerySpec(q48_salted_collect, Q48_SQL, "§4 skew"),
+        "q51_intersect_all": QuerySpec(q51_intersect_all, Q51_SQL, "U-ext"),
+        "q52_full_outer": QuerySpec(q52_full_outer, Q52_SQL, "J-ext"),
+        "q53_grouping_sets": QuerySpec(q53_grouping_sets, Q53_SQL, "A-ext"),
     }
 )
