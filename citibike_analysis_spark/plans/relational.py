@@ -1316,6 +1316,36 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+# --------------------------------------------------------------------------
+# q54 — grouped confidence-band aggregates (SURVEY.md §2.11): the in-engine
+# equivalent of seaborn's lineplot(ci=90) — per-group mean + exact
+# interpolated percentile bands, ready for any plotting layer.
+# --------------------------------------------------------------------------
+
+def q54_ci_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.percentile("value", 0.05), 4).alias("p05"),
+            F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        )
+    )
+
+
+Q54_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       count(*) AS n,
+       round(avg(value), 4) AS mean_value,
+       round(quantile_cont(value, 0.05), 4) AS p05,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1332,5 +1362,6 @@ QUERIES.update(
         "q51_intersect_all": QuerySpec(q51_intersect_all, Q51_SQL, "U-ext"),
         "q52_full_outer": QuerySpec(q52_full_outer, Q52_SQL, "J-ext"),
         "q53_grouping_sets": QuerySpec(q53_grouping_sets, Q53_SQL, "A-ext"),
+        "q54_ci_bands": QuerySpec(q54_ci_bands, Q54_SQL, "§2.11"),
     }
 )
