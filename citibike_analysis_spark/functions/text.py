@@ -80,6 +80,29 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return shingles_of(tokens(text), n)
 
 
+#: GPT-2-style pre-tokenization pattern, simplified to the subset both
+#: Java regex (Spark) and RE2 (DuckDB) implement identically (no
+#: lookahead — RE2 has none): contraction suffixes, space-prefixed
+#: letter/digit runs, space-prefixed punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization → array<string> (the unit an LLM
+    tokenizer would merge from; counts approximate LLM token counts far
+    better than whitespace splitting on code/punctuation-heavy text)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Number of BPE-style pre-tokens (whitespace runs excluded —
+    merged tokenizers fold leading spaces into the following token)."""
+    return F.size(
+        F.filter(bpe_ish_tokens(text), lambda t: F.trim(t) != "")
+    ).cast("long")
+
+
 def stopword_hits(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
     """Count of tokens that are stopwords."""
     toks = tokens(text)

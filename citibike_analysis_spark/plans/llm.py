@@ -354,6 +354,41 @@ def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q55 — BPE-style token counting (the LLM-token-budget estimator; the
+# whitespace count q31 underestimates on punctuation-heavy text). The
+# pattern is restricted to the Java-regex ∩ RE2 subset so Spark and
+# DuckDB tokenize identically (functions.text.BPE_ISH_PATTERN).
+# --------------------------------------------------------------------------
+
+def q55_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+Q55_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(
+           regexp_extract_all(text, '{{pat}}'),
+           t -> trim(t) <> ''
+       )) AS BIGINT) AS n_bpe_tokens,
+       CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+def _q55_sql() -> str:
+    from citibike_analysis_spark.functions.text import BPE_ISH_PATTERN
+
+    return Q55_SQL.replace("{pat}", BPE_ISH_PATTERN.replace("'", "''"))
+
+
+# --------------------------------------------------------------------------
 # q50 — winnowing (rolling-hash) fingerprint overlap pairs. xxhash64-based
 # like MinHash/SimHash → no SQL oracle; pytest pins the w+k-1 shared-span
 # guarantee and agreement with shingle-Jaccard on strong near-dups.
@@ -491,4 +526,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q46_dedup_clusters": QuerySpec(q46_dedup_clusters, Q46_SQL, "§7 dedup-clusters"),
     "q49_ann_ivf": QuerySpec(q49_ann_ivf, None, "§7 similarity-ivf"),
     "q50_winnow_pairs": QuerySpec(q50_winnow_pairs, None, "§7 dedup-winnow"),
+    "q55_bpe_token_count": QuerySpec(q55_bpe_token_count, _q55_sql(), "§7 text-bpe-tokens"),
 }
