@@ -34,18 +34,22 @@ def approx_ntile(
     bucket assignment is then a per-row expression against the broadcast
     cutoff array. Two narrow stages; no global sort; no skew.
 
-    Ties land in the lowest qualifying bucket (deterministic), which can
-    differ from exact ntile's positional splitting when duplicates strand
-    a quantile boundary — documented deviation, bounded by relative_error.
+    Tie convention: a value's bucket counts the cutoffs ≤ it
+    (cume_dist-like) — a run of tied values lands in the run's HIGHEST
+    bucket. Exact ntile instead splits ties positionally across buckets;
+    the two agree on distinct-valued columns (bounded by relative_error)
+    and diverge by up to the tie-run width on tied columns. The ≤
+    convention is the right one for percentile *gating* ("above the
+    g-th percentile"): a tied run is either wholly above or wholly below
+    a gate, never split arbitrarily.
     """
     qs = [i / n for i in range(1, n)]
     cuts = df.select(
         F.percentile_approx(value_col, qs, int(1.0 / relative_error)).alias("cuts")
     )
     with_cuts = df.join(F.broadcast(cuts))
-    # bucket = 1 + number of cutoffs strictly below the value
     bucket = F.lit(1) + F.size(
-        F.filter(F.col("cuts"), lambda c: c < F.col(value_col))
+        F.filter(F.col("cuts"), lambda c: c <= F.col(value_col))
     )
     return with_cuts.withColumn(out, bucket.cast("long")).drop("cuts")
 

@@ -600,7 +600,10 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def q20_interesting_suppliers(
-    spark: SparkSession, sf_dir: str, gates: tuple[int, int, int] = (40, 30, 30)
+    spark: SparkSession,
+    sf_dir: str,
+    gates: tuple[int, int, int] = (40, 30, 30),
+    percentile_strategy: str = "exact",
 ) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -618,21 +621,37 @@ def q20_interesting_suppliers(
             .alias("times_no_tax"),
         )
     )
-    percentiles = variability.select(
-        "*",
-        F.ntile(100)
-        .over(Window.orderBy(F.asc("max_qty"), F.asc("l_suppkey")))
-        .cast("long")
-        .alias("max_qty_pctl"),
-        F.ntile(100)
-        .over(Window.orderBy(F.asc("times_no_discount"), F.asc("l_suppkey")))
-        .cast("long")
-        .alias("no_discount_pctl"),
-        F.ntile(100)
-        .over(Window.orderBy(F.asc("times_no_tax"), F.asc("l_suppkey")))
-        .cast("long")
-        .alias("no_tax_pctl"),
-    )
+    if percentile_strategy == "approx":
+        # the 100 TB plan (SURVEY.md §7 "scale redesign of global
+        # windows"): three approx-quantile bucketings — no global sort,
+        # no single-task stage. Ties land in the lowest qualifying
+        # bucket, so gate selections can differ from exact ntile at
+        # bucket boundaries (bounded in tests/test_operators.py).
+        from citibike_analysis_spark.operators.windows import approx_ntile
+
+        percentiles = approx_ntile(variability, "max_qty", 100, "max_qty_pctl")
+        percentiles = approx_ntile(
+            percentiles, "times_no_discount", 100, "no_discount_pctl"
+        )
+        percentiles = approx_ntile(
+            percentiles, "times_no_tax", 100, "no_tax_pctl"
+        )
+    else:
+        percentiles = variability.select(
+            "*",
+            F.ntile(100)
+            .over(Window.orderBy(F.asc("max_qty"), F.asc("l_suppkey")))
+            .cast("long")
+            .alias("max_qty_pctl"),
+            F.ntile(100)
+            .over(Window.orderBy(F.asc("times_no_discount"), F.asc("l_suppkey")))
+            .cast("long")
+            .alias("no_discount_pctl"),
+            F.ntile(100)
+            .over(Window.orderBy(F.asc("times_no_tax"), F.asc("l_suppkey")))
+            .cast("long")
+            .alias("no_tax_pctl"),
+        )
     gated = percentiles.filter(
         (F.col("max_qty_pctl") > gates[0])
         & (F.col("no_discount_pctl") > gates[1])
@@ -1316,6 +1335,18 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def q56_interesting_suppliers_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship reduction query on its 100 TB plan: approx-quantile
+    bucketing replaces the three single-task global ntile sorts.
+    Approximate at tie boundaries → no oracle; pick-set overlap with the
+    exact plan is bounded in tests."""
+    return q20_interesting_suppliers(
+        spark, sf_dir, percentile_strategy="approx"
+    )
+
+
 # --------------------------------------------------------------------------
 # q54 — grouped confidence-band aggregates (SURVEY.md §2.11): the in-engine
 # equivalent of seaborn's lineplot(ci=90) — per-group mean + exact
@@ -1363,5 +1394,8 @@ QUERIES.update(
         "q52_full_outer": QuerySpec(q52_full_outer, Q52_SQL, "J-ext"),
         "q53_grouping_sets": QuerySpec(q53_grouping_sets, Q53_SQL, "A-ext"),
         "q54_ci_bands": QuerySpec(q54_ci_bands, Q54_SQL, "§2.11"),
+        "q56_interesting_suppliers_scalable": QuerySpec(
+            q56_interesting_suppliers_scalable, None, "§7 scalable flagship"
+        ),
     }
 )
