@@ -84,6 +84,36 @@ def test_stream_static_weather_join(spark, dirs):
     assert got == {72: 61.2, 79: 61.2}
 
 
+def test_stateful_sessions_close_on_event_time_timeout(spark, dirs):
+    # station 72 goes quiet; OTHER stations keep reporting and advance
+    # the watermark past 72's last-seen + gap — the timeout branch must
+    # close and emit 72's session even though 72 itself never reports
+    # again (idle keys must not hold state forever)
+    stream = track_sessions(read_feed_stream(spark, dirs["in"]))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        with open(f"{dirs['in']}/b1.json", "w") as f:
+            f.write(_feed_line(72, BASE, 5) + "\n")
+        q.processAllAvailable()
+        with open(f"{dirs['in']}/b2.json", "w") as f:
+            f.write(_feed_line(99, BASE + timedelta(hours=4), 1) + "\n")
+        q.processAllAvailable()  # watermark → 11:30, past 72's 08:30 timeout
+        with open(f"{dirs['in']}/b3.json", "w") as f:
+            f.write(_feed_line(99, BASE + timedelta(hours=4, minutes=1), 2) + "\n")
+        q.processAllAvailable()  # timeout fires on the post-advance batch
+    finally:
+        q.stop()
+    rows = spark.table("st").collect()
+    assert [(r["station_id"], r["n_samples"]) for r in rows] == [(72, 1)]
+    assert rows[0]["session_start"] == rows[0]["session_end"] == BASE
+
+
 def test_stateful_sessions_close_on_gap(spark, dirs):
     # session 1: two samples 5 min apart; a sample 2h later exceeds the
     # 30-min gap, closing session 1 in-batch and opening session 2
