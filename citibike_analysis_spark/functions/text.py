@@ -184,5 +184,13 @@ def bag_fingerprint(text: Column | str) -> Column:
 
     Catches reorder-only and repetition-only duplicates that exact-hash
     dedup misses; a cheap complement to shingle-based near-dup.
+
+    NULL text → NULL fingerprint (``concat_ws`` would silently fold a
+    NULL token array into '', making NULL-text documents byte-identical
+    to empty ones — and diverging from the SQL oracle's NULL-in-NULL-out).
     """
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+    text = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        text.isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))),
+    )
