@@ -1377,6 +1377,22 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q57 — approx_count_distinct (HyperLogLog++): the sketch that replaces
+# exact distinct counting at 100 TB (mergeable ⇒ map-side partials; the
+# shuffle moves fixed-size sketches, not value sets). Sketch estimates
+# are engine-specific → no oracle; pytest bounds relative error against
+# the exact counts (tests/test_plans.py).
+# --------------------------------------------------------------------------
+
+def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1397,5 +1413,6 @@ QUERIES.update(
         "q56_interesting_suppliers_scalable": QuerySpec(
             q56_interesting_suppliers_scalable, None, "§7 scalable flagship"
         ),
+        "q57_approx_distinct": QuerySpec(q57_approx_distinct, None, "A-ext sketch"),
     }
 )

@@ -126,6 +126,27 @@ def test_scalable_flagship_picks_overlap_exact(spark):
     assert len(approx) <= 2 * max(len(exact), 1)
 
 
+def test_approx_distinct_error_bounded(spark):
+    from citibike_analysis_spark.sources.tables import load_table
+    from pyspark.sql import functions as FF
+
+    li = load_table(spark, SF001, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(FF.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in SPECS["q57_approx_distinct"].fn(spark, SF001).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        # rsd=0.01 → HLL++ standard error 1%; 5 sigma is a safe bound
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+
+
 def test_ngram_index_shuffle_carries_hashes_not_text(spark):
     # the inverted-index self-join must move (id, 64-bit hash) rows; if
     # shingle *strings* appear in any exchange the shuffle width regressed
