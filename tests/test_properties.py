@@ -77,6 +77,51 @@ def test_asof_matches_naive_scan(spark, left, right):
         assert got[lid] == naive(k, ts), (k, ts, lid)
 
 
+skewed_rows = st.lists(
+    st.tuples(
+        # one hot key on purpose: "hot" drawn 5x as often
+        st.sampled_from(["hot", "hot", "hot", "hot", "hot", "a", "b"]),
+        st.integers(0, 6),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=skewed_rows, buckets=st.sampled_from([1, 3, 16]))
+@settings(**SETTINGS)
+def test_salted_aggregates_equal_plain_forms(spark, rows, buckets):
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.operators.skew import (
+        salted_collect_list,
+        salted_count_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows] or [("empty", 0)], "k string, v long"
+    )
+    plain_distinct = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    got_distinct = {
+        r["k"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["k"], "v", buckets=buckets).collect()
+    }
+    assert got_distinct == plain_distinct
+
+    plain_lists = {
+        r["k"]: sorted(r["vs"])
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    got_lists = {
+        r["k"]: r["v"]
+        for r in salted_collect_list(df, ["k"], "v", buckets=buckets).collect()
+    }
+    assert got_lists == plain_lists
+
+
 @given(rows=events, gap=st.sampled_from([1, 60, 600]))
 @settings(**SETTINGS)
 def test_sessionize_matches_naive_splitter(spark, rows, gap):
