@@ -26,9 +26,12 @@ Why not the obvious alternatives:
   wrong at 100 TB.
 
 Skew note: the window partitions by the join key, so one pathological
-key serializes into one task. For known-hot keys, range-bucket the
-timestamp (add ``bucket(ts)`` to the partition key, carry the previous
-bucket's last row forward) — the composition stays declarative.
+key serializes into one task. :func:`asof_join_bucketed` is the hot-key
+escalation: it range-buckets the timestamp so the window partitions by
+(key, bucket) — per-task work is bounded by one bucket of one key — and
+carries each bucket's closing right-side payload into the next bucket
+via a second, tiny window over bucket summaries (cardinality = buckets,
+not rows). Same results, one extra narrow aggregation.
 """
 
 from __future__ import annotations
@@ -98,6 +101,121 @@ def asof_join(
         matched = matched.withColumn(
             _PAYLOAD, F.when(in_tol, F.col(_PAYLOAD))
         )
+
+    out_vals = [
+        F.col(_PAYLOAD)[c].alias(f"{c}{suffix}") for c in [right_ts, *value_cols]
+    ]
+    return matched.select(
+        *on,
+        F.col("__ts").alias(left_ts),
+        *[c for c in left_cols if c not in on and c != left_ts],
+        *out_vals,
+    )
+
+
+def _bucket_of(ts: F.Column, width_seconds: int) -> F.Column:
+    """Integer time bucket: floor(seconds-since-epoch / width). Computed
+    via interval arithmetic so it works for TIMESTAMP_NTZ (which cannot
+    cast to numeric) without any session-timezone dependence."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    secs = (ts.cast("timestamp_ntz") - epoch).cast("long")
+    return F.floor(secs / F.lit(int(width_seconds))).cast("long")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    bucket_seconds: int,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical results to :func:`asof_join`,
+    but the big sort+window partitions by (key, time-bucket) so one
+    pathological key spreads across ``keyspan / bucket_seconds`` tasks
+    instead of serializing into one.
+
+    Carry-forward: a bucket's matches may come from an earlier bucket,
+    so each (key, bucket)'s CLOSING right payload is aggregated (tiny:
+    one struct per bucket), a prefix-max window over those summaries
+    computes each bucket's carry-in (window cardinality = buckets, not
+    rows), and the carry-in enters the bucket as one virtual right row
+    that sorts before all real rows (its timestamp predates the bucket).
+    Choose ``bucket_seconds`` ≈ hot-key span / desired parallelism;
+    correctness does not depend on the choice (property-tested).
+    """
+    left_cols = left.columns
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in value_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in on
+        ],
+    ).withColumn("__b", _bucket_of(F.col("__ts"), bucket_seconds))
+
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c) for c in left_cols if c not in on],
+    ).withColumn("__b", _bucket_of(F.col("__ts"), bucket_seconds))
+
+    # per-(key, bucket) closing payload → prefix-max over earlier buckets.
+    # The bucket universe must include LEFT-side buckets: a left row in a
+    # bucket with no right rows still needs its carry-in (shrunk-out by
+    # the property test when this joined closings only).
+    buckets = (
+        r.select(*on, "__b").unionByName(l.select(*on, "__b")).distinct()
+    )
+    closings = r.groupBy(*on, "__b").agg(F.max(_PAYLOAD).alias("__last"))
+    w_prev = (
+        Window.partitionBy(*on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(closings, [*on, "__b"], "left")
+        .withColumn("__carry", F.max("__last").over(w_prev))
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            *on,
+            F.col("__carry")[right_ts].alias("__ts"),
+            F.lit(0).alias(_SIDE),
+            F.col("__carry").alias(_PAYLOAD),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left_cols
+                if c not in on
+            ],
+            "__b",
+        )
+    )
+
+    unioned = r.unionByName(carry).unionByName(l)
+    w = (
+        Window.partitionBy(*on, "__b")
+        .orderBy(F.col("__ts"), F.col(_SIDE), F.col(_PAYLOAD))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    ).filter(F.col(_SIDE) == 1)
+
+    if tolerance_seconds is not None:
+        tol_iv = F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+        in_tol = F.col("__ts") <= F.col(_PAYLOAD)[right_ts] + tol_iv
+        matched = matched.withColumn(_PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)))
 
     out_vals = [
         F.col(_PAYLOAD)[c].alias(f"{c}{suffix}") for c in [right_ts, *value_cols]

@@ -77,6 +77,36 @@ def test_asof_matches_naive_scan(spark, left, right):
         assert got[lid] == naive(k, ts), (k, ts, lid)
 
 
+@given(left=events, right=events, width=st.sampled_from([7, 100, 3600]))
+@settings(**SETTINGS)
+def test_bucketed_asof_equals_plain_asof(spark, left, right, width):
+    # the hot-key-safe plan must be result-identical to the plain one for
+    # ANY bucket width — including widths smaller than typical gaps
+    # (forcing carry-forward across many empty buckets) and wider than
+    # the whole span (degenerating to one bucket)
+    from citibike_analysis_spark.operators.asof import asof_join_bucketed
+
+    left_rows = [
+        (k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)
+    ]
+    right_rows = [
+        (k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(right)
+    ]
+    args = dict(on=["k"], left_ts="ts", right_ts="ts", value_cols=["rid"])
+    ldf = spark.createDataFrame(left_rows, LEFT_SCHEMA)
+    rdf = spark.createDataFrame(right_rows, RIGHT_SCHEMA)
+    plain = {
+        r["lid"]: r["rid_asof"] for r in asof_join(ldf, rdf, **args).collect()
+    }
+    bucketed = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join_bucketed(
+            ldf, rdf, bucket_seconds=width, **args
+        ).collect()
+    }
+    assert bucketed == plain
+
+
 skewed_rows = st.lists(
     st.tuples(
         # one hot key on purpose: "hot" drawn 5x as often
