@@ -1117,6 +1117,40 @@ WHERE e.event_type = 'error'
 """
 
 
+def q58_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41 on the hot-key-safe plan (operators/asof.py
+    asof_join_bucketed): result-identical by construction, so it shares
+    q41's oracle — the driver value-checks the skew-resistant plan too.
+    Bucket width 1h against the events table's multi-day span spreads
+    each user across many tasks."""
+    from citibike_analysis_spark.operators.asof import asof_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_bucketed(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("error_event"),
+        "ts",
+        F.col("ts_asof").alias("last_click_ts"),
+        F.col("event_id_asof").alias("last_click_event"),
+        F.col("value_asof").alias("last_click_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # q42 — gap-based sessionization (batch dual of streaming session windows;
 # the training-data-pipeline shape of the reference's time-interval
@@ -1414,5 +1448,8 @@ QUERIES.update(
             q56_interesting_suppliers_scalable, None, "§7 scalable flagship"
         ),
         "q57_approx_distinct": QuerySpec(q57_approx_distinct, None, "A-ext sketch"),
+        "q58_asof_join_bucketed": QuerySpec(
+            q58_asof_join_bucketed, Q41_SQL, "§2.3-ext as-of §4 skew"
+        ),
     }
 )
