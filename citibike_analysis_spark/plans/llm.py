@@ -354,6 +354,70 @@ def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q59 — document quality FILTER (the Gopher-rules shape): the q32
+# signals turned into the keep/drop gate a training pipeline actually
+# runs, with a reason code for drop-rate auditing. Pure column
+# expressions → full oracle.
+# --------------------------------------------------------------------------
+
+def q59_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    avg_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ) / F.greatest(n_tok, F.lit(1))
+    sw_ratio = stopword_hits(F.col("text")) / F.greatest(n_tok, F.lit(1))
+    reason = (
+        F.when(n_tok < 10, "too_short")
+        .when(n_tok > 1000, "too_long")
+        .when((avg_len < 2.0) | (avg_len > 12.0), "token_shape")
+        .when(punct_ratio(F.col("text")) > 0.3, "too_much_punct")
+        .when(sw_ratio < 0.01, "no_stopwords")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+Q59_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_DUCK_TOKENS} AS tk FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tok,
+         list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))
+             / greatest(len(tk), 1) AS avg_len,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS pr,
+         CAST(len(list_filter(tk, t -> t IN ({_SW}))) AS DOUBLE)
+             / greatest(len(tk), 1) AS swr
+  FROM base
+)
+SELECT doc_id, n_tok AS n_tokens,
+       CASE WHEN n_tok < 10 THEN 'too_short'
+            WHEN n_tok > 1000 THEN 'too_long'
+            WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'token_shape'
+            WHEN pr > 0.3 THEN 'too_much_punct'
+            WHEN swr < 0.01 THEN 'no_stopwords'
+            ELSE 'keep' END AS reason,
+       (CASE WHEN n_tok < 10 THEN 'too_short'
+            WHEN n_tok > 1000 THEN 'too_long'
+            WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'token_shape'
+            WHEN pr > 0.3 THEN 'too_much_punct'
+            WHEN swr < 0.01 THEN 'no_stopwords'
+            ELSE 'keep' END) = 'keep' AS keep
+FROM sig
+"""
+
+
+# --------------------------------------------------------------------------
 # q55 — BPE-style token counting (the LLM-token-budget estimator; the
 # whitespace count q31 underestimates on punctuation-heavy text). The
 # pattern is restricted to the Java-regex ∩ RE2 subset so Spark and
@@ -527,4 +591,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q49_ann_ivf": QuerySpec(q49_ann_ivf, None, "§7 similarity-ivf"),
     "q50_winnow_pairs": QuerySpec(q50_winnow_pairs, None, "§7 dedup-winnow"),
     "q55_bpe_token_count": QuerySpec(q55_bpe_token_count, _q55_sql(), "§7 text-bpe-tokens"),
+    "q59_quality_filter": QuerySpec(q59_quality_filter, Q59_SQL, "§7 quality-gate"),
 }
