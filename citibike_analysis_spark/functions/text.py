@@ -179,6 +179,16 @@ def winnow_of(hashes: Column, w: int = 4) -> Column:
     return F.array_distinct(F.filter(fps, lambda x: x.isNotNull()))
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Canonicalization for dedup: lowercase, strip non-alphanumerics to
+    spaces, collapse whitespace runs, trim. Two documents differing only
+    in case/punctuation/spacing normalize byte-identically — run exact
+    or near-dup on the normalized form to catch them."""
+    text = F.col(text) if isinstance(text, str) else text
+    squashed = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    return F.trim(squashed)
+
+
 def bag_fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the sorted distinct token bag.
 

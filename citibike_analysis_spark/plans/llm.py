@@ -354,6 +354,34 @@ def q44_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q60 — normalized exact dedup: canonicalize (case/punct/whitespace)
+# then hash-group — catches the "same doc, different formatting" class
+# that byte-exact q30 misses and near-dup shingling overkills.
+# --------------------------------------------------------------------------
+
+def q60_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(normalize_text(F.col("text"))).alias("norm_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+Q60_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q59 — document quality FILTER (the Gopher-rules shape): the q32
 # signals turned into the keep/drop gate a training pipeline actually
 # runs, with a reason code for drop-rate auditing. Pure column
@@ -592,4 +620,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q50_winnow_pairs": QuerySpec(q50_winnow_pairs, None, "§7 dedup-winnow"),
     "q55_bpe_token_count": QuerySpec(q55_bpe_token_count, _q55_sql(), "§7 text-bpe-tokens"),
     "q59_quality_filter": QuerySpec(q59_quality_filter, Q59_SQL, "§7 quality-gate"),
+    "q60_normalized_dedup": QuerySpec(q60_normalized_dedup, Q60_SQL, "§7 dedup-normalized"),
 }
