@@ -183,7 +183,14 @@ def normalize_text(text: Column | str) -> Column:
     """Canonicalization for dedup: lowercase, strip non-alphanumerics to
     spaces, collapse whitespace runs, trim. Two documents differing only
     in case/punctuation/spacing normalize byte-identically — run exact
-    or near-dup on the normalized form to catch them."""
+    or near-dup on the normalized form to catch them.
+
+    Scope: ASCII character classes on purpose. Unicode-aware classes
+    (``\\p{L}``) would keep non-Latin text, but unicode lowercasing
+    rules differ between engines (Java vs RE2: Turkish i, ß, …), which
+    would silently break cross-engine hash parity; widen only together
+    with a normalization spec (NFKC + casefold via pandas_udf).
+    """
     text = F.col(text) if isinstance(text, str) else text
     squashed = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
     return F.trim(squashed)
