@@ -341,30 +341,81 @@ def near_duplicate_embeddings(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     bits: int = 8,
+    tables: int = 1,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
-    Self-join on the sign-LSH bucket: near-identical vectors almost surely
-    share every sign bit, so candidates collapse to within-bucket pairs.
+    Self-join on sign-LSH buckets: candidates are within-bucket pairs
+    (an equi-join on the packed bucket key — never an all-pairs product),
+    verified with exact cosine. ``tables`` independent hyperplane sets
+    give the banding recall knob: a pair is a candidate iff it shares the
+    full ``bits``-bit bucket in at least one table, so recall per pair is
+    ``1-(1-p^bits)^tables`` with ``p = 1-θ/π``. For true near-dups
+    (θ→0, p→1) one table of many bits suffices; for looser thresholds
+    drop ``bits`` and raise ``tables`` — e.g. bits=2/tables=24 recovers
+    cosine ≥ 0.45 pairs with per-pair miss probability ~1e-6.
+
+    Plan shape matches :func:`lsh_topk`: planes ride a 1-row broadcast
+    (not a literal — measured analysis-cost trap, see lsh_topk), sign
+    bits are computed once per vector behind a projection boundary, then
+    sliced+packed per table; multi-table duplicate candidates are
+    dropDuplicates'd before the (exact, per-candidate) verify.
     """
-    planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_bucket", sign_lsh_bucket(F.col("_v"), planes))
+    flat_planes = [
+        plane
+        for t in range(tables)
+        for plane in _hyperplanes(dim, bits, seed + 1000 * t)
+    ]
+    planes_df = corpus.sparkSession.createDataFrame(
+        [(flat_planes,)], "__planes: array<array<double>>"
+    )
+    with_bits = (
+        corpus.select(
+            F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+        )
+        .crossJoin(F.broadcast(planes_df))
+        .select(
+            "_id",
+            "_v",
+            _sign_bits(F.col("_v"), F.col("__planes")).alias("__bits"),
+        )
+    )
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("tbl"),
+            _pack_bits(F.slice(F.col("__bits"), t * F.lit(bits) + 1, bits)).alias(
+                "bkt"
+            ),
+        ),
+    )
+    c = with_bits.select("_id", "_v", F.explode(buckets).alias("_b")).select(
+        "_id", "_v", "_b.tbl", "_b.bkt"
+    )
     a, b = c.alias("a"), c.alias("b")
-    return (
+    cand = (
         a.join(
             b,
-            (F.col("a._bucket") == F.col("b._bucket"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .withColumn("cosine_sim", cosine(F.col("a._v"), F.col("b._v")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select(
-            F.col("a._id").cast("long").alias("id_a"),
-            F.col("b._id").cast("long").alias("id_b"),
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
     )

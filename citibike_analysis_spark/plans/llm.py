@@ -280,30 +280,22 @@ WHERE rk <= 5
 
 
 # --------------------------------------------------------------------------
-# q39 — embedding-cosine near-duplicate pairs. Bucketed LSH would prune
-# real near-dups (cos ≥ 0.95+); this corpus's max pairwise cosine is
-# ~0.51, so the declared query runs the exact all-pairs form at a 0.45
-# threshold to produce a verifiable non-empty result. The LSH-bucketed
-# scale path (operators.similarity.near_duplicate_embeddings) is
-# pytest-verified against this exact form.
+# q39 — embedding-cosine near-duplicate pairs, DECLARED as the bucketed
+# sign-LSH plan (operators.similarity.near_duplicate_embeddings): the
+# corpus self-join is an equi-join on (table, bucket), never all-pairs.
+# This corpus's max pairwise cosine is ~0.51, so the threshold is 0.45
+# and the banding is tuned loose (bits=2, tables=24 → per-pair miss
+# probability ~1e-6 at cos 0.45) so the deterministic-seed output matches
+# the exact all-pairs oracle bit-for-bit; tests/test_plans.py asserts
+# both the no-cartesian plan shape and exact parity with the all-pairs
+# form. For true near-dup thresholds (0.95+) the same operator runs
+# bits↑/tables↓.
 # --------------------------------------------------------------------------
 
 def q39_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citibike_analysis_spark.operators.similarity import as_double, cosine
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
-        .withColumn("cosine_sim", cosine(F.col("a._v"), F.col("b._v")))
-        .filter(F.col("cosine_sim") >= 0.45)
-        .select(
-            F.col("a._id").cast("long").alias("id_a"),
-            F.col("b._id").cast("long").alias("id_b"),
-            F.round("cosine_sim", 6).alias("cosine_sim"),
-        )
+    e = load_table(spark, sf_dir, "embeddings")
+    return near_duplicate_embeddings(
+        e, "vec_id", "embedding", threshold=0.45, bits=2, tables=24
     )
 
 

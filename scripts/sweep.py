@@ -1,0 +1,64 @@
+"""Local mirror of the driver's sf0.01 oracle sweep.
+
+Runs every ``queries()`` entry on a vanilla session, compares against
+``oracle_sql()`` via the DuckDB harness in ``tests/oracle.py``, and prints a
+one-line status per query plus a failing-count exit code.
+
+Usage: python scripts/sweep.py [sf_dir] [query ...]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as E
+    from oracle import run_oracle, compare
+
+    qs, osql = E.queries(), E.oracle_sql()
+    failures = []
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in osql:
+                cols, rows = run_oracle(osql[name], sf_dir)
+                problems = compare(df, cols, rows)
+                status = "; ".join(problems) if problems else "hash_match"
+            else:
+                n = df.count()
+                status = f"rows_only({n})"
+        except Exception as exc:  # noqa: BLE001 - sweep must report, not die
+            status = f"ERROR {type(exc).__name__}: {exc}"[:250]
+        dt = time.time() - t0
+        ok = status.startswith(("hash_match", "rows_only"))
+        if not ok:
+            failures.append(name)
+        results[name] = status
+        print(f"{'PASS' if ok else 'FAIL'} {name:45s} {dt:6.2f}s {status}", flush=True)
+
+    print(json.dumps({"failures": failures, "total": len(results)}))
+    return len(failures)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

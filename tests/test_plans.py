@@ -154,3 +154,41 @@ def test_ngram_index_shuffle_carries_hashes_not_text(spark):
     for frag in plan.splitlines():
         if frag.strip().startswith("Exchange") and "_s#" in frag:
             pytest.fail(f"shingle text in a shuffle: {frag.strip()[:120]}")
+
+
+def test_q39_bucketed_near_dup_no_all_pairs_and_exact_parity(spark):
+    # VERDICT r1 #2: the DECLARED q39 must be the bucketed sign-LSH plan.
+    # The corpus self-join must be an equi-join on (table, bucket) — the
+    # only nested-loop joins allowed are the 1-row planes broadcasts.
+    out = SPECS["q39_embedding_near_dup"].fn(spark, SF001)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # planes attach ×2 sides
+
+    # Parity: at cos≥0.45 the tuned banding (bits=2, tables=24,
+    # deterministic seed) recovers the exact all-pairs result — the same
+    # relationship the driver's DuckDB oracle checks at sf0.01.
+    from citibike_analysis_spark.operators.similarity import as_double, cosine
+    from citibike_analysis_spark.sources.tables import load_table
+
+    e = load_table(spark, SF001, "embeddings").select(
+        F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in (
+            a.join(b, F.col("a._id") < F.col("b._id"))
+            .withColumn("cosine_sim", cosine(F.col("a._v"), F.col("b._v")))
+            .filter(F.col("cosine_sim") >= 0.45)
+            .select(
+                F.col("a._id").cast("long").alias("id_a"),
+                F.col("b._id").cast("long").alias("id_b"),
+                F.round("cosine_sim", 6).alias("cosine_sim"),
+            )
+            .collect()
+        )
+    }
+    bucketed = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in out.collect()}
+    assert exact, "fixture corpus lost its >=0.45 pairs"
+    assert bucketed == exact
