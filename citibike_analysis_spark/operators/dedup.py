@@ -14,7 +14,7 @@ Four tiers, all pure DataFrame composition:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from citibike_analysis_spark.functions.text import (
@@ -52,22 +52,45 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+def _df_capped(index: DataFrame, key: str, max_doc_freq: int | None) -> DataFrame:
+    """Drop inverted-index keys whose document frequency exceeds the cap.
+
+    A count window over the key — one shuffle on ``key``, which the
+    downstream self-join (also keyed on ``key``) reuses, so the cap costs
+    no extra exchange of the big side. Without it a single ubiquitous
+    key (boilerplate) turns the self-join quadratic: df=d → d(d-1)/2
+    join rows.
+    """
+    if max_doc_freq is None:
+        return index
+    return (
+        index.withColumn("_df", F.count("*").over(Window.partitionBy(key)))
+        .filter(F.col("_df") <= F.lit(max_doc_freq))
+        .drop("_df")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard near-duplicate pairs (a < b, jaccard ≥ threshold).
 
     Inverted-index plan: explode distinct shingles, self-join on the
     shingle, count intersections per pair, then
     ``J = |∩| / (|A| + |B| - |∩|)``. High-frequency shingles dominate the
-    join fan-out; at corpus scale add a document-frequency cap on the
-    index side (drop shingles with df > limit) — standard candidate
-    pruning which only *misses* pairs whose every shared shingle is
-    ubiquitous.
+    join fan-out — one shingle in d documents contributes d(d-1)/2 join
+    rows — so at corpus scale set ``max_doc_freq``: shingles appearing in
+    more than that many documents are dropped from the JOIN side of the
+    index (standard candidate pruning). Set sizes |A|,|B| still come from
+    the full index, so the estimate is conservative (``J_est ≤ J``): the
+    cap can only *miss* pairs whose every shared shingle is ubiquitous,
+    never admit false positives. ``None`` (default) disables the cap and
+    the result is exact.
     """
     # The inverted index carries ONLY (doc id, 64-bit shingle hash):
     # 16-byte rows through the join shuffle. Two expression-shape traps,
@@ -89,7 +112,8 @@ def ngram_jaccard_pairs(
     # checkpoint it so tokenize+shingle+explode runs once, not three times
     inv = inv.localCheckpoint(eager=False)
     sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
-    a, b = inv.alias("a"), inv.alias("b")
+    joinable = _df_capped(inv, "_h", max_doc_freq)
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
@@ -265,6 +289,7 @@ def winnow_overlap_pairs(
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ min_shared winnowing fingerprints (a < b).
 
@@ -273,10 +298,15 @@ def winnow_overlap_pairs(
     with shared fingerprints, never |docs|². The w+k-1 guarantee makes
     this the detector for long verbatim spans (quotes, boilerplate,
     near-exact plagiarism) between otherwise-different documents.
+    ``max_doc_freq`` caps fingerprint document frequency on the join
+    side exactly as in :func:`ngram_jaccard_pairs` — shared counts can
+    only shrink, so pairs may fall below ``min_shared`` but none are
+    added.
     """
     fp = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
         eager=False  # both join sides read the same index — compute once
     )
+    fp = _df_capped(fp, "fingerprint", max_doc_freq)
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

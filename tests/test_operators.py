@@ -242,3 +242,86 @@ class TestSimhash:
         )
         pairs = simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
         assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
+
+
+class TestDocFreqCap:
+    """max_doc_freq prunes the inverted-index JOIN side (VERDICT r1 #3)."""
+
+    def test_cap_above_max_df_is_a_noop(self, spark, documents):
+        from citibike_analysis_spark.operators.dedup import ngram_jaccard_pairs
+        from citibike_analysis_spark.functions.text import shingles_of, tokens
+
+        # actual max shingle document frequency on the fixture corpus
+        max_df = (
+            documents.select(
+                F.col("doc_id").alias("_id"),
+                F.explode(shingles_of(tokens(F.col("text")), 3)).alias("_s"),
+            )
+            .groupBy("_s")
+            .agg(F.count("*").alias("df"))
+            .agg(F.max("df"))
+            .collect()[0][0]
+        )
+        uncapped = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(documents, "doc_id", "text", 3, 0.5).collect()
+        }
+        capped = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                documents, "doc_id", "text", 3, 0.5, max_doc_freq=max_df
+            ).collect()
+        }
+        assert uncapped and capped == uncapped
+
+    @pytest.fixture(scope="class")
+    def boilerplate(self, spark):
+        # 10 docs all sharing one ubiquitous trigram ("terms of service
+        # apply") + unique filler; docs 8 and 9 additionally share real
+        # content. Uncapped, the boilerplate shingles alone make every
+        # pair a join candidate.
+        unique = [
+            f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}" for i in range(10)
+        ]
+        shared = "identical shared sentence appears twice here verbatim"
+        rows = [
+            (i, f"{unique[i]} terms of service apply {shared if i >= 8 else ''}")
+            for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def test_cap_bounds_boilerplate_fanout(self, spark, boilerplate):
+        from citibike_analysis_spark.operators.dedup import ngram_jaccard_pairs
+
+        # threshold 0 admits every candidate pair → counts the join fan-out
+        uncapped = ngram_jaccard_pairs(
+            boilerplate, "doc_id", "text", 3, 0.0
+        ).count()
+        assert uncapped == 45  # all C(10,2) pairs via the shared trigrams
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                boilerplate, "doc_id", "text", 3, 0.0, max_doc_freq=5
+            ).collect()
+        }
+        # boilerplate shingles (df=10) are pruned; only the genuinely
+        # shared-content pair survives candidate generation
+        assert capped == {(8, 9)}
+
+    def test_winnow_cap_is_conservative(self, spark, boilerplate):
+        from citibike_analysis_spark.operators.dedup import winnow_overlap_pairs
+
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_overlap_pairs(
+                boilerplate, "doc_id", "text", min_shared=1
+            ).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in winnow_overlap_pairs(
+                boilerplate, "doc_id", "text", min_shared=1, max_doc_freq=5
+            ).collect()
+        }
+        assert capped <= uncapped
+        assert (8, 9) in capped and len(capped) < len(uncapped)
