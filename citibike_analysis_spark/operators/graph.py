@@ -24,7 +24,8 @@ plan doubles per round and the driver OOMs long before the data does).
 For graphs with huge diameters (not the dedup shape), the alternating
 large-star/small-star algorithm (Kiveris et al., "Connected Components
 in MapReduce and Beyond", SoCC'14) converges in O(log n) rounds — same
-declarative building blocks, documented here as the escalation path.
+declarative building blocks, implemented below as
+:func:`connected_components_star`.
 """
 
 from __future__ import annotations
@@ -57,6 +58,7 @@ def connected_components(
     # strictly monotone until fixpoint — one cheap aggregate on the freshly
     # checkpointed result replaces a join-against-previous + count job.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(
             labels, sym["a"] == labels["id"]
@@ -71,9 +73,124 @@ def connected_components(
         label_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # Partially-propagated labels are silently WRONG (a chain longer
+        # than max_iter keeps distinct labels inside one component), and
+        # callers like dedup_clusters would canonicalize against them.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise "
+            "max_iter or use connected_components_star (O(log n) rounds)"
+        )
     return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC edge list (a, b).
+
+    Per vertex u: m = min(N(u) ∪ {u}); every strictly-larger neighbor
+    v > u re-attaches to m. Emitted edges are (v, m) with m < v.
+    """
+    mins = sym.groupBy("a").agg(F.min("b").alias("_mn"))
+    return (
+        sym.join(mins, "a")
+        .withColumn("_m", F.least(F.col("_mn"), F.col("a")))
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward its larger endpoint,
+    then per vertex u attach all smaller neighbors (and u itself) to
+    m = min(N(u) ∪ {u}). Output edges are (v, m) with m < v."""
+    oriented = (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("_mn"))
+    joined = oriented.join(mins, "a")
+    return (
+        joined.filter(F.col("b") != F.col("_mn"))
+        .select(F.col("b").alias("a"), F.col("_mn").alias("b"))
+        .unionByName(mins.select("a", F.col("_mn").alias("b")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(src, dst) edge list → (id, component): alternating large-star /
+    small-star connected components (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — public algorithm).
+
+    Converges in O(log n) full rounds regardless of component diameter —
+    the escalation path from :func:`connected_components` (min-label
+    propagation, O(diameter) rounds) for chain-shaped graphs. Same
+    declarative building blocks: each half-round is a groupBy-min plus an
+    equi-join on the vertex key; ``localCheckpoint`` truncates per-round
+    lineage. Convergence detector: the edge multiset signature
+    (count + sum of per-edge hashes) is compared across rounds — one
+    cheap aggregate, no join-against-previous.
+
+    Output matches :func:`connected_components` exactly (component = min
+    vertex id; vertices = every endpoint of the input edge list);
+    property-tested equal on random graphs.
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # vertex universe from the RAW list (a pure self-loop still registers
+    # its vertex, as in connected_components); stars only need real edges
+    verts = (
+        raw.select("a").unionByName(raw.select(F.col("b").alias("a")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        # xor of per-edge hashes: order-insensitive and overflow-free
+        # under ANSI mode (edges are distinct, so xor is a set signature)
+        sig = tuple(
+            e.agg(F.count("*"), F.bit_xor(F.xxhash64("a", "b"))).collect()[0]
+        )
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (expected O(log n)); raise max_iter"
+        )
+    # at the fixpoint the edge set is a union of stars (v, center):
+    # attach every non-center vertex to its center, centers to themselves
+    comp = e.groupBy("a").agg(F.min("b").alias("component"))
+    return (
+        verts.join(comp, verts["a"] == comp["a"], "left")
+        .select(
+            verts["a"].alias("id"),
+            F.coalesce("component", verts["a"]).alias("component"),
+        )
+    )
 
 
 def dedup_clusters(

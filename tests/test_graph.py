@@ -52,3 +52,57 @@ def test_dedup_clusters_with_singletons(spark):
     # the "keep one copy" filter retains exactly one doc per cluster
     kept = out.filter(F.col("doc_id") == F.col("canonical_id")).count()
     assert kept == 4
+
+
+def test_nonconvergence_raises_instead_of_silent_wrong_labels(spark):
+    # ADVICE r1: a chain with diameter > max_iter used to return
+    # partially-propagated labels silently; it must raise now
+    import pytest
+
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
+
+
+def _cc_star(spark, edges, **kw):
+    from citibike_analysis_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components_star(df, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_star_matches_label_propagation_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 45))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_star_converges_in_olog_rounds_on_a_chain(spark):
+    # path graph 0-..-64: diameter 64. Label propagation needs ~64 rounds
+    # (raises at 12); large-star/small-star finishes within ~log2(n)+slack.
+    import pytest
+
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=12)
+    got = _cc_star(spark, edges, max_iter=12)
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_star_components_and_singletons(spark):
+    got = _cc_star(spark, [(1, 2), (10, 11), (11, 12), (5, 5)])
+    # self-loop 5-5 still registers vertex 5 as its own component
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 5: 5}
