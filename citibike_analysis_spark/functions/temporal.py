@@ -39,19 +39,23 @@ def round_to_hour(ts: Column | str) -> Column:
     pandas ``dt.round('H')`` (notebooks/citibike_ck.ipynb:368) rounds the
     half-hour boundary to the even hour (banker's rounding). Re-expressed
     with field arithmetic (works for both TIMESTAMP and TIMESTAMP_NTZ, no
-    session-timezone dependence): seconds-into-hour < 1800 round down,
-    > 1800 round up, exactly :30:00.000 goes to the even neighbor hour.
-    Sub-millisecond parts of an exact half hour are treated as > (matches
-    pandas, which rounds :30:00.000001 up).
+    session-timezone dependence): microseconds-into-hour < 30 min round
+    down, > 30 min round up, exactly :30:00.000000 goes to the even
+    neighbor hour. The remainder is computed to full microsecond
+    precision via ``date_part('SECOND')`` (a decimal carrying the
+    fraction), so :30:00.000001 rounds UP exactly as pandas does —
+    a millisecond-granularity check would banker-round it (ADVICE r1).
     """
     ts = F.col(ts) if isinstance(ts, str) else ts
     base = F.date_trunc("hour", ts)
-    rem = F.minute(ts) * 60 + F.second(ts)
-    frac_ms = F.date_format(ts, "SSS") != F.lit("000")
+    rem_us = F.minute(ts).cast("long") * F.lit(60_000_000).cast("long") + (
+        F.date_part(F.lit("SECOND"), ts) * 1_000_000
+    ).cast("long")
+    half = F.lit(1_800_000_000).cast("long")
     bump = (
-        F.when((rem > 1800) | ((rem == 1800) & frac_ms), F.lit(1))
-        .when(rem < 1800, F.lit(0))
-        .otherwise(F.hour(ts) % 2)  # exactly :30:00.000 → half to even
+        F.when(rem_us > half, F.lit(1))
+        .when(rem_us < half, F.lit(0))
+        .otherwise(F.hour(ts) % 2)  # exactly :30:00.000000 → half to even
     )
     return base + bump * F.expr("INTERVAL 1 HOUR")
 

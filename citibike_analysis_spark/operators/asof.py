@@ -75,6 +75,13 @@ def asof_join(
         payload.alias(_PAYLOAD),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
     )
+    # SQL equi-join semantics: NULL keys never match. The window partitions
+    # by the keys, so without this a NULL-key left row would inherit the
+    # payload of NULL-key right rows sharing its partition; drop those
+    # right rows so NULL-key left rows keep null values (as the LATERAL
+    # form would produce).
+    for _k in on:
+        r = r.filter(F.col(_k).isNotNull())
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -162,6 +169,9 @@ def asof_join_bucketed(
             if c not in on
         ],
     ).withColumn("__b", _bucket_of(F.col("__ts"), bucket_seconds))
+    # NULL keys never match (same rationale as in asof_join)
+    for _k in on:
+        r = r.filter(F.col(_k).isNotNull())
 
     l = left.select(
         *on,

@@ -826,19 +826,21 @@ Q23_SQL = """
 WITH base AS (
   SELECT event_id,
          date_trunc('hour', ts) AS h,
-         minute(ts) * 60 + CAST(floor(second(ts)) AS BIGINT) AS rem,
-         CASE WHEN microsecond(ts) % 1000000 >= 1000 THEN TRUE ELSE FALSE END AS frac_ms,
+         -- full microsecond remainder into the hour (DuckDB microsecond()
+         -- is the sub-minute component incl. seconds): any nonzero
+         -- fraction past :30:00 rounds up, matching pandas dt.round('H')
+         minute(ts) * 60000000 + microsecond(ts) AS rem_us,
          hour(ts) % 2 AS odd
   FROM events
 )
 SELECT event_id,
        h + to_microseconds((CASE
-             WHEN rem > 1800 OR (rem = 1800 AND frac_ms) THEN 1
-             WHEN rem < 1800 THEN 0
+             WHEN rem_us > 1800000000 THEN 1
+             WHEN rem_us < 1800000000 THEN 0
              ELSE odd END) * 3600000000) AS rounded_hour,
        CAST(hour(h + to_microseconds((CASE
-             WHEN rem > 1800 OR (rem = 1800 AND frac_ms) THEN 1
-             WHEN rem < 1800 THEN 0
+             WHEN rem_us > 1800000000 THEN 1
+             WHEN rem_us < 1800000000 THEN 0
              ELSE odd END) * 3600000000)) AS BIGINT) AS rounded_hour_of_day
 FROM base
 """

@@ -116,7 +116,17 @@ def fetch_raw(
     front if the key count exceeds ``max_calls`` (the reference's daily
     quota ceiling, README.md:745,863) — fail before spending quota, not
     mid-run.
+
+    Quota caveats (ADVICE r1): the guard bounds the key COUNT, not the
+    transport invocations — Spark task retries and speculative execution
+    re-run ``transport`` for whole partitions, so the effective ceiling
+    is ``max_calls × (1 + retries)``. Disable ``spark.speculation`` on
+    this path (it is off by default) and keep transports idempotent.
+    The keys are checkpointed before counting so the fetched key set is
+    exactly the counted one (no recompute drift between ``count()`` and
+    ``mapInPandas``).
     """
+    keys = keys.localCheckpoint(eager=True)
     n = keys.count()
     if n > max_calls:
         raise ValueError(

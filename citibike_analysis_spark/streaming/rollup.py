@@ -122,14 +122,38 @@ def upsert_station_dimension(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(snapshot_path)
         merged = (
             existing.join(latest_per_key.select(key), key, "left_anti")
             .unionByName(latest_per_key)
         )
-    except Exception:  # first batch: no snapshot yet
+    except AnalysisException as exc:
+        # ONLY "no snapshot yet" means first batch: a missing path, or an
+        # existing-but-empty directory (schema inference finds no files).
+        # Any other analysis failure (permissions, corrupt footer,
+        # transient FS error) must propagate — swallowing it would
+        # silently replace the whole snapshot with just the current batch
+        # (ADVICE r1, data loss).
+        cond = exc.getCondition() or ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         merged = latest_per_key
-    merged.persist().count()  # cut lineage before overwriting the source
-    merged.write.mode("overwrite").parquet(snapshot_path)
-    merged.unpersist()
+    # Never overwrite the directory being read: a persist() is evictable
+    # (not a checkpoint), so cache loss mid-overwrite would recompute the
+    # plan against deleted files. Write the merged snapshot to a staging
+    # path, then swap via the snapshot's own filesystem (HDFS rename is
+    # atomic; the delete+rename window is the standard non-transactional
+    # parquet caveat).
+    staging = snapshot_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(snapshot_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    dst = hpath(snapshot_path)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(hpath(staging), dst):
+        raise IOError(f"rename {staging} -> {snapshot_path} failed")

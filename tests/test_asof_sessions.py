@@ -84,6 +84,27 @@ class TestAsofJoin:
         assert len(got) == len(left)
 
 
+    def test_null_keys_never_match(self, spark):
+        # ADVICE r1: SQL equi-join semantics — a NULL-key left row must
+        # NOT inherit payloads from NULL-key right rows sharing the
+        # window partition; it keeps null values like the LATERAL form.
+        from citibike_analysis_spark.operators.asof import asof_join_bucketed
+
+        left_rows = [(None, _ts(5), 1), ("a", _ts(5), 2)]
+        right_rows = [(None, _ts(1), 10, 1.0), ("a", _ts(2), 20, 2.0)]
+        got = self._run(spark, left_rows, right_rows)
+        assert got == {1: (None, None), 2: (20, 2.0)}
+
+        left = spark.createDataFrame(left_rows, LEFT_SCHEMA)
+        right = spark.createDataFrame(right_rows, RIGHT_SCHEMA)
+        out = asof_join_bucketed(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rid", "v"], bucket_seconds=60,
+        )
+        got_b = {r["lid"]: (r["rid_asof"], r["v_asof"]) for r in out.collect()}
+        assert got_b == {1: (None, None), 2: (20, 2.0)}
+
+
 class TestSessionize:
     SCHEMA = T.StructType(
         [
