@@ -23,10 +23,19 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from citibike_analysis_spark.functions.geo import haversine_km
+from citibike_analysis_spark.functions.geo import geodesic_km, haversine_km
 
 #: km per degree of latitude (spherical approximation).
 KM_PER_DEG_LAT = 111.19492664455873  # pi/180 * 6371.0088
+
+
+#: Grid-cell slack: cells are sized (radius × slack) so the 3×3 cover
+#: property holds under BOTH metrics — ellipsoidal (geodesic) degree
+#: lengths differ from the spherical constant by up to ~0.6%, so an
+#: exactly-radius-sized spherical cell could be a hair too small for a
+#: pair at the geodesic threshold boundary. 2% costs nothing (the exact
+#: predicate prunes) and removes the edge case.
+CELL_SLACK = 1.02
 
 
 def with_grid_cell(
@@ -36,11 +45,16 @@ def with_grid_cell(
     radius_km: float,
     max_abs_lat_deg: float = 60.0,
 ) -> DataFrame:
-    """Add integer grid-cell coordinates sized so cell side ≥ radius_km."""
-    cell_lat_deg = radius_km / KM_PER_DEG_LAT
+    """Add integer grid-cell coordinates sized so cell side ≥ radius_km
+    under either distance metric (see ``CELL_SLACK``)."""
+    cell_lat_deg = radius_km * CELL_SLACK / KM_PER_DEG_LAT
     # Longitude degrees shrink with latitude; size cells for the worst
     # (highest) latitude in the domain so the 3x3 cover property holds.
-    cell_lon_deg = radius_km / (KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat_deg)))
+    cell_lon_deg = (
+        radius_km
+        * CELL_SLACK
+        / (KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat_deg)))
+    )
     return df.withColumns(
         {
             "_cell_x": F.floor(F.col(lon_col) / F.lit(cell_lon_deg)).cast("long"),
@@ -56,12 +70,21 @@ def within_distance_pairs(
     lon_col: str,
     radius_km: float,
     max_abs_lat_deg: float = 60.0,
+    metric: str = "haversine",
 ) -> DataFrame:
-    """All ordered pairs (a, b), a ≠ b, with haversine(a, b) < radius_km.
+    """All ordered pairs (a, b), a ≠ b, with dist(a, b) < radius_km.
 
     Output columns: ``a_<id>, b_<id>, dist_km`` (both orderings present,
     matching the reference's nested-loop semantics).
+
+    ``metric``: ``"haversine"`` (default — pure JVM column math) or
+    ``"geodesic"`` (exact WGS-84 parity with the reference's geopy loop,
+    notebooks/CitiBike-1.ipynb:222-240; a pandas UDF, but applied only to
+    band-join survivors — the candidate generation stays identical, so
+    the Python boundary sees O(n · local-density) rows, not O(n²)).
     """
+    if metric not in ("haversine", "geodesic"):
+        raise ValueError(f"unknown metric {metric!r}")
     cells = with_grid_cell(df, lat_col, lon_col, radius_km, max_abs_lat_deg)
 
     offsets = F.expr(
@@ -92,7 +115,8 @@ def within_distance_pairs(
         "_cell_x",
         "_cell_y",
     )
-    dist = haversine_km(
+    dist_fn = haversine_km if metric == "haversine" else geodesic_km
+    dist = dist_fn(
         F.col("_a_lat"), F.col("_a_lon"), F.col("_b_lat"), F.col("_b_lon")
     )
     return (

