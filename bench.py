@@ -1,13 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints exactly one JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"queries_cold": {...}, "value_cold": ..., "sf": ...}``
 
 Headline set spans the engine's main cost shapes: grouped aggregation
-(q01), the flagship CTE+window reduction (q20), broadcast-join chain
-(q05), windowed rollup (q19), spatial band join (q21), shingle near-dup
-(q34), minhash LSH (q36), brute-force ANN (q38), as-of join (q41),
-LSH-bucketed ANN (q44), and dedup clustering / connected components (q46).
+(q01), the flagship CTE+window reduction (q20) and its skew-safe
+approx-quantile variant (q56), broadcast-join chain (q05), windowed
+rollup (q19), spatial band join (q21), shingle near-dup (q34), minhash
+LSH (q36), brute-force ANN (q38), as-of join (q41) and its bucketed
+hot-key-safe variant (q58), LSH-bucketed ANN (q44), and dedup
+clustering / connected components (q46).
 """
 
 from __future__ import annotations
@@ -30,6 +33,8 @@ HEADLINE = [
     "q41_asof_join",
     "q44_ann_lsh",
     "q46_dedup_clusters",
+    "q56_interesting_suppliers_scalable",
+    "q58_asof_join_bucketed",
 ]
 
 
@@ -47,12 +52,15 @@ def main() -> None:
     # warm the JVM + parquet footers once (untimed)
     specs["q01_pricing_summary"].fn(spark, sf_dir).count()
 
-    # Per query: min of 2 consecutive runs. The first run pays one-time
-    # JVM JIT/codegen compilation (measured 1-3 s on the wide-aggregate
+    # Per query: 2 consecutive runs. The first ("cold") pays one-time JVM
+    # JIT/codegen compilation (measured 1-3 s on the wide-aggregate
     # queries) that amortizes to nothing over a production run's
-    # thousands of tasks; the minimum reports the engine's steady-state
-    # cost, which is the quantity that scales.
-    timings: dict[str, float] = {}
+    # thousands of tasks; the minimum ("steady") reports the engine's
+    # steady-state cost, which is the quantity that scales. BOTH are
+    # emitted (VERDICT r1 #4) so a cold-path regression cannot hide
+    # behind the steady headline, and vice versa.
+    steady: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(2):
@@ -60,16 +68,18 @@ def main() -> None:
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        cold[name] = round(runs[0], 3)
+        steady[name] = round(min(runs), 3)
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": round(sum(steady.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": steady,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
