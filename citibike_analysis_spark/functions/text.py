@@ -37,6 +37,26 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Word n-gram MULTISET (order-preserving, duplicates kept) from a
+    token-array column — the building block for repetition scoring,
+    where multiplicity is the signal. See :func:`shingles_of` for the
+    expression-shape constraints (same body, no array_distinct).
+    """
+    k = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) counts DOWN, and element_at past the end
+    # throws under ANSI — documents with < n tokens get an empty set
+    idx = F.when(k < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), k)
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
 def shingles_of(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingle set from a token-array column (distinct).
 
@@ -52,20 +72,7 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
     (CodegenFallback), and slice allocates an array per shingle — the
     element_at form measures ~7x faster on real documents.
     """
-    k = F.size(toks) - (n - 1)
-    # guard: sequence(1, 0) counts DOWN, and element_at past the end
-    # throws under ANSI — documents with < n tokens get an empty set
-    idx = F.when(k < 1, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(1), k)
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    return F.array_distinct(ngrams_of(toks, n))
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

@@ -325,6 +325,58 @@ def winnow_overlap_pairs(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the count of
+    distinct word n-grams it shares with ANY benchmark document, plus a
+    boolean flag — the standard pre-training contamination check (drop or
+    audit training documents that overlap an eval set's n-grams).
+
+    Output: (doc_id, n_shared, contaminated) — one row per corpus
+    document, including clean ones (n_shared = 0).
+
+    Plan shape: both sides reduce to DISTINCT (id, 64-bit n-gram hash)
+    index rows; the benchmark's distinct hash set is typically tiny next
+    to the corpus (an eval set vs a crawl), so the overlap join is an
+    equi-join on the hash that AQE broadcasts when small. The corpus is
+    scanned once; nothing quadratic anywhere. A 64-bit hash collision
+    would flag one extra shingle — negligible (same birthday bound as
+    :func:`ngram_jaccard_pairs`).
+    """
+    csh = (
+        corpus.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+        )
+        .select("_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
+    )
+    bsh = (
+        benchmark.select(tokens(F.col(text_col)).alias("_tk"))
+        .select(F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
+        .select(F.xxhash64("_s").alias("_h"))
+        .distinct()
+    )
+    hits = (
+        csh.join(bsh, "_h")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_n"))  # csh rows are distinct per doc
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: (_id, _h long bit pattern).
 

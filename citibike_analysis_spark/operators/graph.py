@@ -199,14 +199,25 @@ def dedup_clusters(
     pairs: DataFrame,
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Assign every document its canonical id (min id in its near-dup
     cluster; singletons are their own canonical) and the cluster size.
 
     This is the "keep one copy" step of corpus dedup: filter
     ``id == canonical_id`` downstream to retain canonicals only.
+
+    ``algorithm``: ``"label_prop"`` (default — O(diameter) rounds, ideal
+    for the dense tiny-diameter blobs near-dup graphs form) or ``"star"``
+    (:func:`connected_components_star`, O(log n) rounds — the safe choice
+    when the pair graph might contain long chains).
     """
-    cc = connected_components(pairs, pair_a, pair_b)
+    if algorithm == "label_prop":
+        cc = connected_components(pairs, pair_a, pair_b)
+    elif algorithm == "star":
+        cc = connected_components_star(pairs, pair_a, pair_b)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     labeled = (
         docs.select(F.col(id_col))
         .join(cc, docs[id_col] == cc["id"], "left")

@@ -1,0 +1,57 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent *per partitioning*: the same row can be
+kept or dropped depending on how the input was split, which breaks
+reproducibility across cluster sizes and retries. Hash-threshold
+sampling decides per ROW from the row's own identity, so the sample is
+stable under repartitioning, retries, speculative execution, and engine
+changes — the property a 100 TB corpus rebuild actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_sample_predicate(
+    key: Column, fraction: float, salt: str = ""
+) -> Column:
+    """Keep-predicate: md5(salt|key) first 4 hex chars < threshold.
+
+    Fixed-width lowercase hex compares lexicographically == numerically,
+    so the threshold is just a 4-hex-digit string — portable to ANY
+    engine with md5 (the DuckDB oracles replay it verbatim). Granularity
+    is 1/65536 ≈ 0.0015%; md5 is marginally slower than xxhash64 but the
+    cross-engine determinism is the point (xxhash64 exists only in
+    Spark). Different ``salt`` values draw independent samples.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    t = int(round(fraction * 0x10000))
+    if t >= 0x10000:  # keep-all: 'ffff' < '10000' is lexicographically FALSE
+        return F.lit(True)
+    threshold = format(t, "04x")
+    full_key = key if not salt else F.concat_ws("|", F.lit(salt), key)
+    return F.substring(F.md5(full_key), 1, 4) < F.lit(threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    strata_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample, independently within each
+    stratum (the strata columns join the hash key as salt, so strata
+    sample disjoint pseudo-random subsets). With ``strata_cols=None``
+    this is a plain deterministic corpus sample.
+
+    A pure narrow filter — no shuffle, pushes down to the scan's output,
+    scales trivially. The per-stratum keep-rate concentrates around
+    ``fraction`` by md5 uniformity (±binomial noise).
+    """
+    parts = [F.col(c).cast("string") for c in (strata_cols or [])]
+    key = F.concat_ws("|", *parts, F.col(id_col).cast("string"))
+    return df.filter(hash_sample_predicate(key, fraction, salt))

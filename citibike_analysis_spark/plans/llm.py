@@ -593,6 +593,208 @@ FROM labeled
 """
 
 
+# --------------------------------------------------------------------------
+# q61 — n-gram Jaccard with the document-frequency cap engaged: the
+# 100 TB form of q34 (ubiquitous-shingle fan-out bounded, VERDICT r1
+# #3). The oracle replicates the cap exactly — index keys with df >
+# MAX_DF are dropped from the JOIN side while set sizes stay full — so
+# this is hash-verified, not a weaker rows-only check.
+# --------------------------------------------------------------------------
+
+_Q61_MAX_DF = 25
+
+
+def q61_capped_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=_Q61_MAX_DF
+    )
+
+
+Q61_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[t.i : t.i + 2], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), ok AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= {_Q61_MAX_DF}
+), shj AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(c / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE c / (na.n + nb.n - c) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# q62 — dedup clustering via large-star/small-star connected components
+# (Kiveris et al. SoCC'14): identical output contract to q46 (same
+# recursive-CTE oracle), different engine — O(log n) rounds instead of
+# O(diameter), the safe form when the pair graph may contain chains.
+# --------------------------------------------------------------------------
+
+def q62_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(d, "doc_id", pairs, algorithm="star").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — benchmark decontamination: flag corpus documents sharing any
+# word 5-gram with the held-out benchmark slice (source = 'src0' stands
+# in for an eval set). The standard pre-training contamination audit.
+# --------------------------------------------------------------------------
+
+_Q63_N = 5
+_Q63_BENCH_SOURCE = "src0"
+
+
+def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import contamination_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != _Q63_BENCH_SOURCE)
+    bench = d.filter(F.col("source") == _Q63_BENCH_SOURCE)
+    return contamination_flags(corpus, bench, "doc_id", "text", n=_Q63_N)
+
+
+Q63_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(tk[t.i : t.i + {_Q63_N - 1}], ' ') AS s
+  FROM toks,
+       unnest(generate_series(1, greatest(len(tk) - {_Q63_N - 1}, 0))) AS t(i)
+), bench AS (
+  SELECT DISTINCT s FROM grams WHERE source = '{_Q63_BENCH_SOURCE}'
+), hits AS (
+  SELECT g.doc_id, count(*) AS c
+  FROM grams g JOIN bench b ON g.s = b.s
+  WHERE g.source <> '{_Q63_BENCH_SOURCE}'
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_shared,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source <> '{_Q63_BENCH_SOURCE}'
+"""
+
+
+# --------------------------------------------------------------------------
+# q64 — repetition scoring (the Gopher-rules repetition family):
+# duplicate-token fraction and most-common-bigram fraction per document.
+# Token counts are columnar; the bigram mode goes through explode +
+# two-level aggregation (the scalable shape — no per-row O(n²) scan).
+# --------------------------------------------------------------------------
+
+def q64_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import ngrams_of
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.col("doc_id").alias("_id"), tokens(F.col("text")).alias("_tk"))
+    base = tk.select(
+        "_id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_tk")).cast("long").alias("n_distinct"),
+    )
+    grams = tk.select("_id", F.explode(ngrams_of(F.col("_tk"), 2)).alias("_g"))
+    mode = (
+        grams.groupBy("_id", "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_id")
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"))
+    )
+    return (
+        base.join(mode, "_id", "left")
+        .select(
+            F.col("_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    1.0 - F.col("n_distinct") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("_mx") / F.col("_tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+Q64_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), base AS (
+  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct
+  FROM toks
+), grams AS (
+  SELECT doc_id, array_to_string(tk[t.i : t.i + 1], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS t(i)
+), counts AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), mode AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM counts GROUP BY 1
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_distinct AS BIGINT) AS n_distinct,
+       round(CASE WHEN b.n_tokens > 0
+                  THEN 1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_token_frac,
+       round(coalesce(m.mx / CAST(m.tot AS DOUBLE), 0.0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN mode m ON b.doc_id = m.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q65 — deterministic stratified sampling: ~25% of each (lang, source)
+# stratum by md5-threshold on the row identity. Stable under
+# repartitioning/retries (unlike df.sample) and portable — the oracle
+# replays the identical md5 cut.
+# --------------------------------------------------------------------------
+
+_Q65_FRACTION = 0.25  # threshold '4000'
+
+
+def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "doc_id", _Q65_FRACTION, strata_cols=["lang", "source"]
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+
+
+Q65_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+FROM documents
+WHERE substr(md5(concat_ws('|', lang, source, doc_id)), 1, 4) < '4000'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -613,4 +815,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q55_bpe_token_count": QuerySpec(q55_bpe_token_count, _q55_sql(), "§7 text-bpe-tokens"),
     "q59_quality_filter": QuerySpec(q59_quality_filter, Q59_SQL, "§7 quality-gate"),
     "q60_normalized_dedup": QuerySpec(q60_normalized_dedup, Q60_SQL, "§7 dedup-normalized"),
+    "q61_capped_jaccard": QuerySpec(q61_capped_jaccard, Q61_SQL, "§7 dedup-ngram-capped"),
+    "q62_dedup_clusters_star": QuerySpec(q62_dedup_clusters_star, Q46_SQL, "§7 dedup-clusters-star"),
+    "q63_decontaminate": QuerySpec(q63_decontaminate, Q63_SQL, "§7 decontamination"),
+    "q64_repetition_scores": QuerySpec(q64_repetition_scores, Q64_SQL, "§7 text-repetition"),
+    "q65_stratified_sample": QuerySpec(q65_stratified_sample, Q65_SQL, "§7 sampling"),
 }
