@@ -55,3 +55,40 @@ def stratified_sample(
     parts = [F.col(c).cast("string") for c in (strata_cols or [])]
     key = F.concat_ws("|", *parts, F.col(id_col).cast("string"))
     return df.filter(hash_sample_predicate(key, fraction, salt))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus mixing: keep each stratum at its OWN fraction — the
+    source-reweighting step of training-corpus construction (e.g. keep
+    50% of wiki, 5% of crawl). Same deterministic md5 threshold as
+    :func:`stratified_sample`, but the threshold is a per-row CASE on
+    ``strata_col``; still a pure narrow filter, no shuffle.
+    """
+    for v, f in weights.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1]")
+
+    def thr(fraction: float) -> str:
+        # 'g' sorts after every hex digit → keep-all sentinel
+        t = int(round(fraction * 0x10000))
+        return "g" if t >= 0x10000 else format(t, "04x")
+
+    threshold = F.lit(thr(default_fraction))
+    for v, f in weights.items():
+        threshold = F.when(F.col(strata_col) == v, F.lit(thr(f))).otherwise(
+            threshold
+        )
+    key = F.concat_ws(
+        "|", F.col(strata_col).cast("string"), F.col(id_col).cast("string")
+    )
+    full_key = key if not salt else F.concat_ws("|", F.lit(salt), key)
+    return df.filter(F.substring(F.md5(full_key), 1, 4) < threshold)

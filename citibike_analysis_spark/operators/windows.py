@@ -101,3 +101,31 @@ def top_k_per_group(
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     rk = (rank_fn if rank_fn is not None else F.rank()).over(w)
     return df.withColumn(out, rk.cast("long")).filter(F.col(out) <= k)
+
+
+def budget_select(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    cost_col: str,
+    budget: float,
+    out: str = "cum_cost",
+) -> DataFrame:
+    """Greedy budgeted selection per group: order rows by priority, keep
+    while the running ``cost_col`` total stays ≤ ``budget`` — the
+    token-budget data-mixing step of corpus construction ("best N
+    tokens per source"), generalized to any cost.
+
+    One sort+window pass per group (same shape as sessionize); order
+    MUST be deterministic (include a unique tie-break) or the kept set
+    is ill-defined. A group whose first row already exceeds the budget
+    contributes nothing (strict cumulative ≤).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(cost_col).over(w)).filter(
+        F.col(out) <= F.lit(budget)
+    )

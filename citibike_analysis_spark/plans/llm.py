@@ -795,6 +795,80 @@ WHERE substr(md5(concat_ws('|', lang, source, doc_id)), 1, 4) < '4000'
 """
 
 
+# --------------------------------------------------------------------------
+# q66 — weighted corpus mixture: per-language keep fractions (keep half
+# of en, an eighth of everything else) — the source-reweighting step of
+# corpus construction. Same portable md5 threshold as q65, CASE'd per
+# stratum; still a pure narrow filter.
+# --------------------------------------------------------------------------
+
+def q66_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import weighted_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_mixture(
+        d, "doc_id", "lang", {"en": 0.5}, default_fraction=0.125
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+Q66_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE substr(md5(concat_ws('|', lang, doc_id)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '8000' ELSE '2000' END
+"""
+
+
+# --------------------------------------------------------------------------
+# q67 — token-budget selection: per source, keep the longest documents
+# while the running token total stays within budget ("best N tokens per
+# source" mixing). One sort+window pass per group; deterministic
+# tie-break on doc_id.
+# --------------------------------------------------------------------------
+
+_Q67_BUDGET = 2000
+
+
+def q67_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.windows import budget_select
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = budget_select(
+        d,
+        ["source"],
+        [F.desc("n_tokens"), F.asc("doc_id")],
+        "n_tokens",
+        _Q67_BUDGET,
+        out="cum_tokens",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+Q67_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY n_tokens DESC, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {_Q67_BUDGET}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -820,4 +894,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q63_decontaminate": QuerySpec(q63_decontaminate, Q63_SQL, "§7 decontamination"),
     "q64_repetition_scores": QuerySpec(q64_repetition_scores, Q64_SQL, "§7 text-repetition"),
     "q65_stratified_sample": QuerySpec(q65_stratified_sample, Q65_SQL, "§7 sampling"),
+    "q66_weighted_mixture": QuerySpec(q66_weighted_mixture, Q66_SQL, "§7 corpus-mixing"),
+    "q67_token_budget": QuerySpec(q67_token_budget, Q67_SQL, "§7 token-budget"),
 }

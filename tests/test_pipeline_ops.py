@@ -44,11 +44,8 @@ class TestContamination:
             r["doc_id"]: (r["n_shared"], r["contaminated"])
             for r in contamination_flags(corpus, bench, "doc_id", "text", n=5).collect()
         }
-        # doc 0 shares exactly two 5-grams: "the quick brown fox jumps"
-        # is one; windows shifted by one word don't match ("note that the
-        # quick brown" etc.) — recount: benchmark 5-grams of doc 100 are
-        # positions 1-5..5-9; doc 0 contains "the quick brown fox jumps"
-        # only. So n_shared == 1.
+        # doc 0 shares exactly one benchmark 5-gram ("the quick brown fox
+        # jumps"); its other windows are shifted and don't match
         assert got[0] == (1, True)
         assert got[1] == (0, False)
         assert got[2] == (0, False)
@@ -104,3 +101,47 @@ class TestStratifiedSample:
         assert stratified_sample(docs, "doc_id", 1.0).count() == docs.count()
         with pytest.raises(ValueError):
             stratified_sample(docs, "doc_id", 1.5)
+
+
+class TestWeightedMixture:
+    def test_per_stratum_rates(self, spark):
+        from citibike_analysis_spark.operators.sampling import weighted_mixture
+        from citibike_analysis_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.01", "documents")
+        kept = weighted_mixture(d, "doc_id", "lang", {"en": 0.5}, 0.125)
+        tot = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # en ≈ 50% (binomial 218×.5: 5σ ≈ 37); others ≈ 12.5% each
+        assert abs(got.get("en", 0) - 0.5 * tot["en"]) < 40
+        for lang in tot:
+            if lang != "en":
+                assert abs(got.get(lang, 0) - 0.125 * tot[lang]) < 25
+
+    def test_rejects_bad_fractions(self, spark):
+        from citibike_analysis_spark.operators.sampling import weighted_mixture
+        from citibike_analysis_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.01", "documents")
+        with pytest.raises(ValueError):
+            weighted_mixture(d, "doc_id", "lang", {"en": 1.5})
+
+
+class TestBudgetSelect:
+    def test_greedy_semantics_and_tiebreak(self, spark):
+        from citibike_analysis_spark.operators.windows import budget_select
+
+        rows = [
+            # group a: costs 5,4,3 (ordered desc) — budget 10 keeps 5,4
+            ("a", 1, 4), ("a", 2, 5), ("a", 3, 3),
+            # group b: first row alone exceeds budget → empty
+            ("b", 4, 50),
+            # group c: tie on cost — doc 5 sorts before doc 6
+            ("c", 5, 6), ("c", 6, 6),
+        ]
+        df = spark.createDataFrame(rows, "g: string, id: long, cost: long")
+        out = budget_select(
+            df, ["g"], [F.desc("cost"), F.asc("id")], "cost", 10
+        )
+        got = {(r["g"], r["id"]): r["cum_cost"] for r in out.collect()}
+        assert got == {("a", 2): 5, ("a", 1): 9, ("c", 5): 6}
