@@ -48,6 +48,31 @@ def dedup_samples(
     )
 
 
+def dedup_documents(
+    docs: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact document dedup: drop re-deliveries whose CONTENT
+    hash was already seen within the watermark — the streaming form of
+    the batch content-hash dedup (operators.dedup.exact_duplicates) for
+    an ingest firehose that re-crawls/re-sends identical documents.
+
+    State is one md5 per distinct document bounded by the watermark
+    (dropDuplicatesWithinWatermark), so memory is O(distinct docs per
+    watermark window), never O(stream). Exact-only by design: near-dup
+    (MinHash) requires cross-document joins, which is batch work over
+    the deduped landing table, not per-record streaming state.
+    """
+    return (
+        docs.withColumn("_content_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
 def join_weather(
     samples: DataFrame,
     weather: DataFrame,

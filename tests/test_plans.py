@@ -192,3 +192,20 @@ def test_q39_bucketed_near_dup_no_all_pairs_and_exact_parity(spark):
     bucketed = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in out.collect()}
     assert exact, "fixture corpus lost its >=0.45 pairs"
     assert bucketed == exact
+
+
+def test_sampling_and_budget_queries_have_scale_shapes(spark):
+    # q65/q66: pure narrow filters — the md5 threshold must reach the
+    # scan as a data filter (no shuffle anywhere in the plan)
+    for q in ("q65_stratified_sample", "q66_weighted_mixture"):
+        plan = _plan(SPECS[q].fn(spark, SF001))
+        assert "Exchange" not in plan, f"{q} shuffles"
+        assert "md5" in plan and "FileScan" in plan
+    # q67: exactly one hash exchange (the per-source window), no global sort
+    plan = _plan(SPECS["q67_token_budget"].fn(spark, SF001))
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert _global_sorts(plan) == 0
+    # q63: decontamination joins are equi-joins, never a product
+    plan = _plan(SPECS["q63_decontaminate"].fn(spark, SF001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -131,3 +131,33 @@ def test_stateful_sessions_close_on_gap(spark, dirs):
     assert row["session_start"] == BASE
     assert row["session_end"] == BASE + timedelta(minutes=5)
     assert row["n_samples"] == 2
+
+
+def test_streaming_document_dedup_by_content(spark, dirs):
+    # identical text re-delivered under a different doc_id / later ts is
+    # dropped; genuinely new content passes
+    import json
+
+    from citibike_analysis_spark.streaming.enrich import dedup_documents
+
+    def line(doc_id, ts, text):
+        return json.dumps(
+            {"doc_id": doc_id, "ts": ts.isoformat(sep=" "), "text": text}
+        )
+
+    with open(f"{dirs['in']}/b1.jsonl", "w") as f:
+        f.write(line(1, BASE, "the same document body") + "\n")
+        f.write(line(2, BASE + timedelta(minutes=1), "the same document body") + "\n")
+        f.write(line(3, BASE + timedelta(minutes=2), "a different document") + "\n")
+    with open(f"{dirs['in']}/b2.jsonl", "w") as f:  # cross-batch re-crawl
+        f.write(line(4, BASE + timedelta(minutes=5), "the same document body") + "\n")
+
+    schema = "doc_id LONG, ts TIMESTAMP, text STRING"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
+        dirs["in"]
+    )
+    out = dedup_documents(stream, "ts")
+    _run_stream(out.select("doc_id", "text"), "docdd", dirs["ckpt"])
+    rows = spark.table("docdd").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
+    assert "_content_hash" not in spark.table("docdd").columns
