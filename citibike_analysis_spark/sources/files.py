@@ -71,6 +71,26 @@ def write_parquet_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with a declared schema — same contract as :func:`read_csv`:
+    never infer (inference re-reads data and can flip types between
+    files). ORC is Spark-native (no extra package), columnar, and
+    predicate-pushdown-capable like parquet — the interchange format when
+    the surrounding warehouse is Hive/ORC rather than parquet."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """ORC sink, optionally hive-partitioned (same pruning rationale as
+    :func:`write_parquet_partitioned`)."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
 def write_json(df: DataFrame, path: str) -> None:
     """S5 — JSON sink, overwrite mode (never append: the reference's
     append-mode bug concatenated documents into an unparseable file)."""

@@ -145,3 +145,53 @@ class TestBudgetSelect:
         )
         got = {(r["g"], r["id"]): r["cum_cost"] for r in out.collect()}
         assert got == {("a", 2): 5, ("a", 1): 9, ("c", 5): 6}
+
+
+class TestNullSafety:
+    def test_contamination_null_and_empty_text(self, spark):
+        from citibike_analysis_spark.operators.dedup import contamination_flags
+
+        corpus = spark.createDataFrame(
+            [(0, None), (1, ""), (2, "the quick brown fox jumps over")],
+            "doc_id: long, text: string",
+        )
+        bench = spark.createDataFrame(
+            [(9, "the quick brown fox jumps")], "doc_id: long, text: string"
+        )
+        got = {
+            r["doc_id"]: (r["n_shared"], r["contaminated"])
+            for r in contamination_flags(corpus, bench, "doc_id", "text", 5).collect()
+        }
+        # null/empty text can share nothing but must still appear as clean
+        assert got == {0: (0, False), 1: (0, False), 2: (1, True)}
+
+    def test_sampling_null_stratum_still_deterministic(self, spark):
+        from citibike_analysis_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, None if i % 3 == 0 else "s") for i in range(300)],
+            "id: long, grp: string",
+        )
+        a = {r["id"] for r in stratified_sample(df, "id", 0.5, ["grp"]).collect()}
+        b = {r["id"] for r in stratified_sample(df, "id", 0.5, ["grp"]).collect()}
+        assert a == b and a  # null strata neither crash nor drop rows wholesale
+
+    def test_repetition_scores_empty_doc(self, spark):
+        from citibike_analysis_spark.plans.llm import q64_repetition_scores
+
+        # the declared query itself tolerates empty docs (oracle parity
+        # covers the fixture; this pins the n_tokens=0 division guard)
+        import tempfile
+
+        d = spark.createDataFrame(
+            [(0, "", "en", "s", 0), (1, "a a b", "en", "s", 5)],
+            "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+        )
+        tmp = tempfile.mkdtemp()
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_bigram_frac"])
+            for r in q64_repetition_scores(spark, tmp).collect()
+        }
+        assert got[0] == (0, 0.0, 0.0)
+        assert got[1][0] == 3 and abs(got[1][1] - (1 - 2 / 3)) < 1e-6

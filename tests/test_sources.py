@@ -93,3 +93,42 @@ def test_strict_reader_rejects_concatenated_documents(spark, tmp):
     with open(f"{tmp}/good.json", "w") as f:
         f.write('{"a": {"b": 1}}\n{"a": {"b": 2}}\n')
     assert read_json_strict(spark, f"{tmp}/good.json", schema).count() == 2
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp):
+    import datetime as dt
+
+    from citibike_analysis_spark.sources.files import read_orc, write_orc_partitioned
+
+    rows = [
+        ("07306", dt.datetime(2019, 5, 12, 8, 15), 3),
+        ("10001", dt.datetime(2019, 7, 1, 23, 45), 7),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    write_orc_partitioned(df, f"{tmp}/orc")
+    back = read_orc(spark, f"{tmp}/orc", SCHEMA)
+    got = sorted((r["zip"], r["ts"], r["v"]) for r in back.collect())
+    assert got == sorted(rows)
+    assert dict(back.dtypes)["zip"] == "string"  # declared, never inferred
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = (
+        back.filter(F.col("v") > 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "v" in plan.split("PushedFilters: [")[1][:60]
+
+
+def test_orc_partitioned_prunes(spark, tmp):
+    from citibike_analysis_spark.sources.files import write_orc_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_orc_partitioned(df, f"{tmp}/orcpart", ["day"])
+    back = spark.read.orc(f"{tmp}/orcpart").filter(F.col("day") == 3)
+    assert back.count() == 100
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "day#" in plan.split("PartitionFilters")[1][:200]
