@@ -123,6 +123,60 @@ def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return _pack_bits(_sign_bits(vec, _planes_expr(planes)))
 
 
+def _planes_frame(spark, bits: int, tables: int, dim: int, seed: int) -> DataFrame:
+    """All tables' planes flattened into one (tables*bits) × dim matrix,
+    shipped as a 1-row broadcast DataFrame rather than a literal: a
+    parsed array(array(...)) literal is thousands of AST nodes that
+    every later DataFrame op re-walks during analysis (~0.14 s/op
+    measured at 48×64), and F.lit(nested_list) pays ~1.6 s of py4j
+    element conversion. The 24 KB broadcast joins for free (1-row BNLJ,
+    pipelined, no shuffle) and keeps every plan tree tiny."""
+    flat_planes = [
+        plane
+        for t in range(tables)
+        for plane in _hyperplanes(dim, bits, seed + 1000 * t)
+    ]
+    return spark.createDataFrame(
+        [(flat_planes,)], "__planes: array<array<double>>"
+    )
+
+
+def _bucketize(
+    df: DataFrame,
+    idname: str,
+    vecname: str,
+    planes_df: DataFrame,
+    bits: int,
+    tables: int,
+) -> DataFrame:
+    """(id, vec) → (id, vec, tbl, bkt): one row per LSH table.
+
+    Materialize the sign bits in their OWN projection: the per-table
+    lambda below slices them ``tables``×, and codegen subexpression
+    elimination cannot see through higher-order-function lambdas —
+    without the projection boundary every table re-ran all plane·vec
+    dots (measured 4× slowdown). CollapseProject keeps the boundary
+    because __bits is non-cheap and referenced ``tables`` times.
+    """
+    with_bits = df.crossJoin(F.broadcast(planes_df)).select(
+        idname,
+        vecname,
+        _sign_bits(F.col(vecname), F.col("__planes")).alias("__bits"),
+    )
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("tbl"),
+            _pack_bits(
+                F.slice(F.col("__bits"), t * F.lit(bits) + 1, bits)
+            ).alias("bkt"),
+        ),
+    )
+    return with_bits.select(
+        idname, vecname, F.explode(buckets).alias("_b")
+    ).select(idname, vecname, "_b.tbl", "_b.bkt")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,47 +198,10 @@ def lsh_topk(
     the candidate join is an equi-join on (table, bucket). Tune
     bits↑/tables↓ for throughput, bits↓/tables↑ for recall.
     """
-    # All tables' planes flattened into one (tables*bits) × dim matrix,
-    # shipped as a 1-row broadcast DataFrame rather than a literal: a
-    # parsed array(array(...)) literal is thousands of AST nodes that
-    # every later DataFrame op re-walks during analysis (~0.14 s/op
-    # measured at 48×64), and F.lit(nested_list) pays ~1.6 s of py4j
-    # element conversion. The 24 KB broadcast joins for free (1-row BNLJ,
-    # pipelined, no shuffle) and keeps every plan tree tiny. Per row we
-    # compute all sign bits once, then slice+pack per table.
-    flat_planes = [
-        plane
-        for t in range(tables)
-        for plane in _hyperplanes(dim, bits, seed + 1000 * t)
-    ]
-    planes_df = corpus.sparkSession.createDataFrame(
-        [(flat_planes,)], "__planes: array<array<double>>"
-    )
+    planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
 
     def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        # Materialize the 48 sign bits in their OWN projection: the
-        # per-table lambda below slices them 8×, and codegen subexpression
-        # elimination cannot see through higher-order-function lambdas —
-        # without the projection boundary every table re-ran all 48
-        # plane·vec dots (measured 4× slowdown). CollapseProject keeps the
-        # boundary because __bits is non-cheap and referenced 8 times.
-        with_bits = df.crossJoin(F.broadcast(planes_df)).select(
-            idname,
-            vecname,
-            _sign_bits(F.col(vecname), F.col("__planes")).alias("__bits"),
-        )
-        buckets = F.transform(
-            F.sequence(F.lit(0), F.lit(tables - 1)),
-            lambda t: F.struct(
-                t.cast("int").alias("tbl"),
-                _pack_bits(
-                    F.slice(F.col("__bits"), t * F.lit(bits) + 1, bits)
-                ).alias("bkt"),
-            ),
-        )
-        return with_bits.select(
-            idname, vecname, F.explode(buckets).alias("_b")
-        ).select(idname, vecname, "_b.tbl", "_b.bkt")
+        return _bucketize(df, idname, vecname, planes_df, bits, tables)
 
     q = bucketed(
         queries.select(
@@ -205,6 +222,89 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_qv", "_cv")
         .dropDuplicates(["query_id", "neighbor_id"])  # candidate ∈ >1 table
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the multi-table sign-LSH assignment of a corpus as a
+    BUCKETED catalog table keyed on (tbl, bkt) — the build-once /
+    probe-many form of :func:`lsh_topk`.
+
+    What this buys at 100 TB: (a) the sign-bit computation over the full
+    corpus (tables × bits plane dots per vector) is paid once at build
+    time, not per probe batch; (b) the physical bucketing on the join
+    key means a LARGE probe batch (e.g. near-dup'ing a new crawl against
+    the indexed corpus) joins with NO index-side Exchange — only the new
+    batch shuffles. Probe with :func:`lsh_index_topk` using the SAME
+    (bits, tables, dim, seed).
+    """
+    bucketed = _bucketize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("_cv"),
+        ),
+        "neighbor_id",
+        "_cv",
+        _planes_frame(corpus.sparkSession, bits, tables, dim, seed),
+        bits,
+        tables,
+    )
+    from citibike_analysis_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
+
+
+def lsh_index_topk(
+    spark,
+    table: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_lsh_index`
+    table. Identical output to :func:`lsh_topk` at the same parameters
+    (pytest-pinned); only the probe set pays the sign-bit computation.
+    """
+    idx = spark.table(table)
+    q = _bucketize(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+        ),
+        "query_id",
+        "_qv",
+        _planes_frame(spark, bits, tables, dim, seed),
+        bits,
+        tables,
+    )
+    scored = (
+        idx.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -363,36 +463,16 @@ def near_duplicate_embeddings(
     sliced+packed per table; multi-table duplicate candidates are
     dropDuplicates'd before the (exact, per-candidate) verify.
     """
-    flat_planes = [
-        plane
-        for t in range(tables)
-        for plane in _hyperplanes(dim, bits, seed + 1000 * t)
-    ]
-    planes_df = corpus.sparkSession.createDataFrame(
-        [(flat_planes,)], "__planes: array<array<double>>"
-    )
-    with_bits = (
+    planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
+    c = _bucketize(
         corpus.select(
             F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
-        )
-        .crossJoin(F.broadcast(planes_df))
-        .select(
-            "_id",
-            "_v",
-            _sign_bits(F.col("_v"), F.col("__planes")).alias("__bits"),
-        )
-    )
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(tables - 1)),
-        lambda t: F.struct(
-            t.cast("int").alias("tbl"),
-            _pack_bits(F.slice(F.col("__bits"), t * F.lit(bits) + 1, bits)).alias(
-                "bkt"
-            ),
         ),
-    )
-    c = with_bits.select("_id", "_v", F.explode(buckets).alias("_b")).select(
-        "_id", "_v", "_b.tbl", "_b.bkt"
+        "_id",
+        "_v",
+        planes_df,
+        bits,
+        tables,
     )
     a, b = c.alias("a"), c.alias("b")
     cand = (

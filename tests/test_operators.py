@@ -425,3 +425,37 @@ class TestGeodesicParity:
             "haversine and geodesic agree on every boundary pair of this "
             "fixture — boundary test has lost its teeth; tighten radius"
         )
+
+
+class TestPersistedLshIndex:
+    def test_index_probe_matches_direct_lsh(self, spark, tmp_path):
+        from citibike_analysis_spark.operators.similarity import (
+            build_lsh_index,
+            lsh_index_topk,
+            lsh_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        build_lsh_index(emb, "lsh_idx_test", **params)
+        try:
+            via_index = lsh_index_topk(
+                spark, "lsh_idx_test", queries, k=5, **params
+            ).collect()
+            direct = lsh_topk(emb, queries, k=5, **params).collect()
+            key = lambda rows: sorted(
+                (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+            )
+            assert key(via_index) == key(direct)
+            assert via_index, "empty probe result"
+            # the probe side broadcasts; the persisted index side must
+            # not shuffle (that is what the build-time bucketing bought)
+            plan = (
+                lsh_index_topk(spark, "lsh_idx_test", queries, k=5, **params)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning(tbl" not in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
