@@ -132,3 +132,49 @@ def test_orc_partitioned_prunes(spark, tmp):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "day#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_binary_file_ingestion_to_media(spark, tmp):
+    import os
+
+    from citibike_analysis_spark.operators.multimodal import (
+        extract_features,
+        fake_decode_image,
+    )
+    from citibike_analysis_spark.sources.media import read_binary_files, to_media
+
+    os.makedirs(f"{tmp}/media", exist_ok=True)
+    payload_a = bytes(range(64))
+    with open(f"{tmp}/media/a.jpg", "wb") as f:
+        f.write(payload_a)
+    with open(f"{tmp}/media/b.wav", "wb") as f:
+        f.write(b"\x01\x02" * 100)
+    with open(f"{tmp}/media/dup_of_a.jpg", "wb") as f:
+        f.write(payload_a)  # byte-identical → same content_id
+    with open(f"{tmp}/media/huge.mp4", "wb") as f:
+        f.write(b"\x00" * 5000)
+    with open(f"{tmp}/media/skip.txt", "w") as f:
+        f.write("not media")
+
+    files = read_binary_files(
+        spark, f"{tmp}/media", glob="*.{jpg,wav,mp4}", max_bytes=1024
+    )
+    media = to_media(files)
+    rows = media.collect()
+    # huge.mp4 gated by max_bytes, skip.txt by glob
+    assert sorted(r["media_type"] for r in rows) == ["audio", "image", "image"]
+    ids = [r["content_id"] for r in rows if r["media_type"] == "image"]
+    assert ids[0] == ids[1]  # content-addressed: duplicates collide
+    assert all(r["meta"] is None for r in rows)  # decode fills meta later
+
+    # the ingested frame feeds the existing mapInPandas feature stage
+    feats = extract_features(
+        media.select("content_id", "media_type", "payload", "meta"),
+        decode=fake_decode_image,
+    )
+    out = feats.collect()
+    assert len(out) == 3 and all(len(r["feature"]) > 0 for r in out)
+
+    # metadata pushdown: the length gate must reach the binaryFile scan
+    plan = files._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "length" in plan.split("PushedFilters")[1][:120]
