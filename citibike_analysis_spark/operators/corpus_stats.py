@@ -1,0 +1,90 @@
+"""Corpus-relative document statistics (SURVEY.md §7 north-star).
+
+Per-document signals computed against WHOLE-CORPUS statistics — the
+class of quality scores the purely columnar q32 features cannot
+express: a document is scored by how its tokens distribute across the
+corpus (unigram language-model likelihood, TF-IDF salience).
+
+Scale shape for both: one explode of the token stream, one token-keyed
+aggregation for the global statistic (map-side partial agg — the
+shuffle carries one row per DISTINCT token, not per occurrence), and a
+token-keyed equi-join back to re-score occurrences. Corpus-level
+scalars (total token count, document count) ride 1-row broadcast
+frames. Nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from citibike_analysis_spark.functions.text import tokens
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    token distribution: ``avg over occurrences of ln(count(t)/N)``.
+
+    The gibberish/outlier detector of the quality family: documents of
+    rare tokens (OCR noise, wrong language, mojibake) score far below
+    the corpus mode, with no model dependency. Output:
+    (doc_id, n_tokens, avg_logp) — avg_logp null for empty documents.
+    """
+    tk = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    freq = tk.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_n"))  # 1 row: corpus token count
+    scored = (
+        tk.join(freq, "_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("_c") / F.col("_n"))).alias("_avg"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round("_avg", 6).alias("avg_logp"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document:
+    ``score(t, d) = tf(t, d) × ln(N_docs / df(t))``, ties broken by
+    token text — deterministic. Output: (doc_id, token, score, rk).
+
+    The ranking window partitions by document, so Spark's
+    WindowGroupLimit keeps ≤ k rows per document on the map side of the
+    final shuffle.
+    """
+    tk = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    tf = tk.groupBy("_id", "_t").agg(F.count("*").alias("_tf"))
+    docfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    ndocs = df.agg(F.count("*").alias("_nd"))  # 1 row
+    scored = (
+        tf.join(docfreq, "_t")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("_score", F.col("_tf") * F.log(F.col("_nd") / F.col("_df")))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("_t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("_id").cast("long").alias("doc_id"),
+            F.col("_t").alias("token"),
+            F.round("_score", 6).alias("score"),
+            "rk",
+        )
+    )

@@ -869,6 +869,76 @@ FROM c WHERE cum_tokens <= {_Q67_BUDGET}
 """
 
 
+# --------------------------------------------------------------------------
+# q68 — corpus-relative quality: per-document mean unigram log-likelihood
+# under the corpus's own token distribution (rare-token/gibberish
+# detector — the quality signal columnar per-doc features can't see).
+# --------------------------------------------------------------------------
+
+def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+Q68_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), tkx AS (
+  SELECT doc_id, unnest(tk) AS t FROM toks
+), freq AS (
+  SELECT t, count(*) AS c FROM tkx GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM freq
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         avg(ln(c / CAST(n AS DOUBLE))) AS avg_logp
+  FROM tkx JOIN freq USING (t) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(s.avg_logp, 6) AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q69 — TF-IDF top-k keywords per document (tf × ln(N/df), deterministic
+# token tie-break): corpus-relative salience, WindowGroupLimit shape.
+# --------------------------------------------------------------------------
+
+def q69_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+Q69_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), tkx AS (
+  SELECT doc_id, unnest(tk) AS t FROM toks
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tkx GROUP BY 1, 2
+), docfreq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT doc_id, t, tf * ln(n / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN docfreq USING (t) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, t, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, t AS token,
+       round(score, 6) AS score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -896,4 +966,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q65_stratified_sample": QuerySpec(q65_stratified_sample, Q65_SQL, "§7 sampling"),
     "q66_weighted_mixture": QuerySpec(q66_weighted_mixture, Q66_SQL, "§7 corpus-mixing"),
     "q67_token_budget": QuerySpec(q67_token_budget, Q67_SQL, "§7 token-budget"),
+    "q68_unigram_logprob": QuerySpec(q68_unigram_logprob, Q68_SQL, "§7 corpus-lm-quality"),
+    "q69_tfidf_topk": QuerySpec(q69_tfidf_topk, Q69_SQL, "§7 tfidf-keywords"),
 }

@@ -195,3 +195,47 @@ class TestNullSafety:
         }
         assert got[0] == (0, 0.0, 0.0)
         assert got[1][0] == 3 and abs(got[1][1] - (1 - 2 / 3)) < 1e-6
+
+
+class TestCorpusStats:
+    def test_unigram_logprob_known_values(self, spark):
+        import math
+
+        from citibike_analysis_spark.operators.corpus_stats import unigram_logprob
+
+        # corpus of 4 tokens total: a×2, b×1, c×1
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "c"), (3, "")], "doc_id: long, text: string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+            for r in unigram_logprob(df, "doc_id", "text").collect()
+        }
+        d1 = (2 * math.log(2 / 4) + math.log(1 / 4)) / 3
+        assert got[1][0] == 3 and abs(got[1][1] - round(d1, 6)) < 1e-9
+        assert got[2] == (1, round(math.log(1 / 4), 6))
+        assert got[3] == (0, None)  # empty doc: no likelihood, not a crash
+
+    def test_tfidf_topk_ranks_salient_tokens(self, spark):
+        from citibike_analysis_spark.operators.corpus_stats import tfidf_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, "common rare1 common"),
+                (2, "common rare2"),
+                (3, "common"),
+            ],
+            "doc_id: long, text: string",
+        )
+        out = tfidf_topk(df, "doc_id", "text", k=1).collect()
+        top = {r["doc_id"]: r["token"] for r in out}
+        # 'common' appears in every doc → idf ln(1) = 0; the rare tokens win
+        assert top[1] == "rare1" and top[2] == "rare2"
+        # doc 3 has only zero-idf tokens; deterministic tie-break still ranks it
+        assert top[3] == "common"
+        # scale shape: per-doc top-k limits below the shuffle
+        plan = (
+            tfidf_topk(df, "doc_id", "text", k=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan
