@@ -181,3 +181,52 @@ def test_sessionize_matches_naive_splitter(spark, rows, gap):
             expected[eid] = idx
             last = ts
     assert got == expected
+
+
+# --- round_to_hour vs pandas dt.round('h') on arbitrary microsecond
+# timestamps (pins the ADVICE r1 sub-millisecond fix for ALL inputs,
+# not just curated boundary examples) ---------------------------------
+
+micro_offsets = st.lists(
+    st.integers(0, 2 * 3600 * 1_000_000 - 1),  # microseconds across 2 hours
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(offsets=micro_offsets)
+@settings(**SETTINGS)
+def test_round_to_hour_matches_pandas_everywhere(spark, offsets):
+    import pandas as pd
+
+    from citibike_analysis_spark.functions.temporal import round_to_hour
+    from pyspark.sql import functions as F
+
+    ts = pd.Series(
+        [pd.Timestamp(BASE) + pd.Timedelta(microseconds=us) for us in offsets]
+    )
+    expected = ts.dt.round("h").tolist()
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts}))
+    got = [
+        r["r"]
+        for r in df.select(round_to_hour(F.col("ts")).alias("r")).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+# --- hash sampling monotonicity: a smaller fraction's sample is a
+# subset of a larger fraction's (thresholds are nested) ---------------
+
+@given(
+    f1=st.integers(1, 99),
+    f2=st.integers(1, 99),
+)
+@settings(**SETTINGS)
+def test_hash_sample_fractions_are_nested(spark, f1, f2):
+    from citibike_analysis_spark.operators.sampling import stratified_sample
+
+    lo, hi = sorted((f1, f2))
+    df = spark.range(400).withColumnRenamed("id", "doc_id")
+    small = {r["doc_id"] for r in stratified_sample(df, "doc_id", lo / 100).collect()}
+    big = {r["doc_id"] for r in stratified_sample(df, "doc_id", hi / 100).collect()}
+    assert small <= big
