@@ -939,6 +939,98 @@ FROM ranked WHERE rk <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# q70 — the MATERIALIZED deduped corpus: near-dup clusters (q46) reduced
+# to canonical documents only — the row set a training run would
+# actually read. Composes dedup_clusters with the keep-one-copy filter.
+# --------------------------------------------------------------------------
+
+def q70_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup_clusters(d, "doc_id", pairs)
+    kept = clusters.filter(F.col("doc_id") == F.col("canonical_id"))
+    return (
+        d.join(kept.select("doc_id", "cluster_size"), "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+Q70_SQL = (
+    Q46_SQL.rstrip()
+    .replace(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        "       canonical_id,\n"
+        "       count(*) OVER (PARTITION BY canonical_id) AS cluster_size\n"
+        "FROM labeled",
+        "SELECT CAST(l.doc_id AS BIGINT) AS doc_id, d.lang, d.source,\n"
+        "       CAST(sz.cluster_size AS BIGINT) AS cluster_size\n"
+        "FROM labeled l\n"
+        "JOIN (SELECT canonical_id, count(*) AS cluster_size FROM labeled GROUP BY 1) sz\n"
+        "  ON l.canonical_id = sz.canonical_id\n"
+        "JOIN documents d ON l.doc_id = d.doc_id\n"
+        "WHERE l.doc_id = l.canonical_id",
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# q71 — corpus-percentile quality gate: drop the bottom decile by the
+# q68 corpus-LM score. The cut point is a corpus statistic (exact
+# interpolated percentile, the q13 parity convention), broadcast as one
+# row — the adaptive-threshold filter a real pipeline runs, vs q59's
+# fixed-rule gate.
+# --------------------------------------------------------------------------
+
+def q71_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(d, "doc_id", "text").filter(
+        F.col("avg_logp").isNotNull()
+    )
+    cut = scored.agg(
+        F.expr("percentile(avg_logp, 0.1)").alias("_cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("avg_logp") > F.col("_cut"))
+        .select("doc_id", "n_tokens", F.round("avg_logp", 6).alias("avg_logp"))
+    )
+
+
+Q71_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), tkx AS (
+  SELECT doc_id, unnest(tk) AS t FROM toks
+), freq AS (
+  SELECT t, count(*) AS c FROM tkx GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM freq
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         avg(ln(c / CAST(n AS DOUBLE))) AS avg_logp
+  FROM tkx JOIN freq USING (t) CROSS JOIN tot
+  GROUP BY doc_id
+), cut AS (
+  SELECT quantile_cont(avg_logp, 0.1) AS c FROM scored
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       round(s.avg_logp, 6) AS avg_logp
+FROM scored s CROSS JOIN cut
+WHERE s.avg_logp > cut.c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -968,4 +1060,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q67_token_budget": QuerySpec(q67_token_budget, Q67_SQL, "§7 token-budget"),
     "q68_unigram_logprob": QuerySpec(q68_unigram_logprob, Q68_SQL, "§7 corpus-lm-quality"),
     "q69_tfidf_topk": QuerySpec(q69_tfidf_topk, Q69_SQL, "§7 tfidf-keywords"),
+    "q70_deduped_corpus": QuerySpec(q70_deduped_corpus, Q70_SQL, "§7 dedup-materialize"),
+    "q71_quality_percentile_gate": QuerySpec(
+        q71_quality_percentile_gate, Q71_SQL, "§7 adaptive-quality-gate"
+    ),
 }
