@@ -9,8 +9,9 @@ Headline set spans the engine's main cost shapes: grouped aggregation
 approx-quantile variant (q56), broadcast-join chain (q05), windowed
 rollup (q19), spatial band join (q21), shingle near-dup (q34), minhash
 LSH (q36), brute-force ANN (q38), as-of join (q41) and its bucketed
-hot-key-safe variant (q58), LSH-bucketed ANN (q44), and dedup
-clustering / connected components (q46).
+hot-key-safe variant (q58), LSH-bucketed ANN (q44), dedup
+clustering / connected components (q46), benchmark decontamination
+(q63), and corpus-statistics join-back (q68).
 """
 
 from __future__ import annotations
@@ -35,6 +36,8 @@ HEADLINE = [
     "q46_dedup_clusters",
     "q56_interesting_suppliers_scalable",
     "q58_asof_join_bucketed",
+    "q63_decontaminate",
+    "q68_unigram_logprob",
 ]
 
 
