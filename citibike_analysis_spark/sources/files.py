@@ -71,7 +71,42 @@ def write_parquet_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
-def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Size-bounded shard writer + manifest — the output stage of a
+    corpus build (training loaders want many same-sized shards, not one
+    multi-TB file or a million slivers).
+
+    ``maxRecordsPerFile`` splits each task's output at the bound, so
+    shard size is enforced regardless of partition skew; combine with
+    ``df.repartition(n)`` upstream to set the floor on parallelism.
+    Returns the manifest — one row per written shard with its row count
+    (computed from the written files' parquet footers: a count over
+    ``input_file_name()`` reads metadata, not data) — and writes it next
+    to the shards as ``<path>_manifest`` JSON for loaders that can't
+    list the filesystem.
+    """
+    spark = df.sparkSession
+    w = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+    from pyspark.sql import functions as F
+
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("shard"))
+        .count()
+        .withColumnRenamed("count", "n_rows")
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "_manifest")
+    return manifest
     """ORC scan with a declared schema — same contract as :func:`read_csv`:
     never infer (inference re-reads data and can flip types between
     files). ORC is Spark-native (no extra package), columnar, and

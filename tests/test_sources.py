@@ -178,3 +178,20 @@ def test_binary_file_ingestion_to_media(spark, tmp):
     # metadata pushdown: the length gate must reach the binaryFile scan
     plan = files._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "length" in plan.split("PushedFilters")[1][:120]
+
+
+def test_sharded_writer_bounds_and_manifest(spark, tmp):
+    from citibike_analysis_spark.sources.files import write_sharded
+
+    df = spark.range(1000).repartition(2)
+    manifest = write_sharded(df, f"{tmp}/shards", max_records_per_file=150)
+    rows = manifest.collect()
+    # every shard respects the bound; totals conserve
+    assert all(r["n_rows"] <= 150 for r in rows)
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert len(rows) >= 1000 // 150
+    # manifest persisted for loaders that can't list the filesystem
+    persisted = spark.read.json(f"{tmp}/shards_manifest")
+    assert persisted.count() == len(rows)
+    # round-trip intact
+    assert spark.read.parquet(f"{tmp}/shards").count() == 1000
