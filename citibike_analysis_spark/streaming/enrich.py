@@ -73,6 +73,42 @@ def dedup_documents(
     )
 
 
+def join_weather_streams(
+    samples: DataFrame,
+    weather: DataFrame,
+    sample_ts: str = "last_communication_time",
+    weather_ts: str = "time_hour",
+    zip_col: str = "zip",
+    sample_watermark: str = "1 hour",
+    weather_watermark: str = "3 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: live samples × live hourly weather.
+
+    The stream-static form (:func:`join_weather`) re-reads a maintained
+    weather table per micro-batch; when weather itself arrives as a
+    stream (the reference's hourly API cadence, README.md:745), Spark
+    needs buffered state on BOTH sides plus an event-time range in the
+    join condition to know when a sample can stop waiting for its hour's
+    weather row. The condition ``weather_ts ≤ sample_ts < weather_ts +
+    1h`` gives that bound: with the two watermarks, state for a given
+    hour is dropped once both streams' watermarks pass it — memory is
+    O(hours in the watermark window × zips), never O(stream).
+    ``weather_watermark`` should cover the weather feed's worst lateness
+    relative to samples (weather for hour H arrives during H or later).
+    """
+    s = samples.withWatermark(sample_ts, sample_watermark)
+    w = weather.withWatermark(weather_ts, weather_watermark).select(
+        F.col(zip_col).alias("__wzip"),
+        *[c for c in weather.columns if c != zip_col],
+    )
+    cond = (
+        (s[zip_col] == w["__wzip"])
+        & (s[sample_ts] >= w[weather_ts])
+        & (s[sample_ts] < w[weather_ts] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return s.join(w, cond, "inner").drop("__wzip")
+
+
 def join_weather(
     samples: DataFrame,
     weather: DataFrame,

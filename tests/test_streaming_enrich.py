@@ -161,3 +161,62 @@ def test_streaming_document_dedup_by_content(spark, dirs):
     rows = spark.table("docdd").collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 3]
     assert "_content_hash" not in spark.table("docdd").columns
+
+
+def test_stream_stream_interval_join(spark, dirs):
+    # both sides are live streams: each sample joins the weather row
+    # whose hour covers it, across micro-batches, with bounded state
+    import json
+    import os
+
+    from citibike_analysis_spark.streaming.enrich import join_weather_streams
+
+    os.makedirs(f"{dirs['in']}/samples", exist_ok=True)
+    os.makedirs(f"{dirs['in']}/weather", exist_ok=True)
+
+    def sline(station, ts):
+        return json.dumps(
+            {"station_id": station, "zip": "07306",
+             "last_communication_time": ts.isoformat(sep=" ")}
+        )
+
+    def wline(hour, temp):
+        return json.dumps(
+            {"zip": "07306", "time_hour": hour.isoformat(sep=" "), "temp": temp}
+        )
+
+    # batch 1: two samples in hour 08:00, weather for 08:00
+    with open(f"{dirs['in']}/samples/b1.jsonl", "w") as f:
+        f.write(sline(72, BASE + timedelta(minutes=5)) + "\n")
+        f.write(sline(79, BASE + timedelta(minutes=40)) + "\n")
+    with open(f"{dirs['in']}/weather/b1.jsonl", "w") as f:
+        f.write(wline(BASE, 61.0) + "\n")
+    # batch 2: a sample in hour 09:00 whose weather arrives in the SAME
+    # run but a different file — cross-file buffering on the weather side
+    with open(f"{dirs['in']}/samples/b2.jsonl", "w") as f:
+        f.write(sline(72, BASE + timedelta(hours=1, minutes=10)) + "\n")
+    with open(f"{dirs['in']}/weather/b2.jsonl", "w") as f:
+        f.write(wline(BASE + timedelta(hours=1), 64.0) + "\n")
+
+    samples = (
+        spark.readStream.schema(
+            "station_id LONG, zip STRING, last_communication_time TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{dirs['in']}/samples")
+    )
+    weather = (
+        spark.readStream.schema("zip STRING, time_hour TIMESTAMP, temp DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{dirs['in']}/weather")
+    )
+    joined = join_weather_streams(samples, weather)
+    _run_stream(
+        joined.select("station_id", "last_communication_time", "temp"),
+        "ssj",
+        dirs["ckpt"],
+    )
+    got = {
+        (r["station_id"], r["temp"]) for r in spark.table("ssj").collect()
+    }
+    assert got == {(72, 61.0), (79, 61.0), (72, 64.0)}
