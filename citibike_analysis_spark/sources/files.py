@@ -107,6 +107,9 @@ def write_sharded(
     )
     manifest.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "_manifest")
     return manifest
+
+
+def read_orc(spark: SparkSession, path: str, schema) -> DataFrame:
     """ORC scan with a declared schema — same contract as :func:`read_csv`:
     never infer (inference re-reads data and can flip types between
     files). ORC is Spark-native (no extra package), columnar, and
