@@ -377,6 +377,83 @@ def contamination_flags(
     )
 
 
+def dedup_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Chunk-level exact span dedup: split each document into consecutive
+    ``chunk_tokens``-token chunks, keep only the FIRST occurrence of each
+    distinct chunk corpus-wide (first = lowest (doc_id, chunk_idx)), and
+    reassemble the surviving chunks per document — the
+    repeated-span-removal step of corpus cleaning (boilerplate, quoted
+    reposts, license headers), at chunk rather than document granularity.
+
+    Output: (doc_id, n_chunks, n_kept, deduped_text) — one row per input
+    document; a document whose every chunk appeared earlier keeps
+    ``deduped_text = ''``.
+
+    Plan shape: one explode (≈ n_tokens/chunk_tokens rows per doc), one
+    window keyed on ``md5(chunk)`` (fixed-width 32-byte shuffle key,
+    uniform ⇒ no skew; md5 rather than xxhash64 so the oracle replays
+    the identical key), one groupBy to reassemble. Work is linear in
+    corpus size; nothing is quadratic and nothing collects.
+    """
+    tk = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    starts = F.when(
+        F.size("_tk") < 1, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size("_tk"), F.lit(chunk_tokens)))
+    chunks = tk.select(
+        "_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    F.floor((s - 1) / F.lit(chunk_tokens))
+                    .cast("long")
+                    .alias("idx"),
+                    F.concat_ws(" ", F.slice(F.col("_tk"), s, chunk_tokens)).alias(
+                        "chunk"
+                    ),
+                ),
+            )
+        ).alias("_c"),
+    ).select("_id", "_c.idx", "_c.chunk")
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("_id", "idx")
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("deduped_text"),
+        )
+    )
+    n_chunks = chunks.groupBy("_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(n_chunks, F.col("doc_id") == n_chunks["_id"], "left")
+        .drop("_id")
+        .join(kept, F.col("doc_id") == kept["_id"], "left")
+        .drop("_id")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+        )
+    )
+
+
 def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: (_id, _h long bit pattern).
 

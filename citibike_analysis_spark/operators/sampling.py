@@ -10,7 +10,7 @@ changes — the property a 100 TB corpus rebuild actually needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,6 +55,49 @@ def stratified_sample(
     parts = [F.col(c).cast("string") for c in (strata_cols or [])]
     key = F.concat_ws("|", *parts, F.col(id_col).cast("string"))
     return df.filter(hash_sample_predicate(key, fraction, salt))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every row a shard
+    and a position within the shard, both derived from ``md5(salt|id)``
+    — the "shuffle the corpus before training" step, reproducible across
+    cluster sizes, retries, and engines (no seed-per-partition state).
+
+    Output: input columns + (shard, pos). Reading the shards in shard
+    order and each shard in pos order replays one fixed pseudo-random
+    permutation of the corpus; a different ``salt`` draws an independent
+    permutation (epoch reshuffles).
+
+    Plan shape: shard = first 16 bits of the md5 mod ``n_shards`` (a
+    narrow projection), pos = row_number within the shard ordered by the
+    full hash — one shuffle on ``shard``, one in-partition sort. md5
+    uniformity makes shards equal-sized to binomial noise, so the sort is
+    per-shard bounded: choose ``n_shards`` ≈ corpus_rows/shard_target
+    (at 100 TB, thousands of shards — each a few GB — not 16; each sort
+    then fits an executor). The window never sees a global order.
+    """
+    if n_shards < 1 or n_shards > 0x10000:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    key = (
+        F.col(id_col).cast("string")
+        if not salt
+        else F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    h = F.md5(key)
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    with_h = df.withColumn("_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        with_h.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
 
 
 def weighted_mixture(

@@ -1031,6 +1031,122 @@ WHERE s.avg_logp > cut.c
 """
 
 
+# --------------------------------------------------------------------------
+# q72 — exact heavy-hitter tokens via two-pass Misra–Gries: the sketch
+# (pass 1) bounds state on an unbounded token tail; the exact recount
+# (pass 2) makes the composed result deterministic, so despite the
+# sketch this is hash-verified against a plain count-and-gate oracle.
+# --------------------------------------------------------------------------
+
+_Q72_MIN_FRACTION = 0.02
+
+
+def q72_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sketches import frequent_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return frequent_tokens(d, "text", min_fraction=_Q72_MIN_FRACTION)
+
+
+Q72_SQL = f"""
+WITH toks AS (
+  SELECT {_DUCK_TOKENS} AS tk FROM documents
+), tkx AS (
+  SELECT unnest(tk) AS token FROM toks
+), tot AS (
+  SELECT count(*) AS n FROM tkx
+)
+SELECT token, count(*) AS n_occurrences,
+       round(count(*) / CAST(n AS DOUBLE), 6) AS frequency
+FROM tkx CROSS JOIN tot
+GROUP BY token, n
+HAVING count(*) >= {_Q72_MIN_FRACTION} * n
+"""
+
+
+# --------------------------------------------------------------------------
+# q74 — chunk-level exact span dedup: remove every repeated
+# ``chunk_tokens``-token span corpus-wide (keep the first occurrence),
+# reassemble documents from their surviving chunks — repeated-span
+# cleaning at sub-document granularity.
+# --------------------------------------------------------------------------
+
+_Q74_CHUNK = 20
+
+
+def q74_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import dedup_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_chunks(d, "doc_id", "text", chunk_tokens=_Q74_CHUNK)
+
+
+Q74_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), chunks AS (
+  SELECT doc_id,
+         CAST(floor((s.s - 1) / {_Q74_CHUNK}) AS BIGINT) AS idx,
+         array_to_string(tk[s.s : s.s + {_Q74_CHUNK - 1}], ' ') AS chunk
+  FROM toks, unnest(generate_series(1, len(tk), {_Q74_CHUNK})) AS s(s)
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM chunks
+), kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS deduped_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), nch AS (
+  SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(n.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.deduped_text, '') AS deduped_text
+FROM documents d
+LEFT JOIN nch n ON d.doc_id = n.doc_id
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q75 — deterministic training shuffle: every document gets a (shard,
+# pos) from md5 of its id — the reproducible "shuffle the corpus before
+# training" permutation, replayed identically by the oracle.
+# --------------------------------------------------------------------------
+
+_Q75_SHARDS = 8
+
+
+def q75_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = shuffle_shards(d, "doc_id", n_shards=_Q75_SHARDS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("shard").cast("long").alias("shard"),
+        "pos",
+    )
+
+
+Q75_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), s AS (
+  SELECT doc_id, source, hx,
+         CAST(('0x' || substr(hx, 1, 4)) AS INT) % {_Q75_SHARDS} AS shard
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1064,4 +1180,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q71_quality_percentile_gate": QuerySpec(
         q71_quality_percentile_gate, Q71_SQL, "§7 adaptive-quality-gate"
     ),
+    "q72_frequent_tokens": QuerySpec(q72_frequent_tokens, Q72_SQL, "§7 heavy-hitters"),
+    "q74_chunk_dedup": QuerySpec(q74_chunk_dedup, Q74_SQL, "§7 dedup-chunks"),
+    "q75_shuffle_shards": QuerySpec(q75_shuffle_shards, Q75_SQL, "§7 training-shuffle"),
 }

@@ -1429,6 +1429,44 @@ def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q73 — grouped linear-regression aggregates (§2.11-ext): per market
+# segment, the OLS slope/intercept of order value over time. Spark's
+# regr_* aggregates are single-pass mergeable moments (map-side partial
+# agg, JVM codegen) — the trend-per-group computation that pandas users
+# run as groupby().apply(np.polyfit), kept fully distributed here.
+# --------------------------------------------------------------------------
+
+def q73_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # days since an in-corpus epoch: keeps moment magnitudes small so the
+    # regr_* float error stays far inside the 6-decimal rounding
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_mktsegment", days.cast("double").alias("_x"), F.col("o_totalprice").alias("_y"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.regr_slope("_y", "_x"), 6).alias("slope"),
+            F.round(F.regr_intercept("_y", "_x"), 6).alias("intercept"),
+        )
+    )
+
+
+Q73_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(regr_slope(o_totalprice,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)), 6) AS slope,
+       round(regr_intercept(o_totalprice,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)), 6) AS intercept
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1453,5 +1491,6 @@ QUERIES.update(
         "q58_asof_join_bucketed": QuerySpec(
             q58_asof_join_bucketed, Q41_SQL, "§2.3-ext as-of §4 skew"
         ),
+        "q73_order_trend": QuerySpec(q73_order_trend, Q73_SQL, "§2.11-ext regression"),
     }
 )

@@ -239,3 +239,137 @@ class TestCorpusStats:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestFrequentTokens:
+    def test_exact_above_threshold_with_eviction(self, spark):
+        """Vocab far wider than the sketch capacity: pass-1 eviction must
+        still never drop a true heavy hitter, and pass-2 recount makes
+        the final set exact."""
+        from citibike_analysis_spark.operators.sketches import frequent_tokens
+
+        # 2 heavy tokens (100 + 60 occurrences) drowned in a 300-token
+        # distinct tail; total N = 460, so fractions are ~0.217 / ~0.130.
+        rows = (
+            [(i, "heavy") for i in range(100)]
+            + [(1000 + i, "warm") for i in range(60)]
+            + [(2000 + i, f"tail{i}") for i in range(300)]
+        )
+        df = spark.createDataFrame(rows, "doc_id: long, text: string").repartition(7)
+        got = {
+            r["token"]: r["n_occurrences"]
+            for r in frequent_tokens(df, "text", min_fraction=0.1, capacity=10).collect()
+        }
+        assert got == {"heavy": 100, "warm": 60}
+
+    def test_frequency_and_gate_boundary(self, spark):
+        from citibike_analysis_spark.operators.sketches import frequent_tokens
+
+        # 10 tokens total: "a" x5, "b" x3, c,d: 1 each.  min_fraction=0.3
+        # keeps a (0.5) and b (exactly 0.3 — >= gate keeps it).
+        df = spark.createDataFrame(
+            [(0, "a a a a a b b"), (1, "b c d")], "doc_id: long, text: string"
+        )
+        got = {
+            r["token"]: r["frequency"]
+            for r in frequent_tokens(df, "text", min_fraction=0.3).collect()
+        }
+        assert got == {"a": 0.5, "b": 0.3}
+
+    def test_capacity_below_guarantee_raises(self, spark):
+        from citibike_analysis_spark.operators.sketches import frequent_tokens
+
+        df = spark.createDataFrame([(0, "x")], "doc_id: long, text: string")
+        with pytest.raises(ValueError, match="capacity"):
+            frequent_tokens(df, "text", min_fraction=0.1, capacity=5)
+
+
+class TestChunkDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from citibike_analysis_spark.operators.dedup import dedup_chunks
+
+        # chunk size 2: doc 0 = [a b][c d], doc 1 = [a b][x y] (first chunk
+        # duplicates doc 0's), doc 2 = [c d] (duplicates doc 0's 2nd chunk),
+        # doc 3 repeats its own chunk, doc 4 is empty.
+        df = spark.createDataFrame(
+            [
+                (0, "a b c d"),
+                (1, "a b x y"),
+                (2, "c d"),
+                (3, "p q p q"),
+                (4, ""),
+            ],
+            "doc_id: long, text: string",
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["deduped_text"])
+            for r in dedup_chunks(df, "doc_id", "text", chunk_tokens=2).collect()
+        }
+        assert got[0] == (2, 2, "a b c d")
+        assert got[1] == (2, 1, "x y")
+        assert got[2] == (1, 0, "")
+        assert got[3] == (2, 1, "p q")
+        assert got[4] == (0, 0, "")
+
+    def test_tail_chunk_shorter_than_width_is_its_own_unit(self, spark):
+        from citibike_analysis_spark.operators.dedup import dedup_chunks
+
+        # "e" tail chunk of doc 0 equals doc 1's whole text — dedup'd.
+        df = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "e")], "doc_id: long, text: string"
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["deduped_text"])
+            for r in dedup_chunks(df, "doc_id", "text", chunk_tokens=2).collect()
+        }
+        assert got[0] == (3, 3, "a b c d e")
+        assert got[1] == (1, 0, "")
+
+
+class TestShuffleShards:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        from citibike_analysis_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id"
+        )
+
+    def test_is_a_permutation(self, spark, docs):
+        from citibike_analysis_spark.operators.sampling import shuffle_shards
+
+        out = shuffle_shards(docs, "doc_id", n_shards=4).collect()
+        n = docs.count()
+        assert len(out) == n
+        assert len({r["doc_id"] for r in out}) == n  # every row exactly once
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_stable_under_repartition(self, spark, docs):
+        from citibike_analysis_spark.operators.sampling import shuffle_shards
+
+        a = {
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in shuffle_shards(docs, "doc_id", n_shards=4).collect()
+        }
+        b = {
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in shuffle_shards(docs.repartition(13), "doc_id", n_shards=4).collect()
+        }
+        assert a == b
+
+    def test_salt_draws_independent_permutation(self, spark, docs):
+        from citibike_analysis_spark.operators.sampling import shuffle_shards
+
+        a = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_shards(docs, "doc_id", n_shards=4).collect()
+        }
+        b = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_shards(docs, "doc_id", n_shards=4, salt="epoch1").collect()
+        }
+        assert a != b  # astronomically unlikely to coincide
