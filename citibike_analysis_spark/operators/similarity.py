@@ -317,6 +317,184 @@ def lsh_index_topk(
     )
 
 
+def _cent_df(spark, cents) -> DataFrame:
+    """Centroid list → tiny broadcastable frame (cid, _cvec)."""
+    return spark.createDataFrame(cents, "cid: int, _cvec: array<double>")
+
+
+def _assign_nearest(df: DataFrame, idname: str, vec: str, cents) -> DataFrame:
+    """Assign each vector to its max-cosine centroid: broadcast-join then
+    min(struct) pick — the group key is the id, the vector rides as
+    any_value. Output: (idname, vec, cid, _cos). Ties break on cid."""
+    scored = df.crossJoin(
+        F.broadcast(_cent_df(df.sparkSession, cents))
+    ).withColumn(
+        "_d",
+        dot(F.col(vec), F.col("_cvec")) / (norm(F.col(vec)) * norm(F.col("_cvec"))),
+    )
+    return (
+        scored.groupBy(idname)
+        .agg(
+            F.min(F.struct((-F.col("_d")).alias("nd"), F.col("cid"))).alias("_m"),
+            F.any_value(vec).alias(vec),
+        )
+        .select(
+            idname, vec, F.col("_m.cid").alias("cid"), (-F.col("_m.nd")).alias("_cos")
+        )
+    )
+
+
+def _train_centroids(
+    c: DataFrame, idname: str, vec: str, k: int, train_iters: int
+):
+    """Lloyd iterations with driver-held centroids (k × dim doubles — the
+    same scale contract as Spark MLlib KMeans centers). Determinism: init
+    takes the k lowest-id vectors; assignment ties break on centroid id;
+    per-iteration means are rounded to 6 decimals so float summation
+    order cannot flip assignments across runs; empty clusters keep their
+    previous centroid. Per iteration the corpus is touched once
+    (broadcast join + one aggregation) — never a corpus self-join."""
+    centroids = [
+        (i, r[vec]) for i, r in enumerate(c.orderBy(idname).limit(k).collect())
+    ]
+    for _ in range(train_iters):
+        assigned = _assign_nearest(c, idname, vec, centroids)
+        new_means = (
+            assigned.select("cid", F.posexplode(vec).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: F.round(s["v"], 6),
+                ).alias("_cvec")
+            )
+        )
+        updated = {r["cid"]: r["_cvec"] for r in new_means.collect()}
+        centroids = [(cid, updated.get(cid, v)) for cid, v in centroids]
+    return centroids
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    train_iters: int = 4,
+) -> DataFrame:
+    """Spherical k-means cluster assignment over an embedding column:
+    (vec_id, cid, cosine_to_centroid) — the clustering substrate for
+    corpus curation (topic balancing, SemDeDup, IVF indexing).
+
+    Scale shape identical to :func:`ivf_topk`'s training phase: centroids
+    are k × dim doubles on the driver (broadcast each iteration), the
+    corpus is scanned once per iteration plus once to emit — no
+    collect of corpus rows, no self-join. The driver round-trip per
+    iteration is k rows.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    cents = _train_centroids(c, "_id", "_v", k, train_iters)
+    return _assign_nearest(c, "_id", "_v", cents).select(
+        F.col("_id").cast("long").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        F.round("_cos", 6).alias("cosine_to_centroid"),
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    k: int = 8,
+    train_iters: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then compare only
+    WITHIN-cluster pairs with exact cosine — (id_a, id_b, cosine_sim),
+    a < b, cosine ≥ threshold.
+
+    The cluster equi-join replaces the all-pairs product: candidate work
+    is Σ|cluster|², so ``k`` is the knob that bounds it (at corpus scale
+    pick k ≈ n/1000 — clusters of ~10³ vectors make the within-cluster
+    product ~10⁶ rows per cluster, trivially parallel by cid). Misses
+    only pairs k-means separates — recall vs the exact all-pairs form is
+    pinned in tests; precision is exact (every emitted pair is verified).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    cents = _train_centroids(c, "_id", "_v", k, train_iters)
+    assigned = _assign_nearest(c, "_id", "_v", cents).select("_id", "_v", "cid")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("cosine_sim", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        .select(
+            F.col("a._id").cast("long").alias("id_a"),
+            F.col("b._id").cast("long").alias("id_b"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def quantization_error(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization audit: quantize each
+    embedding to ``bits``-bit integers (scale = max|v| / (2^(bits-1)-1),
+    round-half-up), dequantize, and report the reconstruction MSE —
+    (vec_id, scale, mse). The storage-sizing question every embedding
+    corpus answers before committing to int8: what does 4× compression
+    cost in fidelity, per vector?
+
+    Pure array expressions (JVM codegen, no UDF, no shuffle at all —
+    a narrow projection over the corpus). Round-half-up is spelled
+    ``floor(x/scale + 0.5)`` — identical IEEE semantics in any engine,
+    unlike round() whose half-even/half-away convention differs. A
+    zero vector (scale 0) quantizes to zeros with mse 0.
+    """
+    levels = (1 << (bits - 1)) - 1
+    v = as_double(F.col(vec_col))
+    df = corpus.select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+    scale = (
+        F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))) / levels
+    )
+    df = df.withColumn("_scale", scale)
+    q = F.when(
+        F.col("_scale") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("_scale") + 0.5).cast("double"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0.0)))
+    df = df.withColumn("_q", q)
+    sqerr = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_q"),
+            lambda x, b: (x - b * F.col("_scale")) * (x - b * F.col("_scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return df.select(
+        F.col("vec_id").cast("long"),
+        F.round("_scale", 9).alias("scale"),
+        F.round(sqerr / F.size("_v"), 10).alias("mse"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -350,58 +528,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     )
     spark = corpus.sparkSession
-
-    # --- train: Lloyd iterations with driver-held centroids -------------
-    centroids = [
-        (i, r["_cv"])
-        for i, r in enumerate(
-            c.orderBy("neighbor_id").limit(nlist).collect()
-        )
-    ]
+    centroids = _train_centroids(c, "neighbor_id", "_cv", nlist, train_iters)
 
     def cent_df(cents):
-        return spark.createDataFrame(
-            cents, "cid: int, _cvec: array<double>"
-        )
-
-    def assign(df: DataFrame, idname: str, vec: str, cents) -> DataFrame:
-        """argmin over centroids: broadcast-join then min(struct) pick —
-        the group key is the id, the vector rides as any_value."""
-        scored = df.crossJoin(F.broadcast(cent_df(cents))).withColumn(
-            "_d", dot(F.col(vec), F.col("_cvec"))
-            / (norm(F.col(vec)) * norm(F.col("_cvec"))),
-        )
-        return (
-            scored.groupBy(idname)
-            .agg(
-                F.min(
-                    F.struct((-F.col("_d")).alias("nd"), F.col("cid"))
-                ).alias("_m"),
-                F.any_value(vec).alias(vec),
-            )
-            .select(idname, vec, F.col("_m.cid").alias("cid"))
-        )
-
-    for _ in range(train_iters):
-        assigned = assign(c, "neighbor_id", "_cv", centroids)
-        new_means = (
-            assigned.select("cid", F.posexplode("_cv").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("v"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: F.round(s["v"], 6),
-                ).alias("_cvec")
-            )
-        )
-        updated = {r["cid"]: r["_cvec"] for r in new_means.collect()}
-        # empty clusters keep their previous centroid
-        centroids = [(cid, updated.get(cid, vec)) for cid, vec in centroids]
+        return _cent_df(spark, cents)
 
     # --- index + probe --------------------------------------------------
-    lists = assign(c, "neighbor_id", "_cv", centroids)
+    lists = _assign_nearest(c, "neighbor_id", "_cv", centroids).drop("_cos")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )

@@ -1147,6 +1147,67 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# q76 — spherical k-means assignment over embeddings; q77 — SemDeDup
+# semantic near-dup pairs (cluster-then-compare). Iterative training is
+# not SQL-expressible → no oracle (rows-only driver check); pytest pins
+# assignment self-consistency and recall vs the exact all-pairs form.
+# --------------------------------------------------------------------------
+
+def q76_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.similarity import kmeans_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(e, "vec_id", "embedding", k=8, train_iters=3)
+
+
+def q77_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.similarity import semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, k=8, train_iters=3
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — int8 quantization audit: per-vector scale + reconstruction MSE.
+# Every arithmetic step (abs-max, /127, floor-half-up, squared error,
+# sequential sum) is an identical IEEE op sequence in both engines, so
+# this hash-matches despite being float-heavy.
+# --------------------------------------------------------------------------
+
+def q78_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.similarity import quantization_error
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantization_error(e, "vec_id", "embedding", bits=8)
+
+
+Q78_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vv,
+         list_max(list_transform(vv, x -> abs(x))) / 127 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, vv, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(vv, x -> floor(x / scale + 0.5))
+              ELSE list_transform(vv, x -> 0.0) END AS qq
+  FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(scale, 9) AS scale,
+       round(list_sum(list_transform(vv, (x, i) ->
+               (x - qq[i] * scale) * (x - qq[i] * scale)))
+             / len(vv), 10) AS mse
+FROM q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1183,4 +1244,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q72_frequent_tokens": QuerySpec(q72_frequent_tokens, Q72_SQL, "§7 heavy-hitters"),
     "q74_chunk_dedup": QuerySpec(q74_chunk_dedup, Q74_SQL, "§7 dedup-chunks"),
     "q75_shuffle_shards": QuerySpec(q75_shuffle_shards, Q75_SQL, "§7 training-shuffle"),
+    "q76_kmeans_clusters": QuerySpec(q76_kmeans_clusters, None, "§7 embedding-clustering"),
+    "q77_semantic_dedup": QuerySpec(q77_semantic_dedup, None, "§7 dedup-semantic"),
+    "q78_quantization_error": QuerySpec(
+        q78_quantization_error, Q78_SQL, "§7 embedding-quantization"
+    ),
 }

@@ -1,0 +1,149 @@
+"""Embedding clustering / semantic-dedup / quantization tests (r2):
+
+- k-means: assignment is argmax-cosine against the trained centroids
+  (numpy recomputation), deterministic under repartitioning
+- SemDeDup: k=1 equals the exact all-pairs form; k>1 is a verified
+  subset with pinned recall on the test corpus
+- quantization: numpy round-trip parity; zero-vector guard
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from citibike_analysis_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def _np_vectors(emb) -> dict[int, np.ndarray]:
+    return {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+
+def _exact_pairs(vecs: dict[int, np.ndarray], threshold: float) -> set[tuple[int, int]]:
+    ids = sorted(vecs)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= threshold:
+                out.add((a, b))
+    return out
+
+
+class TestKMeans:
+    def test_assignment_is_argmax_cosine(self, spark, emb):
+        from citibike_analysis_spark.operators.similarity import (
+            _train_centroids,
+            as_double,
+            kmeans_clusters,
+        )
+
+        k = 4
+        c = emb.select(
+            F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")
+        )
+        cents = {
+            cid: np.array(v, dtype=np.float64)
+            for cid, v in _train_centroids(c, "_id", "_v", k, train_iters=3)
+        }
+        got = {
+            r["vec_id"]: (r["cid"], r["cosine_to_centroid"])
+            for r in kmeans_clusters(emb, k=k, train_iters=3).collect()
+        }
+        vecs = _np_vectors(emb)
+        assert set(got) == set(vecs)
+        for vid, (cid, cos) in got.items():
+            v = vecs[vid]
+            sims = {
+                c_id: float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv)))
+                for c_id, cv in cents.items()
+            }
+            best = max(sims.values())
+            # ties break on lowest cid (min-struct pick)
+            expect_cid = min(c_id for c_id, s in sims.items() if s == best)
+            assert cid == expect_cid, vid
+            assert cos == pytest.approx(best, abs=1e-6)
+
+    def test_deterministic_under_repartition(self, spark, emb):
+        from citibike_analysis_spark.operators.similarity import kmeans_clusters
+
+        a = sorted(
+            tuple(r) for r in kmeans_clusters(emb, k=4, train_iters=2).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in kmeans_clusters(
+                emb.repartition(11), k=4, train_iters=2
+            ).collect()
+        )
+        assert a == b
+
+    def test_single_cluster(self, spark, emb):
+        from citibike_analysis_spark.operators.similarity import kmeans_clusters
+
+        out = kmeans_clusters(emb, k=1, train_iters=1)
+        assert out.select("cid").distinct().collect()[0]["cid"] == 0
+
+
+class TestSemanticDedup:
+    THRESHOLD = 0.4
+
+    def test_k1_equals_exact_all_pairs(self, spark, emb):
+        from citibike_analysis_spark.operators.similarity import semantic_dedup_pairs
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_dedup_pairs(
+                emb, threshold=self.THRESHOLD, k=1, train_iters=1
+            ).collect()
+        }
+        assert got == _exact_pairs(_np_vectors(emb), self.THRESHOLD)
+
+    def test_clustered_is_verified_subset_with_recall(self, spark, emb):
+        from citibike_analysis_spark.operators.similarity import semantic_dedup_pairs
+
+        exact = _exact_pairs(_np_vectors(emb), self.THRESHOLD)
+        rows = semantic_dedup_pairs(
+            emb, threshold=self.THRESHOLD, k=4, train_iters=3
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in rows}
+        assert got <= exact  # precision exact: every pair cosine-verified
+        # label-structured corpus: k-means recovers most same-cluster pairs
+        assert exact and len(got) / len(exact) >= 0.5
+
+
+class TestQuantization:
+    def test_numpy_parity(self, spark, emb):
+        from citibike_analysis_spark.operators.similarity import quantization_error
+
+        got = {
+            r["vec_id"]: (r["scale"], r["mse"])
+            for r in quantization_error(emb).collect()
+        }
+        for vid, v in _np_vectors(emb).items():
+            scale = float(np.max(np.abs(v))) / 127
+            q = np.floor(v / scale + 0.5)
+            mse = float(np.mean((v - q * scale) ** 2))
+            assert got[vid][0] == pytest.approx(scale, abs=1e-9)
+            assert got[vid][1] == pytest.approx(mse, abs=1e-10)
+
+    def test_zero_vector_guard(self, spark):
+        from citibike_analysis_spark.operators.similarity import quantization_error
+
+        df = spark.createDataFrame(
+            [(0, [0.0] * 4), (1, [1.0, -2.0, 0.5, 0.25])],
+            "vec_id: long, embedding: array<float>",
+        )
+        got = {r["vec_id"]: (r["scale"], r["mse"]) for r in quantization_error(df).collect()}
+        assert got[0] == (0.0, 0.0)
+        assert got[1][0] == pytest.approx(2.0 / 127, abs=1e-9)
