@@ -9,6 +9,7 @@ collapses the shared projection).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -201,6 +202,45 @@ def normalize_text(text: Column | str) -> Column:
     text = F.col(text) if isinstance(text, str) else text
     squashed = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
     return F.trim(squashed)
+
+
+def nfc_lower(text: Column | str) -> Column:
+    """Unicode canonicalization for dedup: NFC normalization + Unicode
+    lowercase, as an Arrow-batched pandas UDF — the widening of
+    :func:`normalize_text`'s deliberate ASCII scope to full Unicode.
+    Composed vs decomposed accents (é vs e+◌́) and case variants
+    normalize byte-identically, so exact dedup on the result catches
+    encoding-variant duplicates.
+
+    Convention: NFC + SIMPLE Unicode lowercase (one char → one char,
+    no context) — the convention of SQL engines' ``lower`` (utf8proc /
+    ICU simple mapping), which DuckDB's ``lower(nfc_normalize(s))``
+    reproduces exactly (pytest pins parity on non-ASCII samples).
+    Python's ``str.lower()`` is the FULL mapping and diverges in exactly
+    two measured places: the context-sensitive Greek final sigma
+    (ΣΑΣ → σας full vs σασ simple) and one-to-many İ → i+̇ (simple: i);
+    per-character lowering with an İ override reproduces the simple
+    mapping. Not ``casefold`` (ß→ss etc. diverges further). Python-side
+    on purpose: the JVM has no NFC expression — this is the documented
+    seam where a pandas UDF is the right tool (SURVEY.md §2.10), and it
+    stays Arrow-vectorized per batch with an ASCII fast path.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _simple_lower(x: str) -> str:
+        if x.isascii():
+            return x.lower()
+        nfc = unicodedata.normalize("NFC", x)
+        return "".join(map(str.lower, nfc.translate({0x130: "i"})))
+
+    @pandas_udf("string")
+    def _nfc_lower(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else _simple_lower(x))
+
+    text = F.col(text) if isinstance(text, str) else text
+    return _nfc_lower(text)
 
 
 def bag_fingerprint(text: Column | str) -> Column:

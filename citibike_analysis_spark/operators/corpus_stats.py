@@ -55,6 +55,63 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram conditional log-likelihood under the
+    corpus's own bigram distribution:
+    ``avg over bigram occurrences of ln(c(w1 w2) / c(w1 ·))``, where
+    ``c(w1 ·)`` counts bigram occurrences starting with ``w1``.
+
+    The order-sensitive upgrade of :func:`unigram_logprob`: a document of
+    common tokens in an uncommon ORDER (shuffled text, word salad) scores
+    low here while scoring normally on unigrams — the cheap n-gram
+    proxy for model-based perplexity filtering. Output:
+    (doc_id, n_bigrams, avg_logp) — avg_logp null for documents with
+    fewer than two tokens.
+
+    Same scale shape as unigram_logprob: one explode (n-1 rows per doc),
+    bigram- and context-keyed aggregations whose shuffles carry one row
+    per DISTINCT bigram/context, and an equi-join back to occurrences.
+    """
+    tk = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    idx = F.when(
+        F.size("_tk") < 2, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size("_tk") - 1))
+    bg = tk.select(
+        "_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("_tk"), i).alias("_w1"),
+                    F.element_at(F.col("_tk"), i + 1).alias("_w2"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "_b._w1", "_b._w2")
+    freq = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c"))
+    ctx = freq.groupBy("_w1").agg(F.sum("_c").alias("_cw1"))
+    scored = (
+        bg.join(freq, ["_w1", "_w2"])
+        .join(ctx, "_w1")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(F.log(F.col("_c") / F.col("_cw1"))).alias("_avg"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("_avg", 6).alias("avg_logp"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -103,6 +103,54 @@ def top_k_per_group(
     return df.withColumn(out, rk.cast("long")).filter(F.col(out) <= k)
 
 
+def pack_offsets(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    cost_col: str,
+    window_size: int,
+) -> DataFrame:
+    """Sequence packing for training: concatenate each group's documents
+    in ``order_cols`` order and cut the stream into fixed
+    ``window_size``-token training windows — every document gets its
+    stream ``offset``, its starting ``window_idx``, its offset within
+    that window, and how many windows it spans (documents crossing a
+    boundary are the ones a loader must split or mask).
+
+    This is the "pack then chunk" layout step of LLM data prep — the
+    successor of :func:`budget_select` (which truncates; packing keeps
+    everything and tells the loader where each document lands).
+
+    One sort+window pass per group (cumulative sum), same scale contract
+    as :func:`sessionize`: partition by the group columns — a group's
+    stream must fit a task's sort, so group by shard/source, never
+    globally. Order MUST include a unique tie-break.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(cost_col).over(w)
+    offset = (cum - F.col(cost_col)).cast("long")
+    end = cum.cast("long")  # exclusive end of this doc's token span
+    window_idx = F.floor(offset / F.lit(window_size)).cast("long")
+    last_window = F.floor((end - 1) / F.lit(window_size)).cast("long")
+    return (
+        df.withColumn("offset", offset)
+        .withColumn("window_idx", window_idx)
+        .withColumn(
+            "window_offset", (F.col("offset") % F.lit(window_size)).cast("long")
+        )
+        .withColumn(
+            "n_windows",
+            F.when(F.col(cost_col) <= 0, F.lit(0)).otherwise(
+                last_window - window_idx + 1
+            ).cast("long"),
+        )
+    )
+
+
 def budget_select(
     df: DataFrame,
     partition_cols: list[str],

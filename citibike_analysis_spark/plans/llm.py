@@ -1208,6 +1208,138 @@ FROM q
 """
 
 
+# --------------------------------------------------------------------------
+# q79 — bigram conditional LM score: the order-sensitive perplexity
+# proxy (word-salad detector) complementing q68's unigram form.
+# --------------------------------------------------------------------------
+
+def q79_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+Q79_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), bg AS (
+  SELECT doc_id, tk[t.i] AS w1, tk[t.i + 1] AS w2
+  FROM toks,
+       unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS t(i)
+), freq AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c) AS cw1 FROM freq GROUP BY 1
+), scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         avg(ln(c / CAST(cw1 AS DOUBLE))) AS avg_logp
+  FROM bg JOIN freq USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(s.avg_logp, 6) AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q80 — Unicode-normalized exact dedup: NFC + lowercase via an
+# Arrow-batched pandas UDF (the §2.10 seam done for real), hash-matched
+# against DuckDB's lower(nfc_normalize()). The ASCII corpus makes the
+# sf-level result coincide with q30; the non-trivial parity (composed vs
+# decomposed accents, case variants) is pinned in pytest against DuckDB
+# on constructed Unicode samples.
+# --------------------------------------------------------------------------
+
+def q80_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import nfc_lower
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(nfc_lower(F.col("text"))).alias("content_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+Q80_SQL = """
+SELECT md5(lower(nfc_normalize(text))) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q81 — sequence packing: concatenate each source's documents (doc_id
+# order) and cut into fixed 64-token training windows; every document
+# reports its offset, window, and span. The "pack then chunk" layout
+# step of LLM data prep.
+# --------------------------------------------------------------------------
+
+_Q81_WINDOW = 64
+
+
+def q81_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.windows import pack_offsets
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_offsets(d, ["source"], [F.asc("doc_id")], "n_tokens", _Q81_WINDOW)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "offset",
+        "window_idx",
+        "window_offset",
+        "n_windows",
+    )
+
+
+Q81_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS off,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) AS endx
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS offset,
+       CAST(floor(off / {_Q81_WINDOW}) AS BIGINT) AS window_idx,
+       CAST(off % {_Q81_WINDOW} AS BIGINT) AS window_offset,
+       CAST(CASE WHEN n_tokens <= 0 THEN 0
+                 ELSE floor((endx - 1) / {_Q81_WINDOW})
+                      - floor(off / {_Q81_WINDOW}) + 1 END AS BIGINT) AS n_windows
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# q82 — distributed PCA projection: moment pass (one row per partition)
+# + driver eigh + broadcast projection. The eigenproblem is not
+# SQL-expressible → rows-only; numpy parity is pinned in pytest.
+# --------------------------------------------------------------------------
+
+def q82_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.decomposition import pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_project(e, "vec_id", "embedding", n_components=4)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1249,4 +1381,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q78_quantization_error": QuerySpec(
         q78_quantization_error, Q78_SQL, "§7 embedding-quantization"
     ),
+    "q79_bigram_logprob": QuerySpec(q79_bigram_logprob, Q79_SQL, "§7 corpus-lm-bigram"),
+    "q80_unicode_dedup": QuerySpec(q80_unicode_dedup, Q80_SQL, "§7 dedup-unicode §2.10"),
+    "q81_pack_offsets": QuerySpec(q81_pack_offsets, Q81_SQL, "§7 sequence-packing"),
+    "q82_pca_project": QuerySpec(q82_pca_project, None, "§7 embedding-pca"),
 }

@@ -373,3 +373,173 @@ class TestShuffleShards:
             for r in shuffle_shards(docs, "doc_id", n_shards=4, salt="epoch1").collect()
         }
         assert a != b  # astronomically unlikely to coincide
+
+
+class TestBigramLogprob:
+    def test_hand_corpus(self, spark):
+        import math
+
+        from citibike_analysis_spark.operators.corpus_stats import bigram_logprob
+
+        # corpus bigrams: "a b" x2 (docs 0,1), "b a" x1 (doc 1).
+        # contexts: c(a .) = 2, c(b .) = 1.
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, "a b a"), (2, "solo"), (3, "")],
+            "doc_id: long, text: string",
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+            for r in bigram_logprob(df, "doc_id", "text").collect()
+        }
+        # doc 0: one bigram "a b": ln(2/2) = 0
+        assert got[0] == (1, 0.0)
+        # doc 1: "a b" -> ln(2/2)=0, "b a" -> ln(1/1)=0 => avg 0
+        assert got[1] == (2, 0.0)
+        # one-token and empty docs: no bigrams, null score
+        assert got[2] == (0, None)
+        assert got[3] == (0, None)
+
+    def test_word_salad_scores_below_fluent(self, spark):
+        from citibike_analysis_spark.operators.corpus_stats import bigram_logprob
+
+        fluent = [(i, "the cat sat on the mat") for i in range(20)]
+        salad = [(100, "mat the on cat the sat")]  # same unigrams, rare order
+        df = spark.createDataFrame(fluent + salad, "doc_id: long, text: string")
+        got = {r["doc_id"]: r["avg_logp"] for r in bigram_logprob(df, "doc_id", "text").collect()}
+        assert got[100] < got[0]
+
+
+class TestNfcLower:
+    def test_duckdb_parity_on_unicode(self, spark):
+        """The convention is pinned to DuckDB's lower(nfc_normalize()):
+        composed/decomposed accents, case variants, Greek sigma."""
+        import duckdb
+
+        from citibike_analysis_spark.functions.text import nfc_lower
+
+        samples = [
+            "Café",          # decomposed é → composed + lower
+            "Café",           # composed é
+            "STRASSE und ß",  # sharp s stays ß under lower (not casefold)
+            "ΣΑΣ",  # final sigma: simple mapping gives σασ (not full's σας)
+            "İstanbul I",     # dotted capital I: simple mapping İ → i
+            "Å",              # Angstrom sign → NFC composes to Å
+            "ＡＢＣ ǅungla",   # fullwidth + titlecase digraph
+            "mixed ASCII Text",
+        ]
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i: long, t: string")
+        got = {r["i"]: r["n"] for r in df.select("i", nfc_lower("t").alias("n")).collect()}
+        con = duckdb.connect()
+        for i, s in enumerate(samples):
+            want = con.execute("SELECT lower(nfc_normalize(?))", [s]).fetchone()[0]
+            assert got[i] == want, (s, got[i], want)
+
+    def test_null_passthrough(self, spark):
+        from citibike_analysis_spark.functions.text import nfc_lower
+
+        df = spark.createDataFrame([(0, None)], "i: long, t: string")
+        assert df.select(nfc_lower("t").alias("n")).collect()[0]["n"] is None
+
+    def test_dedups_encoding_variants(self, spark):
+        from citibike_analysis_spark.functions.text import nfc_lower
+        from pyspark.sql import functions as F2
+
+        df = spark.createDataFrame(
+            [(0, "Café Latte"), (1, "café latte"), (2, "other")],
+            "doc_id: long, text: string",
+        )
+        groups = (
+            df.groupBy(F2.md5(nfc_lower("text")).alias("h"))
+            .agg(F2.min("doc_id").alias("canon"), F2.count("*").alias("n"))
+            .collect()
+        )
+        got = {r["canon"]: r["n"] for r in groups}
+        assert got == {0: 2, 2: 1}
+
+
+class TestPackOffsets:
+    def test_offsets_windows_and_spans(self, spark):
+        from citibike_analysis_spark.operators.windows import pack_offsets
+
+        # one group, window 10: costs 4, 8, 10, 3 → offsets 0, 4, 12, 22
+        df = spark.createDataFrame(
+            [(0, "s", 4), (1, "s", 8), (2, "s", 10), (3, "s", 3)],
+            "doc_id: long, source: string, n: long",
+        )
+        got = {
+            r["doc_id"]: (r["offset"], r["window_idx"], r["window_offset"], r["n_windows"])
+            for r in pack_offsets(
+                df, ["source"], [F.asc("doc_id")], "n", 10
+            ).collect()
+        }
+        assert got[0] == (0, 0, 0, 1)    # [0,4) inside window 0
+        assert got[1] == (4, 0, 4, 2)    # [4,12) spans windows 0-1
+        assert got[2] == (12, 1, 2, 2)   # [12,22) spans windows 1-2
+        assert got[3] == (22, 2, 2, 1)   # [22,25) inside window 2
+
+    def test_zero_cost_rows_span_nothing(self, spark):
+        from citibike_analysis_spark.operators.windows import pack_offsets
+
+        df = spark.createDataFrame(
+            [(0, "s", 5), (1, "s", 0), (2, "s", 5)],
+            "doc_id: long, source: string, n: long",
+        )
+        got = {
+            r["doc_id"]: (r["offset"], r["n_windows"])
+            for r in pack_offsets(df, ["source"], [F.asc("doc_id")], "n", 10).collect()
+        }
+        assert got[1] == (5, 0)
+        assert got[2] == (5, 1)
+
+    def test_groups_pack_independently(self, spark):
+        from citibike_analysis_spark.operators.windows import pack_offsets
+
+        df = spark.createDataFrame(
+            [(0, "a", 7), (1, "b", 7)], "doc_id: long, source: string, n: long"
+        )
+        got = {
+            r["doc_id"]: r["offset"]
+            for r in pack_offsets(df, ["source"], [F.asc("doc_id")], "n", 10).collect()
+        }
+        assert got == {0: 0, 1: 0}
+
+
+class TestPCA:
+    def test_numpy_parity(self, spark):
+        import numpy as np
+
+        from citibike_analysis_spark.operators.decomposition import pca_project
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        x = np.array([vecs[k] for k in sorted(vecs)])
+        mean = x.mean(axis=0)
+        cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+        vals, evecs = np.linalg.eigh(cov)
+        comps = evecs[:, ::-1][:, :4].T
+        for i in range(4):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        want = (x - mean) @ comps.T
+        got = {r["vec_id"]: r["pcs"] for r in pca_project(emb, n_components=4).collect()}
+        for row_idx, vid in enumerate(sorted(vecs)):
+            assert np.allclose(got[vid], want[row_idx], atol=1e-5), vid
+
+    def test_projection_stable_under_repartition(self, spark):
+        from citibike_analysis_spark.operators.decomposition import pca_project
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = sorted(tuple(r["pcs"]) for r in pca_project(emb, n_components=2).collect())
+        b = sorted(
+            tuple(r["pcs"])
+            for r in pca_project(emb.repartition(9), n_components=2).collect()
+        )
+        import numpy as np
+
+        assert np.allclose(np.array(a), np.array(b), atol=1e-6)
