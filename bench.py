@@ -11,7 +11,9 @@ rollup (q19), spatial band join (q21), shingle near-dup (q34), minhash
 LSH (q36), brute-force ANN (q38), as-of join (q41) and its bucketed
 hot-key-safe variant (q58), LSH-bucketed ANN (q44), dedup
 clustering / connected components (q46), benchmark decontamination
-(q63), and corpus-statistics join-back (q68).
+(q63), corpus-statistics join-back (q68), sketch + exact-recount heavy
+hitters (q72), chunk-level span dedup (q74), and bigram-LM scoring
+(q79).
 """
 
 from __future__ import annotations
@@ -38,6 +40,9 @@ HEADLINE = [
     "q58_asof_join_bucketed",
     "q63_decontaminate",
     "q68_unigram_logprob",
+    "q72_frequent_tokens",
+    "q74_chunk_dedup",
+    "q79_bigram_logprob",
 ]
 
 
