@@ -204,6 +204,47 @@ def normalize_text(text: Column | str) -> Column:
     return F.trim(squashed)
 
 
+#: PII patterns, restricted to the Java-regex ∩ RE2 common subset (no
+#: lookaround, no backreferences — RE2 has neither) so the same pattern
+#: string runs identically in Spark and any RE2-based engine. Both
+#: engines use leftmost-first matching for these constructs. Redaction
+#: order is load-bearing: SSN before PHONE (a phone pattern would eat
+#: the digit runs of an SSN), EMAIL before IP (a host part can look
+#: numeric); placeholders contain no digits so later patterns never
+#: match inside earlier redactions.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Sequentially replace emails, SSNs, IPv4 addresses, and phone
+    numbers with typed placeholders — the PII-scrubbing pass of a
+    training-data pipeline. Pure ``regexp_replace`` chain: JVM-side,
+    codegen, no UDF; replace-all semantics in every engine (DuckDB
+    needs the explicit 'g' flag — the oracle carries it)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pattern, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts, each measured INDEPENDENTLY on the
+    original text (an SSN also counts as a phone-shaped digit run if the
+    phone pattern matches it — counts are per-pattern audits, not a
+    partition of the string; the sequential :func:`redact_pii` is where
+    precedence applies)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(t, F.lit(pattern)).cast("long")
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
 def nfc_lower(text: Column | str) -> Column:
     """Unicode canonicalization for dedup: NFC normalization + Unicode
     lowercase, as an Arrow-batched pandas UDF — the widening of

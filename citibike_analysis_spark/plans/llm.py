@@ -1340,6 +1340,127 @@ def q82_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(e, "vec_id", "embedding", n_components=4)
 
 
+# --------------------------------------------------------------------------
+# q83 — PII scrub audit: per-kind counts (independent regex audits on
+# the original text) + the sequentially redacted text. The corpus is
+# synthetic and PII-free, so every count is 0 and redacted == text at
+# sf level — the semantics (pattern parity, precedence, replace-all)
+# are pinned in pytest on constructed PII samples; the oracle still
+# replays every regex so an engine-side pattern divergence would
+# hash-mismatch.
+# --------------------------------------------------------------------------
+
+def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import pii_counts, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        counts["email"].alias("n_emails"),
+        counts["ssn"].alias("n_ssns"),
+        counts["ipv4"].alias("n_ipv4s"),
+        counts["phone"].alias("n_phones"),
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+def _q83_sql() -> str:
+    from citibike_analysis_spark.functions.text import PII_PATTERNS
+
+    pats = {name: p for name, p, _ in PII_PATTERNS}
+    repl = "text"
+    for _, p, placeholder in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{p}', '{placeholder}', 'g')"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{pats["ssn"]}')) AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(text, '{pats["ipv4"]}')) AS BIGINT) AS n_ipv4s,
+       CAST(len(regexp_extract_all(text, '{pats["phone"]}')) AS BIGINT) AS n_phones,
+       {repl} AS redacted
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q84 — duplicated-n-gram coverage (the Gopher repetition rule q64's
+# top-bigram share can't see): the fraction of token POSITIONS covered
+# by any within-document trigram that occurs ≥ 2 times in that document.
+# --------------------------------------------------------------------------
+
+_Q84_N = 3
+
+
+def q84_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import ngrams_of
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.col("doc_id").alias("_id"), tokens(F.col("text")).alias("_tk"))
+    base = tk.select("_id", F.size("_tk").cast("long").alias("n_tokens"))
+    grams = tk.select(
+        "_id", F.posexplode(ngrams_of(F.col("_tk"), _Q84_N)).alias("pos", "_g")
+    )
+    dup = (
+        grams.groupBy("_id", "_g")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+    )
+    covered = (
+        grams.join(dup, ["_id", "_g"])
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_Q84_N - 1))
+            ).alias("_tp"),
+        )
+        .distinct()
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_covered"))
+    )
+    return (
+        base.join(covered, "_id", "left")
+        .select(
+            F.col("_id").cast("long").alias("doc_id"),
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+Q84_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), base AS (
+  SELECT doc_id, len(tk) AS n_tokens FROM toks
+), grams AS (
+  SELECT doc_id, t.i - 1 AS pos,
+         array_to_string(tk[t.i : t.i + {_Q84_N - 1}], ' ') AS g
+  FROM toks,
+       unnest(generate_series(1, greatest(len(tk) - {_Q84_N - 1}, 0))) AS t(i)
+), dup AS (
+  SELECT doc_id, g FROM grams GROUP BY 1, 2 HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT gr.doc_id, p.p AS tp
+  FROM grams gr JOIN dup d ON gr.doc_id = d.doc_id AND gr.g = d.g,
+       unnest(generate_series(gr.pos, gr.pos + {_Q84_N - 1})) AS p(p)
+), cc AS (
+  SELECT doc_id, count(*) AS n_covered FROM covered GROUP BY 1
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+       round(coalesce(c.n_covered, 0) / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6)
+         AS dup_coverage
+FROM base b LEFT JOIN cc c ON b.doc_id = c.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1385,4 +1506,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q80_unicode_dedup": QuerySpec(q80_unicode_dedup, Q80_SQL, "§7 dedup-unicode §2.10"),
     "q81_pack_offsets": QuerySpec(q81_pack_offsets, Q81_SQL, "§7 sequence-packing"),
     "q82_pca_project": QuerySpec(q82_pca_project, None, "§7 embedding-pca"),
+    "q83_pii_scrub": QuerySpec(q83_pii_scrub, _q83_sql(), "§7 pii-redaction"),
+    "q84_dup_ngram_coverage": QuerySpec(
+        q84_dup_ngram_coverage, Q84_SQL, "§7 text-repetition-coverage"
+    ),
 }

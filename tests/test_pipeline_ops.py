@@ -543,3 +543,92 @@ class TestPCA:
         import numpy as np
 
         assert np.allclose(np.array(a), np.array(b), atol=1e-6)
+
+
+class TestPiiRedaction:
+    SAMPLES = [
+        "contact jane.doe+x@example.co.uk or call 555-867-5309 now",
+        "ssn 123-45-6789 phone 555 123 4567 ip 10.0.255.1",
+        "server at 192.168.1.1 mail root@localhost.localdomain",
+        "+1 555-867-5309 and 555.867.5309 and bare 5558675309",
+        "no pii here at all",
+        "a@b.io 999-99-9999 1.2.3.4 123-456-7890",
+    ]
+
+    def test_duckdb_parity_counts_and_redaction(self, spark):
+        """The same pattern strings must match identically in Java regex
+        and RE2 — counts and the sequentially redacted text both."""
+        import duckdb
+
+        from citibike_analysis_spark.functions.text import PII_PATTERNS, pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.SAMPLES)], "i: long, t: string"
+        )
+        counts = pii_counts(F.col("t"))
+        got = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                *[counts[name].alias(name) for name, _, _ in PII_PATTERNS],
+                redact_pii(F.col("t")).alias("red"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        for i, s in enumerate(self.SAMPLES):
+            red = s
+            for _, p, placeholder in PII_PATTERNS:
+                red = con.execute(
+                    "SELECT regexp_replace(?, ?, ?, 'g')", [red, p, placeholder]
+                ).fetchone()[0]
+            assert got[i]["red"] == red, (s, got[i]["red"], red)
+            for name, p, _ in PII_PATTERNS:
+                want = con.execute(
+                    "SELECT len(regexp_extract_all(?, ?))", [s, p]
+                ).fetchone()[0]
+                assert got[i][name] == want, (s, name, got[i][name], want)
+
+    def test_redaction_precedence(self, spark):
+        from citibike_analysis_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(0, "ssn 123-45-6789 and ip 1.2.3.4 and a@b.io")], "i: long, t: string"
+        )
+        red = df.select(redact_pii("t").alias("r")).collect()[0]["r"]
+        # SSN redacted as SSN (not eaten by the phone pattern), IP as IP
+        assert red == "ssn [SSN] and ip [IP] and [EMAIL]"
+
+    def test_clean_text_untouched(self, spark):
+        from citibike_analysis_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame([(0, "just words 42 here")], "i: long, t: string")
+        assert df.select(redact_pii("t").alias("r")).collect()[0]["r"] == "just words 42 here"
+
+
+class TestDupNgramCoverage:
+    def test_hand_case(self, spark):
+        from citibike_analysis_spark.plans.llm import q84_dup_ngram_coverage  # noqa: F401
+        from citibike_analysis_spark.functions.text import ngrams_of
+
+        # doc 0: "a b c a b c a b c" — trigram "a b c" occurs 3x (pos 0,3,6),
+        # "b c a" 2x (1,4), "c a b" 2x (2,5): every position covered.
+        # doc 1: all distinct tokens — nothing repeats.
+        df = spark.createDataFrame(
+            [(0, "a b c a b c a b c"), (1, "p q r s t u")],
+            "doc_id: long, text: string",
+        )
+        from pyspark.sql import functions as F2
+
+        tk = df.select(F2.col("doc_id").alias("_id"), F2.split("text", " ").alias("_tk"))
+        grams = tk.select("_id", F2.posexplode(ngrams_of(F2.col("_tk"), 3)).alias("pos", "g"))
+        dup = grams.groupBy("_id", "g").count().filter("count >= 2")
+        cov = (
+            grams.join(dup, ["_id", "g"])
+            .select("_id", F2.explode(F2.sequence("pos", F2.col("pos") + 2)).alias("tp"))
+            .distinct()
+            .groupBy("_id")
+            .count()
+            .collect()
+        )
+        got = {r["_id"]: r["count"] for r in cov}
+        assert got == {0: 9}  # doc 1 absent: zero coverage
