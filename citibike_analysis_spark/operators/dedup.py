@@ -454,6 +454,40 @@ def dedup_chunks(
     )
 
 
+def dedup_against_corpus(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: keep only new-batch documents whose
+    content hash appears NOWHERE in the existing corpus and is the first
+    occurrence WITHIN the batch — the production shape of dedup (a daily
+    crawl lands against a multi-year corpus; re-dedup'ing the union from
+    scratch would rescan 100 TB to admit a few GB).
+
+    Output: the surviving new-batch rows plus their content_hash.
+
+    Plan shape: the corpus side reduces to DISTINCT hashes before the
+    anti-join (one narrow projection + aggregation of the big side — at
+    scale this is the pre-built hash index a warehouse would persist
+    bucketed on the hash, making the anti-join exchange-free on the
+    index side, exactly like sources/bucketed.py); the within-batch
+    keep-first is a window over the (small) batch only.
+    """
+    nb = new_batch.withColumn("content_hash", F.md5(F.col(text_col)))
+    corpus_hashes = corpus.select(
+        F.md5(F.col(text_col)).alias("content_hash")
+    ).distinct()
+    fresh = nb.join(corpus_hashes, "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: (_id, _h long bit pattern).
 

@@ -1461,6 +1461,143 @@ FROM base b LEFT JOIN cc c ON b.doc_id = c.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q85 — incremental dedup: the daily-crawl-vs-corpus shape. The batch
+# (source = 'src0') keeps only documents whose content hash is absent
+# from the existing corpus (all other sources) and first-in-batch.
+# --------------------------------------------------------------------------
+
+def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import dedup_against_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = d.filter(F.col("source") != "src0")
+    out = dedup_against_corpus(batch, corpus, "doc_id", "text")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "content_hash")
+
+
+Q85_SQL = """
+WITH corpus_hashes AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE source <> 'src0'
+), batch AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE source = 'src0'
+), fresh AS (
+  SELECT b.doc_id, b.content_hash,
+         row_number() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) AS rn
+  FROM batch b ANTI JOIN corpus_hashes c USING (content_hash)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, content_hash
+FROM fresh WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q86 — the END-TO-END corpus build, composed from the engine's own
+# operators: quality gate → exact dedup (keep first) → benchmark
+# decontamination → per-language weighted sampling → sequence packing.
+# The output is the training manifest a loader would consume. Every
+# stage is individually oracle-checked elsewhere (q59/q30/q63/q66/q81);
+# this query pins that the COMPOSITION — where each stage consumes the
+# previous stage's survivors, not the raw table — also matches end to
+# end.
+# --------------------------------------------------------------------------
+
+_Q86_MIN_TOKENS = 10
+_Q86_WINDOW = 64
+
+
+def q86_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import contamination_flags
+    from citibike_analysis_spark.operators.sampling import weighted_mixture
+    from citibike_analysis_spark.operators.windows import pack_offsets
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == _Q63_BENCH_SOURCE)
+    meta = d.filter(F.col("source") != _Q63_BENCH_SOURCE).select(
+        "doc_id", "lang", "source", "text",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    gated = meta.filter(F.col("n_tokens") >= _Q86_MIN_TOKENS)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    flags = contamination_flags(deduped, bench, "doc_id", "text", n=_Q63_N)
+    clean = deduped.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    sampled = weighted_mixture(
+        clean, "doc_id", "lang", {"en": 0.5}, default_fraction=0.25
+    )
+    packed = pack_offsets(
+        sampled.select("doc_id", "lang", "source", "n_tokens"),
+        ["source"],
+        [F.asc("doc_id")],
+        "n_tokens",
+        _Q86_WINDOW,
+    )
+    return packed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "offset",
+        "window_idx",
+    )
+
+
+Q86_SQL = f"""
+WITH meta AS (
+  SELECT doc_id, lang, source, text,
+         len({_DUCK_TOKENS}) AS n_tokens
+  FROM documents WHERE source <> '{_Q63_BENCH_SOURCE}'
+), gated AS (
+  SELECT * FROM meta WHERE n_tokens >= {_Q86_MIN_TOKENS}
+), dd AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+), deduped AS (
+  SELECT doc_id, lang, source, text, n_tokens FROM dd WHERE rn = 1
+), dtoks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM deduped
+), cgrams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[t.i : t.i + {_Q63_N - 1}], ' ') AS s
+  FROM dtoks,
+       unnest(generate_series(1, greatest(len(tk) - {_Q63_N - 1}, 0))) AS t(i)
+), btoks AS (
+  SELECT {_DUCK_TOKENS} AS tk FROM documents WHERE source = '{_Q63_BENCH_SOURCE}'
+), bgrams AS (
+  SELECT DISTINCT array_to_string(tk[t.i : t.i + {_Q63_N - 1}], ' ') AS s
+  FROM btoks,
+       unnest(generate_series(1, greatest(len(tk) - {_Q63_N - 1}, 0))) AS t(i)
+), contaminated AS (
+  SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.s = b.s
+), clean AS (
+  SELECT d.* FROM deduped d ANTI JOIN contaminated x USING (doc_id)
+), sampled AS (
+  SELECT * FROM clean
+  WHERE substr(md5(concat_ws('|', lang, doc_id)), 1, 4)
+        < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
+), packed AS (
+  SELECT doc_id, lang, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS off
+  FROM sampled
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS offset,
+       CAST(floor(off / {_Q86_WINDOW}) AS BIGINT) AS window_idx
+FROM packed
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1509,5 +1646,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q83_pii_scrub": QuerySpec(q83_pii_scrub, _q83_sql(), "§7 pii-redaction"),
     "q84_dup_ngram_coverage": QuerySpec(
         q84_dup_ngram_coverage, Q84_SQL, "§7 text-repetition-coverage"
+    ),
+    "q85_incremental_dedup": QuerySpec(
+        q85_incremental_dedup, Q85_SQL, "§7 dedup-incremental"
+    ),
+    "q86_corpus_pipeline": QuerySpec(
+        q86_corpus_pipeline, Q86_SQL, "§7 corpus-build-pipeline"
     ),
 }

@@ -632,3 +632,47 @@ class TestDupNgramCoverage:
         )
         got = {r["_id"]: r["count"] for r in cov}
         assert got == {0: 9}  # doc 1 absent: zero coverage
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_corpus_and_within_batch(self, spark):
+        from citibike_analysis_spark.operators.dedup import dedup_against_corpus
+
+        corpus = spark.createDataFrame(
+            [(0, "old text one"), (1, "old text two")], "doc_id: long, text: string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "old text one"),   # exists in corpus → dropped
+                (11, "brand new"),      # fresh → kept
+                (12, "brand new"),      # within-batch dup → dropped (11 wins)
+                (13, "also new"),       # fresh → kept
+            ],
+            "doc_id: long, text: string",
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_against_corpus(batch, corpus, "doc_id", "text").collect()
+        )
+        assert got == [11, 13]
+
+    def test_corpus_side_never_emitted(self, spark):
+        from citibike_analysis_spark.operators.dedup import dedup_against_corpus
+
+        corpus = spark.createDataFrame([(0, "x")], "doc_id: long, text: string")
+        batch = spark.createDataFrame([(5, "y")], "doc_id: long, text: string")
+        out = dedup_against_corpus(batch, corpus, "doc_id", "text").collect()
+        assert [r["doc_id"] for r in out] == [5]
+        assert "content_hash" in out[0].asDict()
+
+
+class TestCorpusPipelinePlan:
+    def test_no_cartesian_product(self, spark):
+        """The composed corpus build must stay equi-join-shaped end to
+        end — a cartesian anywhere would be a scale regression."""
+        from citibike_analysis_spark.plans.llm import q86_corpus_pipeline
+
+        d = q86_corpus_pipeline(spark, "/root/testdata/sf0.001")
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert d.count() > 0
