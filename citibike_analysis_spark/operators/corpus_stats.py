@@ -55,6 +55,28 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def group_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out: str = "zscore",
+) -> DataFrame:
+    """Per-group standardization: ``z = (x − mean_g) / stddev_g`` with
+    the group's SAMPLE standard deviation — the "normalize quality
+    scores within each source" step before cross-source thresholds can
+    be compared. Groups with zero variance (or a single row) get NULL.
+
+    One window aggregation over the group columns — mean and stddev are
+    mergeable moments, so the window's underlying shuffle is the only
+    data movement; no join, no second scan.
+    """
+    w = Window.partitionBy(*group_cols)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std)
+    return df.withColumn(out, F.round(z, 6))
+
+
 def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document mean bigram conditional log-likelihood under the
     corpus's own bigram distribution:

@@ -57,6 +57,39 @@ def stratified_sample(
     return df.filter(hash_sample_predicate(key, fraction, salt))
 
 
+def stratified_fixed_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample (eval-set construction:
+    "hold out 100 documents per source"): rank rows within each stratum
+    by md5 of their identity and keep the first ``k``. Fractional
+    sampling (:func:`stratified_sample`) drifts with stratum size; this
+    form pins the count. Deterministic under repartitioning/retries for
+    the same reason (rank order is a pure function of row identity);
+    different ``salt`` → independent draw.
+
+    One shuffle on the strata columns + a per-stratum rank window —
+    Spark's WindowGroupLimit keeps ≤ k rows per stratum on the map side,
+    so the shuffle moves survivors, not strata. A stratum with fewer
+    than k rows is kept whole.
+    """
+    parts = [F.col(c).cast("string") for c in (strata_cols or [])]
+    key = F.concat_ws("|", *parts, F.col(id_col).cast("string"))
+    full_key = key if not salt else F.concat_ws("|", F.lit(salt), key)
+    w = Window.partitionBy(*(strata_cols or [F.lit(1)])).orderBy(
+        F.md5(full_key), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str,

@@ -1598,6 +1598,65 @@ FROM packed
 """
 
 
+# --------------------------------------------------------------------------
+# q87 — exactly-k-per-stratum deterministic sample (eval-set holdout);
+# q88 — per-source z-score normalization of a quality signal.
+# --------------------------------------------------------------------------
+
+_Q87_K = 20
+
+
+def q87_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import stratified_fixed_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_fixed_sample(d, "doc_id", _Q87_K, strata_cols=["source"])
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+Q87_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat_ws('|', source, doc_id)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM ranked WHERE rn <= {_Q87_K}
+"""
+
+
+def q88_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import group_zscore
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = group_zscore(d, "n_tokens", ["source"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "zscore",
+    )
+
+
+Q88_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN stddev_samp(n_tokens) OVER (PARTITION BY source) > 0
+                  THEN (n_tokens - avg(n_tokens) OVER (PARTITION BY source))
+                       / stddev_samp(n_tokens) OVER (PARTITION BY source)
+             END, 6) AS zscore
+FROM t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1652,5 +1711,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q86_corpus_pipeline": QuerySpec(
         q86_corpus_pipeline, Q86_SQL, "§7 corpus-build-pipeline"
+    ),
+    "q87_fixed_sample": QuerySpec(q87_fixed_sample, Q87_SQL, "§7 sampling-fixed-k"),
+    "q88_zscore_by_source": QuerySpec(
+        q88_zscore_by_source, Q88_SQL, "§7 group-normalization"
     ),
 }

@@ -676,3 +676,55 @@ class TestCorpusPipelinePlan:
         plan = d._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert d.count() > 0
+
+
+class TestFixedSample:
+    def test_exactly_k_per_stratum(self, spark):
+        from citibike_analysis_spark.operators.sampling import stratified_fixed_sample
+        from citibike_analysis_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = stratified_fixed_sample(d, "doc_id", 5, strata_cols=["source"])
+        counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        totals = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for src, n in counts.items():
+            assert n == min(5, totals[src]), src
+
+    def test_stable_under_repartition_and_salt_independent(self, spark):
+        from citibike_analysis_spark.operators.sampling import stratified_fixed_sample
+        from citibike_analysis_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = {r["doc_id"] for r in stratified_fixed_sample(d, "doc_id", 5, ["source"]).collect()}
+        b = {
+            r["doc_id"]
+            for r in stratified_fixed_sample(d.repartition(9), "doc_id", 5, ["source"]).collect()
+        }
+        c = {
+            r["doc_id"]
+            for r in stratified_fixed_sample(d, "doc_id", 5, ["source"], salt="v2").collect()
+        }
+        assert a == b
+        assert a != c
+
+    def test_small_stratum_kept_whole(self, spark):
+        from citibike_analysis_spark.operators.sampling import stratified_fixed_sample
+
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "a"), (2, "b")], "doc_id: long, source: string"
+        )
+        out = stratified_fixed_sample(df, "doc_id", 10, ["source"])
+        assert out.count() == 3
+
+
+class TestGroupZscore:
+    def test_values_and_constant_group_null(self, spark):
+        from citibike_analysis_spark.operators.corpus_stats import group_zscore
+
+        df = spark.createDataFrame(
+            [(0, "a", 1.0), (1, "a", 2.0), (2, "a", 3.0), (3, "b", 7.0), (4, "b", 7.0)],
+            "i: long, g: string, x: double",
+        )
+        got = {r["i"]: r["zscore"] for r in group_zscore(df, "x", ["g"]).collect()}
+        assert got[0] == -1.0 and got[1] == 0.0 and got[2] == 1.0
+        assert got[3] is None and got[4] is None  # zero-variance group
