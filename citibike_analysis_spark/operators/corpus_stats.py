@@ -55,6 +55,77 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def build_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Tokenizer vocabulary: every distinct token with its corpus count
+    and a dense frequency-rank id (0 = most frequent; ties break on
+    token text — fully deterministic). Output: (token, n_occurrences,
+    token_id).
+
+    Scale note: the ranking window is GLOBAL over the *vocabulary* —
+    the distinct-token set, which is orders of magnitude smaller than
+    the corpus (heaps' law: ~10⁶–10⁷ rows at 100 TB) — so the
+    single-partition sort ranks millions of 16-byte rows, not the
+    corpus. The corpus-sized work (token counting) is a hash aggregation
+    with map-side partials. If a pathological vocabulary ever outgrew
+    one task, rank via approx-quantile bucketing (operators/windows.
+    approx_ntile) exactly as q56 does for suppliers.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def encode_documents(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Encode every document as its token-id sequence under ``vocab``
+    (:func:`build_vocab` output): (doc_id, n_tokens, token_ids
+    array<long>) — the materialization step that turns a text corpus
+    into the integer arrays a trainer memory-maps. Unknown tokens
+    (absent from the vocab) encode as -1.
+
+    Plan shape: posexplode (position is load-bearing — the sequence must
+    be rebuilt in order), broadcast-or-shuffle equi-join against the
+    vocab on the token, then groupBy doc re-assembling with
+    array_sort(collect_list(struct(pos, id))) — the same
+    order-restoring aggregation as dedup_chunks' reassembly. Empty
+    documents produce an empty array.
+    """
+    tk = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    pos = tk.select("_id", F.posexplode("_tk").alias("_pos", "token"))
+    joined = pos.join(vocab.select("token", "token_id"), "token", "left")
+    enc = joined.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("_pos", F.coalesce("token_id", F.lit(-1)).alias("tid"))
+                )
+            ),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(enc, F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("token_ids", F.array().cast("array<long>")).alias(
+                "token_ids"
+            ),
+        )
+    )
+
+
 def group_zscore(
     df: DataFrame,
     value_col: str,

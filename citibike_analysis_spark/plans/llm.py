@@ -1657,6 +1657,71 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# q89 — tokenizer vocabulary (token → frequency-rank id); q90 — encode
+# every document as its token-id sequence under that vocab. Together
+# they are the tokenize→encode materialization a trainer consumes.
+# --------------------------------------------------------------------------
+
+def q89_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import build_vocab
+
+    return build_vocab(load_table(spark, sf_dir, "documents"), "text")
+
+
+Q89_SQL = f"""
+WITH toks AS (
+  SELECT {_DUCK_TOKENS} AS tk FROM documents
+), tkx AS (
+  SELECT unnest(tk) AS token FROM toks
+), counts AS (
+  SELECT token, count(*) AS n_occurrences FROM tkx GROUP BY 1
+)
+SELECT token, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT)
+         AS token_id
+FROM counts
+"""
+
+
+def q90_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import (
+        build_vocab,
+        encode_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return encode_documents(d, "doc_id", "text", build_vocab(d, "text"))
+
+
+Q90_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), tkx AS (
+  SELECT unnest(tk) AS token FROM toks
+), counts AS (
+  SELECT token, count(*) AS n FROM tkx GROUP BY 1
+), vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id
+  FROM counts
+), pos AS (
+  SELECT doc_id, t.i AS p, tk[t.i] AS token
+  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+), joined AS (
+  SELECT pos.doc_id, pos.p, CAST(coalesce(v.token_id, -1) AS BIGINT) AS tid
+  FROM pos LEFT JOIN vocab v USING (token)
+), enc AS (
+  SELECT doc_id, count(*) AS n_tokens, list(tid ORDER BY p) AS token_ids
+  FROM joined GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(e.token_ids, CAST([] AS BIGINT[])) AS token_ids
+FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1715,5 +1780,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q87_fixed_sample": QuerySpec(q87_fixed_sample, Q87_SQL, "§7 sampling-fixed-k"),
     "q88_zscore_by_source": QuerySpec(
         q88_zscore_by_source, Q88_SQL, "§7 group-normalization"
+    ),
+    "q89_build_vocab": QuerySpec(q89_build_vocab, Q89_SQL, "§7 vocab-build"),
+    "q90_encode_documents": QuerySpec(
+        q90_encode_documents, Q90_SQL, "§7 corpus-encode"
     ),
 }

@@ -728,3 +728,42 @@ class TestGroupZscore:
         got = {r["i"]: r["zscore"] for r in group_zscore(df, "x", ["g"]).collect()}
         assert got[0] == -1.0 and got[1] == 0.0 and got[2] == 1.0
         assert got[3] is None and got[4] is None  # zero-variance group
+
+
+class TestVocabEncode:
+    def test_roundtrip_decode_recovers_text(self, spark):
+        """Encoding then decoding through the vocab must reproduce the
+        token stream exactly — the property a trainer depends on."""
+        from citibike_analysis_spark.operators.corpus_stats import (
+            build_vocab,
+            encode_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "b a a c"), (1, "a b"), (2, "")], "doc_id: long, text: string"
+        )
+        vocab = build_vocab(df, "text")
+        v = {r["token"]: r["token_id"] for r in vocab.collect()}
+        # frequency ranks: a(3) → 0, then b(2) → 1, c(1) → 2
+        assert v == {"a": 0, "b": 1, "c": 2}
+        inv = {i: t for t, i in v.items()}
+        got = {
+            r["doc_id"]: [inv[i] for i in r["token_ids"]]
+            for r in encode_documents(df, "doc_id", "text", vocab).collect()
+        }
+        assert got[0] == ["b", "a", "a", "c"]
+        assert got[1] == ["a", "b"]
+        assert got[2] == []
+
+    def test_unknown_tokens_encode_minus_one(self, spark):
+        from citibike_analysis_spark.operators.corpus_stats import (
+            build_vocab,
+            encode_documents,
+        )
+
+        train = spark.createDataFrame([(0, "a b")], "doc_id: long, text: string")
+        apply_to = spark.createDataFrame([(9, "a zzz b")], "doc_id: long, text: string")
+        vocab = build_vocab(train, "text")
+        got = encode_documents(apply_to, "doc_id", "text", vocab).collect()[0]
+        assert got["token_ids"][1] == -1
+        assert got["n_tokens"] == 3
