@@ -73,6 +73,29 @@ def dedup_documents(
     )
 
 
+def scrub_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Streaming ingest scrub: PII-redact the text and gate on a minimum
+    token count, as pure stateless column expressions — the
+    quality/compliance pass applied AT INGEST so nothing un-scrubbed
+    ever lands. Composes with :func:`dedup_documents` (scrub first:
+    dedup must hash the redacted form, or two documents differing only
+    in their PII would land as distinct).
+
+    Stateless by construction (regexp_replace + a filter — no
+    watermark, no state store), so it adds zero streaming memory and
+    runs identically in batch — the same function serves both paths.
+    """
+    from citibike_analysis_spark.functions.text import redact_pii, token_count
+
+    return docs.withColumn(text_col, redact_pii(F.col(text_col))).filter(
+        token_count(F.col(text_col)) >= min_tokens
+    )
+
+
 def join_weather_streams(
     samples: DataFrame,
     weather: DataFrame,

@@ -220,3 +220,43 @@ def test_stream_stream_interval_join(spark, dirs):
         (r["station_id"], r["temp"]) for r in spark.table("ssj").collect()
     }
     assert got == {(72, 61.0), (79, 61.0), (72, 64.0)}
+
+
+def test_streaming_scrub_redacts_and_gates(spark, dirs):
+    """PII scrub + min-token gate at ingest: stateless column exprs run
+    under Structured Streaming unchanged; scrub-then-dedup lands PII
+    variants of the same document as ONE redacted row."""
+    import json as _json
+
+    from citibike_analysis_spark.streaming.enrich import dedup_documents, scrub_documents
+
+    def doc_line(doc_id, ts, text):
+        return _json.dumps({"doc_id": doc_id, "ts": ts, "text": text})
+
+    body = "the quick brown fox jumps over the lazy dog again"
+    with open(f"{dirs['in']}/d1.json", "w") as f:
+        f.write(doc_line(0, "2019-05-12 08:00:00", f"mail a@b.io {body}") + "\n")
+        f.write(doc_line(1, "2019-05-12 08:01:00", f"mail c@d.io {body}") + "\n")
+        f.write(doc_line(2, "2019-05-12 08:02:00", "too short") + "\n")
+    schema = "doc_id long, ts string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(dirs["in"])
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = dedup_documents(scrub_documents(stream, min_tokens=5), "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrub")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("scrub").collect()
+    # docs 0 and 1 redact to the SAME text -> one survivor; doc 2 gated out
+    assert len(rows) == 1
+    assert rows[0]["text"] == f"mail [EMAIL] {body}"
