@@ -135,6 +135,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment ``C(A→B) = |A∩B| / |A|`` — the
+    fraction of A's shingles that also appear in B. Catches what Jaccard
+    structurally cannot: a short document quoted whole inside a much
+    longer one has tiny Jaccard (the union is dominated by B) but
+    containment ≈ 1. The quote/subset detector of the dedup family
+    (cf. Broder's resemblance-vs-containment distinction, SEQUENCES'97).
+
+    Output: (id_a, id_b, containment) with id_a the CONTAINED side —
+    both directions of a pair are evaluated, so (a,b) and (b,a) can both
+    appear; no a<b normalization (the relation is directional).
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (the
+    intersection table is computed once for the unordered pair and then
+    scored in both directions), including the ``max_doc_freq`` join-side
+    cap — capped scores can only shrink (conservative).
+    """
+    tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+    inv = tk.select(
+        "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    inv = inv.localCheckpoint(eager=False)  # sizes + both join sides
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
+    joinable = _df_capped(inv, "_h", max_doc_freq)
+    a, b = joinable.alias("a"), joinable.alias("b")
+    inter = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("_x"), F.col("b._id").alias("_y"))
+        .agg(F.count("*").alias("_common"))
+    )
+    # score the unordered intersection in both directions
+    directed = inter.select("_x", "_y", "_common").union(
+        inter.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"), "_common")
+    )
+    return (
+        directed.join(sizes.withColumnsRenamed({"_id": "_x", "_n": "_na"}), "_x")
+        .withColumn("containment", F.col("_common") / F.col("_na"))
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select(
+            F.col("_x").cast("long").alias("id_a"),
+            F.col("_y").cast("long").alias("id_b"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

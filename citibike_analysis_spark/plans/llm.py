@@ -1722,6 +1722,101 @@ FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q91 — within-document token entropy (quality signal: low entropy =
+# repetitive/templated text, complements q64/q84's explicit repetition
+# counts with the information-theoretic form).
+# --------------------------------------------------------------------------
+
+def q91_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.col("doc_id").alias("_id"), tokens(F.col("text")).alias("_tk"))
+    tf = (
+        tk.select("_id", F.explode("_tk").alias("_t"))
+        .groupBy("_id", "_t")
+        .agg(F.count("*").alias("_c"))
+    )
+    ent = (
+        tf.groupBy("_id")
+        .agg(
+            F.sum("_c").alias("_n"),
+            # -Σ c·ln(c) aggregated, then + n·ln(n), all over n:
+            # H = ln(n) - Σ c·ln(c)/n  (exact algebra of -Σ p ln p)
+            F.sum(F.col("_c") * F.log("_c")).alias("_clc"),
+        )
+        .select(
+            "_id",
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round(F.log("_n") - F.col("_clc") / F.col("_n"), 6).alias("entropy"),
+        )
+    )
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(ent, F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("entropy"),
+        )
+    )
+
+
+Q91_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+  GROUP BY 1, 2
+), ent AS (
+  SELECT doc_id, sum(c) AS n,
+         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+  FROM tf GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(e.n, 0) AS BIGINT) AS n_tokens,
+       e.entropy
+FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q92 — n-gram CONTAINMENT pairs: the directional quote/subset detector
+# (a short document wholly inside a long one scores ~1 here but near 0
+# on Jaccard).
+# --------------------------------------------------------------------------
+
+def q92_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import ngram_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+
+
+Q92_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[t.i : t.i + 2], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT x, y, c FROM inter
+  UNION ALL
+  SELECT y AS x, x AS y, c FROM inter
+)
+SELECT CAST(d.x AS BIGINT) AS id_a, CAST(d.y AS BIGINT) AS id_b,
+       round(d.c / CAST(s.n AS DOUBLE), 6) AS containment
+FROM directed d JOIN sizes s ON d.x = s.doc_id
+WHERE d.c / CAST(s.n AS DOUBLE) >= 0.6
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1784,5 +1879,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q89_build_vocab": QuerySpec(q89_build_vocab, Q89_SQL, "§7 vocab-build"),
     "q90_encode_documents": QuerySpec(
         q90_encode_documents, Q90_SQL, "§7 corpus-encode"
+    ),
+    "q91_token_entropy": QuerySpec(q91_token_entropy, Q91_SQL, "§7 text-entropy"),
+    "q92_containment_pairs": QuerySpec(
+        q92_containment_pairs, Q92_SQL, "§7 dedup-containment"
     ),
 }

