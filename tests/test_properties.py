@@ -230,3 +230,95 @@ def test_hash_sample_fractions_are_nested(spark, f1, f2):
     small = {r["doc_id"] for r in stratified_sample(df, "doc_id", lo / 100).collect()}
     big = {r["doc_id"] for r in stratified_sample(df, "doc_id", hi / 100).collect()}
     assert small <= big
+
+
+# ---------------------------------------------------------------------------
+# r2 additions: training shuffle, sequence packing, heavy hitters,
+# quantization — each against a naive reference or an algebraic invariant.
+# ---------------------------------------------------------------------------
+
+id_sets = st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True)
+
+
+@given(ids=id_sets, n_shards=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_shuffle_shards_is_permutation_any_input(spark, ids, n_shards):
+    from citibike_analysis_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    out = shuffle_shards(df, "doc_id", n_shards=n_shards).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@given(
+    costs=st.lists(st.integers(0, 40), min_size=1, max_size=20),
+    window=st.integers(1, 50),
+)
+@settings(**SETTINGS)
+def test_pack_offsets_matches_sequential_fill(spark, costs, window):
+    from pyspark.sql import functions as F2
+
+    from citibike_analysis_spark.operators.windows import pack_offsets
+
+    df = spark.createDataFrame(
+        [(i, "g", c) for i, c in enumerate(costs)], "doc_id: long, g: string, n: long"
+    )
+    got = {
+        r["doc_id"]: (r["offset"], r["window_idx"], r["window_offset"], r["n_windows"])
+        for r in pack_offsets(df, ["g"], [F2.asc("doc_id")], "n", window).collect()
+    }
+    off = 0
+    for i, c in enumerate(costs):
+        widx = off // window
+        expect_nw = 0 if c == 0 else (off + c - 1) // window - widx + 1
+        assert got[i] == (off, widx, off % window, expect_nw), (i, costs, window)
+        off += c
+
+
+@given(
+    # skewed stream over a small alphabet; dup-heavy on purpose
+    toks=st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=60),
+    frac_pct=st.integers(5, 50),
+    parts=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_frequent_tokens_exact_vs_counter(spark, toks, frac_pct, parts):
+    from collections import Counter
+
+    from citibike_analysis_spark.operators.sketches import frequent_tokens
+
+    frac = frac_pct / 100.0
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "i: long, text: string"
+    ).repartition(parts)
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in frequent_tokens(df, "text", min_fraction=frac).collect()
+    }
+    counts = Counter(toks)
+    n = len(toks)
+    want = {t: c for t, c in counts.items() if c >= frac * n}
+    assert got == want, (toks, frac)
+
+
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_quantization_error_bounded_by_half_step(spark, vec):
+    from citibike_analysis_spark.operators.similarity import quantization_error
+
+    df = spark.createDataFrame([(0, vec)], "vec_id: long, embedding: array<float>")
+    row = quantization_error(df).collect()[0]
+    scale, mse = row["scale"], row["mse"]
+    assert mse >= 0
+    # per-element |error| <= scale/2 ⇒ mse <= (scale/2)^2 (+ rounding slack)
+    assert mse <= (scale / 2) ** 2 + 1e-9, (vec, scale, mse)
