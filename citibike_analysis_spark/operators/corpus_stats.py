@@ -15,6 +15,7 @@ frames. Nothing is ever collected to the driver.
 
 from __future__ import annotations
 
+import pandas as pd  # module-global: pandas_udf/applyInPandas hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -124,6 +125,66 @@ def encode_documents(
             ),
         )
     )
+
+
+def group_mad(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group MEDIAN + MAD (median absolute deviation) — the robust
+    location/scale pair for outlier gating when means are dragged by a
+    heavy tail. Output: (group_cols…, n, median, mad).
+
+    This is the engine's batch ``applyInPandas`` slice (SURVEY.md §2.10
+    U5): MAD is a two-level order statistic (a median OF deviations FROM
+    a median), which no single-pass built-in aggregate expresses — the
+    legitimate case for the grouped-pandas escape hatch. Each group's
+    rows land in one Arrow batch on one task (groups must fit a task —
+    the stat is per-SOURCE, not per-corpus, by design); interpolated
+    median convention matches pandas/DuckDB ``quantile_cont(0.5)``.
+    """
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf[value_col].median()
+        mad = (pdf[value_col] - med).abs().median()
+        return pd.DataFrame(
+            [
+                [*(pdf[c].iloc[0] for c in group_cols), len(pdf), float(med), float(mad)]
+            ],
+            columns=[*group_cols, "n", "median", "mad"],
+        )
+
+    group_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name in group_cols
+    )
+    schema = f"{group_fields}, n long, median double, mad double"
+    out = df.groupBy(*group_cols).applyInPandas(stats, schema)
+    return out.select(
+        *group_cols, "n", F.round("median", 6).alias("median"), F.round("mad", 6).alias("mad")
+    )
+
+
+def trimmed_mean_udaf(fraction: float = 0.1):
+    """GROUPED_AGG pandas UDF (SURVEY.md §2.10 U5): mean after dropping
+    ``floor(fraction·n)`` values from each tail — the outlier-immune
+    mean for per-group quality dashboards. Usable directly in
+    ``.agg(trimmed_mean_udaf(0.1)(F.col(x)))``; partial-agg does NOT
+    apply (order statistics don't merge), so each group's values gather
+    on one task — same per-group-fits-a-task contract as
+    :func:`group_mad`, and the reason the default path for plain means
+    stays with built-ins.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed(v: pd.Series) -> float:
+        s = v.sort_values(ignore_index=True)
+        n = len(s)
+        k = min(int(n * fraction), max((n - 1) // 2, 0))
+        return float(s.iloc[k : n - k].mean())
+
+    return trimmed
 
 
 def group_zscore(

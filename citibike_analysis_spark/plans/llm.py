@@ -1817,6 +1817,78 @@ WHERE d.c / CAST(s.n AS DOUBLE) >= 0.6
 """
 
 
+# --------------------------------------------------------------------------
+# q93 — per-source median/MAD via batch applyInPandas; q94 — per-source
+# 10%-trimmed mean via a GROUPED_AGG pandas UDF. The two §2.10 U5
+# grouped-Python seams, each hash-matched against an order-statistic
+# oracle.
+# --------------------------------------------------------------------------
+
+def q93_mad_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import group_mad
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return group_mad(d, "n_tokens", ["source"])
+
+
+Q93_SQL = f"""
+WITH t AS (
+  SELECT source, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+), med AS (
+  SELECT source, count(*) AS n, quantile_cont(n_tokens, 0.5) AS m
+  FROM t GROUP BY 1
+)
+SELECT t.source, any_value(med.n) AS n,
+       round(any_value(med.m), 6) AS median,
+       round(quantile_cont(abs(t.n_tokens - med.m), 0.5), 6) AS mad
+FROM t JOIN med ON t.source = med.source
+GROUP BY t.source
+"""
+
+
+_Q94_TRIM = 0.1
+
+
+def q94_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import trimmed_mean_udaf
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    trimmed = trimmed_mean_udaf(_Q94_TRIM)
+    # a GROUPED_AGG pandas UDF cannot share an .agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a separate agg
+    # joined back on the (tiny) group key set
+    tm = d.groupBy("source").agg(
+        F.round(trimmed(F.col("n_tokens").cast("double")), 6).alias("trimmed_mean")
+    )
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    return counts.join(tm, "source").select("source", "n", "trimmed_mean")
+
+
+Q94_SQL = f"""
+WITH t AS (
+  SELECT source, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+), ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+), k AS (
+  SELECT source, n_tokens, n,
+         least(CAST(floor(n * {_Q94_TRIM}) AS BIGINT),
+               greatest((n - 1) // 2, 0)) AS kk, rn
+  FROM ranked
+)
+SELECT source, any_value(n) AS n,
+       round(avg(n_tokens) FILTER (WHERE rn > kk AND rn <= n - kk), 6)
+         AS trimmed_mean
+FROM k GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1884,4 +1956,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q92_containment_pairs": QuerySpec(
         q92_containment_pairs, Q92_SQL, "§7 dedup-containment"
     ),
+    "q93_mad_by_source": QuerySpec(q93_mad_by_source, Q93_SQL, "§2.10 U5 applyInPandas"),
+    "q94_trimmed_mean": QuerySpec(q94_trimmed_mean, Q94_SQL, "§2.10 U5 grouped-agg"),
 }

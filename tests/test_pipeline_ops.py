@@ -830,3 +830,37 @@ class TestTokenEntropy:
         assert got[0] == pytest.approx(0.0, abs=1e-12)          # constant doc
         assert got[1] == pytest.approx(math.log(4), abs=1e-12)  # uniform over 4
         assert got[2] == pytest.approx(math.log(2), abs=1e-12)  # two 50/50 tokens
+
+
+class TestRobustStats:
+    def test_group_mad_known_values(self, spark):
+        from citibike_analysis_spark.operators.corpus_stats import group_mad
+
+        # group a: [1, 2, 3, 100] -> median 2.5, deviations [1.5, .5, .5, 97.5]
+        # -> MAD 1.0; the outlier barely moves it (vs stddev ~ 48)
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0), ("b", 7.0)],
+            "g: string, x: double",
+        )
+        got = {r["g"]: (r["n"], r["median"], r["mad"]) for r in group_mad(df, "x", ["g"]).collect()}
+        assert got["a"] == (4, 2.5, 1.0)
+        assert got["b"] == (1, 7.0, 0.0)
+
+    def test_trimmed_mean_drops_tails(self, spark):
+        from citibike_analysis_spark.operators.corpus_stats import trimmed_mean_udaf
+
+        # 10 values incl. one huge outlier; 10% trim drops exactly the
+        # min and max -> mean of 2..9 = 5.5
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+        df = spark.createDataFrame([("a", v) for v in vals], "g: string, x: double")
+        trimmed = trimmed_mean_udaf(0.1)
+        got = df.groupBy("g").agg(trimmed(F.col("x")).alias("t")).collect()[0]["t"]
+        assert got == pytest.approx(5.5)
+
+    def test_trimmed_mean_tiny_groups_fall_back_to_mean(self, spark):
+        from citibike_analysis_spark.operators.corpus_stats import trimmed_mean_udaf
+
+        df = spark.createDataFrame([("a", 3.0), ("a", 5.0)], "g: string, x: double")
+        trimmed = trimmed_mean_udaf(0.25)
+        got = df.groupBy("g").agg(trimmed(F.col("x")).alias("t")).collect()[0]["t"]
+        assert got == pytest.approx(4.0)  # k clamps to 0 for n=2
