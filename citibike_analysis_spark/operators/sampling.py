@@ -133,6 +133,37 @@ def shuffle_shards(
     )
 
 
+def global_positions(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """GLOBAL dense 0-based position for every row of the deterministic
+    shuffle permutation — WITHOUT a global sort. The scalable
+    zipWithIndex: global order is (shard, md5, id); each shard sorts
+    independently (:func:`shuffle_shards`), shard row-counts (n_shards
+    rows — kilobytes) get prefix-summed into offsets, and
+    ``global_pos = offset[shard] + pos − 1``. The only single-partition
+    window runs over the SHARD-SIZES frame, never the data.
+
+    Output: input columns + (shard, pos, global_pos). Same determinism
+    contract as shuffle_shards: stable under repartitioning/retries,
+    new permutation per ``salt``.
+    """
+    sharded = shuffle_shards(df, id_col, n_shards, salt)
+    sizes = sharded.groupBy("shard").agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    ).select("shard", "_off")
+    return (
+        sharded.join(F.broadcast(offsets), "shard")
+        .withColumn("global_pos", (F.col("_off") + F.col("pos") - 1).cast("long"))
+        .drop("_off")
+    )
+
+
 def weighted_mixture(
     df: DataFrame,
     id_col: str,

@@ -103,6 +103,42 @@ def top_k_per_group(
     return df.withColumn(out, rk.cast("long")).filter(F.col(out) <= k)
 
 
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    state_col: str,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a change event stream into SCD-type-2 validity intervals:
+    per key, consecutive rows with the same ``state_col`` merge into one
+    row with ``valid_from`` / ``valid_to`` (NULL = current) — the
+    dimension-history table a warehouse derives from an upsert feed.
+
+    Two windows sharing one (partition, order) spec — lag to find state
+    changes, lead to close intervals — so Spark plans a single
+    Sort+Window pass per key (same shape as :func:`sessionize`). Order
+    must be deterministic: pass ``tie_break`` when one key can carry two
+    events on the same timestamp.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (tie_break or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(state_col)).over(w)
+    # null-safe inequality (IS DISTINCT FROM), not !=: a run of NULL
+    # states must merge into one interval. row_number (same window spec —
+    # still one sort pass) distinguishes "no previous row" from
+    # "previous state was NULL", so a key whose FIRST state is NULL
+    # still opens an interval.
+    changed = (F.row_number().over(w) == 1) | ~prev.eqNullSafe(F.col(state_col))
+    starts = df.withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        starts.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .drop(ts_col)
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     partition_cols: list[str],

@@ -1889,6 +1889,93 @@ FROM k GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q95 — global dense positions without a global sort (the scalable
+# zipWithIndex over the training permutation); q96 — model-based quality
+# scoring: a broadcast-weights logistic over the columnar q32 features
+# (how a fasttext-style filter runs in-engine: features JVM-side, the
+# model a handful of broadcast doubles).
+# --------------------------------------------------------------------------
+
+def q95_global_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import global_positions
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = global_positions(d, "doc_id", n_shards=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("long").alias("shard"),
+        "pos",
+        "global_pos",
+    )
+
+
+Q95_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), s AS (
+  SELECT doc_id, hx,
+         CAST(('0x' || substr(hx, 1, 4)) AS INT) % 8 AS shard
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos,
+       CAST(row_number() OVER (ORDER BY shard, hx, doc_id) - 1 AS BIGINT) AS global_pos
+FROM s
+"""
+
+
+#: Hand-set logistic weights: (intercept, n_tokens, avg_token_len,
+#: stopword_ratio) — stands in for a trained quality model's coefficients.
+_Q96_W = (-3.0, 0.08, 0.5, 2.0)
+
+
+def q96_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    avg_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ) / F.greatest(n_tok, F.lit(1.0))
+    sw_ratio = stopword_hits(F.col("text")) / F.greatest(n_tok, F.lit(1.0))
+    w0, w1, w2, w3 = _Q96_W
+    z = F.lit(w0) + F.lit(w1) * n_tok + F.lit(w2) * avg_len + F.lit(w3) * sw_ratio
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+_SW96 = ", ".join(f"'{w}'" for w in STOPWORDS)
+Q96_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(tk) AS DOUBLE) AS n_tok,
+         list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))
+           / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS avg_len,
+         CAST(len(list_filter(tk, t -> list_contains([{_SW96}], t))) AS DOUBLE)
+           / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS swr
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-({_Q96_W[0]} + {_Q96_W[1]} * n_tok
+                            + {_Q96_W[2]} * avg_len + {_Q96_W[3]} * swr))) AS s
+  FROM feat
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(s, 6) AS quality_score,
+       s >= 0.5 AS keep
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -1958,4 +2045,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q93_mad_by_source": QuerySpec(q93_mad_by_source, Q93_SQL, "§2.10 U5 applyInPandas"),
     "q94_trimmed_mean": QuerySpec(q94_trimmed_mean, Q94_SQL, "§2.10 U5 grouped-agg"),
+    "q95_global_positions": QuerySpec(
+        q95_global_positions, Q95_SQL, "§7 global-index-no-sort"
+    ),
+    "q96_quality_logistic": QuerySpec(
+        q96_quality_logistic, Q96_SQL, "§7 model-quality-score"
+    ),
 }

@@ -1467,6 +1467,45 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q97 — SCD-type-2 validity intervals: collapse each user's event-type
+# stream into state runs with valid_from/valid_to (NULL = current) —
+# the dimension-history derivation of a warehouse upsert feed.
+# --------------------------------------------------------------------------
+
+def q97_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.windows import scd2_intervals
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    out = scd2_intervals(
+        e, ["user_id"], "ts", "event_type", tie_break=["event_id"]
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "valid_from",
+        "valid_to",
+    )
+
+
+Q97_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), starts AS (
+  SELECT user_id, ts, event_type, event_id
+  FROM ordered
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM starts
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1492,5 +1531,6 @@ QUERIES.update(
             q58_asof_join_bucketed, Q41_SQL, "§2.3-ext as-of §4 skew"
         ),
         "q73_order_trend": QuerySpec(q73_order_trend, Q73_SQL, "§2.11-ext regression"),
+        "q97_scd2_intervals": QuerySpec(q97_scd2_intervals, Q97_SQL, "§2.5-ext scd2"),
     }
 )

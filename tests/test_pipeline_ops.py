@@ -864,3 +864,81 @@ class TestRobustStats:
         trimmed = trimmed_mean_udaf(0.25)
         got = df.groupBy("g").agg(trimmed(F.col("x")).alias("t")).collect()[0]["t"]
         assert got == pytest.approx(4.0)  # k clamps to 0 for n=2
+
+
+class TestGlobalPositions:
+    def test_dense_zero_based_permutation(self, spark):
+        from citibike_analysis_spark.operators.sampling import global_positions
+        from citibike_analysis_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+        out = global_positions(d, "doc_id", n_shards=4).collect()
+        n = d.count()
+        poss = sorted(r["global_pos"] for r in out)
+        assert poss == list(range(n))  # dense, 0-based, no gaps
+        # global order is (shard, pos): positions within a shard contiguous
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append((r["pos"], r["global_pos"]))
+        running = 0
+        for shard in sorted(by_shard):
+            rows = sorted(by_shard[shard])
+            assert [g for _, g in rows] == list(range(running, running + len(rows)))
+            running += len(rows)
+
+    def test_stable_under_repartition(self, spark):
+        from citibike_analysis_spark.operators.sampling import global_positions
+        from citibike_analysis_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+        a = {(r["doc_id"], r["global_pos"]) for r in global_positions(d, "doc_id", 4).collect()}
+        b = {
+            (r["doc_id"], r["global_pos"])
+            for r in global_positions(d.repartition(7), "doc_id", 4).collect()
+        }
+        assert a == b
+
+
+class TestScd2:
+    def test_runs_collapse_and_intervals_chain(self, spark):
+        import datetime as dt
+
+        from citibike_analysis_spark.operators.windows import scd2_intervals
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        df = spark.createDataFrame(
+            [
+                (1, t(0), "a", 100),
+                (1, t(1), "a", 101),   # same state -> merges
+                (1, t(2), "b", 102),   # change
+                (1, t(3), "a", 103),   # back to a -> NEW interval (not merged)
+                (2, t(0), "x", 104),
+            ],
+            "user_id: long, ts: timestamp, state: string, event_id: long",
+        )
+        out = scd2_intervals(df, ["user_id"], "ts", "state", tie_break=["event_id"]).collect()
+        ivs = sorted(
+            (r["user_id"], r["valid_from"], r["valid_to"], r["state"]) for r in out
+        )
+        assert ivs == [
+            (1, t(0), t(2), "a"),
+            (1, t(2), t(3), "b"),
+            (1, t(3), None, "a"),
+            (2, t(0), None, "x"),
+        ]
+
+    def test_null_state_runs_merge_and_first_null_opens(self, spark):
+        import datetime as dt
+
+        from citibike_analysis_spark.operators.windows import scd2_intervals
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        df = spark.createDataFrame(
+            [(1, t(0), None, 0), (1, t(1), None, 1), (1, t(2), "a", 2)],
+            "user_id: long, ts: timestamp, state: string, event_id: long",
+        )
+        out = scd2_intervals(df, ["user_id"], "ts", "state", tie_break=["event_id"]).collect()
+        assert len(out) == 2
+        states = {r["state"]: (r["valid_from"], r["valid_to"]) for r in out}
+        assert states[None] == (t(0), t(2))
+        assert states["a"] == (t(2), None)
