@@ -1506,6 +1506,51 @@ FROM starts
 """
 
 
+# --------------------------------------------------------------------------
+# q98 — TIME-RANGE window frame: per user, the trailing-1-hour moving
+# average/count of event values, keyed by event TIME not row position —
+# the frame type q18's ROWS frames don't cover (irregular sampling makes
+# row counts meaningless as a time window). Spark expresses it as
+# rangeBetween over epoch seconds; the oracle as RANGE BETWEEN INTERVAL.
+# --------------------------------------------------------------------------
+
+def q98_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # epoch MICROSECONDS, not unix_timestamp: seconds truncation would
+    # wrongly admit an event 3600.5 s back that the oracle's exact
+    # INTERVAL comparison excludes. timestampdiff is NTZ-native (no
+    # session-timezone reinterpretation, unlike a cast to TIMESTAMP).
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_trailing_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_trailing_1h"),
+    )
+
+
+Q98_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       round(avg(value) OVER w, 6) AS avg_trailing_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1532,5 +1577,8 @@ QUERIES.update(
         ),
         "q73_order_trend": QuerySpec(q73_order_trend, Q73_SQL, "§2.11-ext regression"),
         "q97_scd2_intervals": QuerySpec(q97_scd2_intervals, Q97_SQL, "§2.5-ext scd2"),
+        "q98_trailing_window": QuerySpec(
+            q98_trailing_window, Q98_SQL, "§2.5-ext range-frame"
+        ),
     }
 )

@@ -1,0 +1,118 @@
+"""Stateful streaming sketches (SURVEY.md §2.9 custom-stateful × §7).
+
+Continuous heavy hitters over an unbounded document stream: the
+streaming dual of ``operators.sketches.frequent_tokens``. Batch MG
+answers "what's frequent in this corpus"; a crawler wants "what's
+frequent SO FAR, updated per micro-batch, without unbounded state" —
+boilerplate detection while the crawl is still running.
+
+Design: tokens are exploded and keyed by ``xxhash64(token) % n_shards``;
+each shard holds ONE Misra–Gries summary of ``capacity`` counters in
+``applyInPandasWithState`` state. Per micro-batch a shard folds its new
+token counts into the summary (the mergeable-summaries merge: add,
+subtract the (capacity+1)-th largest, drop non-positives) and emits its
+current counters. State per shard is ≤ capacity (token, count) pairs —
+memory is O(n_shards × capacity), NEVER O(distinct tokens).
+
+Guarantee (union over shards, same pigeonhole as the batch form): any
+token whose true count since stream start exceeds
+``N_shard/(capacity+1)`` of its shard's stream is present in that
+shard's counters, and MG counts are lower bounds. Sharding by token
+hash keeps each token's occurrences in exactly one shard, so per-token
+guarantees are exact per shard — no cross-shard merging needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from citibike_analysis_spark.functions.text import tokens
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _mg_update(capacity: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            toks, counts, n_seen = state.get
+            counters = dict(zip(toks, counts))
+        else:
+            counters, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["token"].value_counts()
+            n_seen += int(vc.sum())
+            for tok, cnt in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        state.update((list(counters.keys()), list(counters.values()), n_seen))
+        shard = int(key[0])
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "token": list(counters.keys()),
+                "count_lb": list(counters.values()),
+                "n_seen": n_seen,
+            }
+        )
+
+    return update
+
+
+def track_frequent_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    capacity: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Continuous Misra–Gries heavy hitters per token-hash shard.
+
+    Emits, every micro-batch, each updated shard's full counter set:
+    (shard, token, count_lb, n_seen) — ``count_lb`` is the MG lower
+    bound on the token's count since stream start, ``n_seen`` the
+    shard's total token throughput (the denominator for a frequency
+    gate). Use with ``outputMode("update")``; downstream exact recount
+    (the batch pass 2) runs over the landed corpus when a candidate
+    crosses the gate.
+    """
+    stream = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn(
+        "shard", (F.pmod(F.xxhash64("token"), F.lit(n_shards))).cast("int")
+    )
+    return stream.groupBy("shard").applyInPandasWithState(
+        _mg_update(capacity),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,3 +260,42 @@ def test_streaming_scrub_redacts_and_gates(spark, dirs):
     # docs 0 and 1 redact to the SAME text -> one survivor; doc 2 gated out
     assert len(rows) == 1
     assert rows[0]["text"] == f"mail [EMAIL] {body}"
+
+
+def test_streaming_heavy_hitters_accumulate_across_batches(spark, dirs):
+    """Stateful MG across micro-batches: with capacity above the vocab
+    size the lower bounds are EXACT cumulative counts, and a second
+    batch updates (not resets) the state."""
+    import json as _json
+
+    from citibike_analysis_spark.streaming.sketches import track_frequent_tokens
+
+    with open(f"{dirs['in']}/b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 0, "text": "x x x y"}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(dirs["in"])
+    out = track_frequent_tokens(stream, capacity=16, n_shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(f"{dirs['in']}/b2.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 1, "text": "x y z"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("hh").collect()
+    # latest emission per token carries the cumulative exact count
+    latest = {}
+    for r in rows:
+        latest[r["token"]] = max(latest.get(r["token"], 0), r["count_lb"])
+    assert latest == {"x": 4, "y": 2, "z": 1}
+    # each token lives in exactly one shard
+    shards = {}
+    for r in rows:
+        shards.setdefault(r["token"], set()).add(r["shard"])
+    assert all(len(s) == 1 for s in shards.values())
