@@ -164,6 +164,47 @@ def global_positions(
     )
 
 
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    stratum (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 2006): each
+    row draws a uniform ``u`` from its md5 identity and gets priority
+    ``ln(u)/w``; the top-k priorities per stratum are exactly a weighted
+    sample without replacement. The standard distributed weighted
+    sampler — a single rank window, no sequential pass, no rejection
+    loop — here made REPRODUCIBLE by sourcing ``u`` from the row
+    identity instead of an RNG (same stability contract as
+    :func:`stratified_sample`; new draw per ``salt``).
+
+    Rows with non-positive or NULL weight are excluded (zero-weight
+    rows can never be drawn; a NULL would sort nondeterministically).
+    One shuffle on the strata + a WindowGroupLimit-capped rank window.
+    """
+    parts = [F.col(c).cast("string") for c in (strata_cols or [])]
+    key = F.concat_ws("|", *parts, F.col(id_col).cast("string"))
+    full_key = key if not salt else F.concat_ws("|", F.lit(salt), key)
+    # u ∈ (0,1): first 8 md5 hex chars → uint32, +0.5 keeps u off 0 and 1
+    u = (F.conv(F.substring(F.md5(full_key), 1, 8), 16, 10).cast("double") + 0.5) / F.lit(
+        4294967296.0
+    )
+    priority = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*(strata_cols or [F.lit(1)])).orderBy(
+        F.desc(priority), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def weighted_mixture(
     df: DataFrame,
     id_col: str,

@@ -1976,6 +1976,53 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# q99 — weighted sampling without replacement (Efraimidis–Spirakis):
+# length-weighted document draw, k per source — the "sample long
+# documents proportionally more" corpus-construction step, fully
+# deterministic so the oracle replays the identical draw.
+# --------------------------------------------------------------------------
+
+_Q99_K = 10
+
+
+def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = weighted_sample_without_replacement(
+        d, "doc_id", "n_tokens", _Q99_K, strata_cols=["source"]
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+Q99_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+), pri AS (
+  SELECT doc_id, source, n_tokens,
+         ln((CAST(('0x' || substr(md5(concat_ws('|', source, doc_id)), 1, 8)) AS BIGINT)
+             + 0.5) / 4294967296.0) / n_tokens AS p
+  FROM t WHERE n_tokens > 0
+), ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS rn
+  FROM pri
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ranked WHERE rn <= {_Q99_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -2050,5 +2097,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q96_quality_logistic": QuerySpec(
         q96_quality_logistic, Q96_SQL, "§7 model-quality-score"
+    ),
+    "q99_weighted_sample": QuerySpec(
+        q99_weighted_sample, Q99_SQL, "§7 sampling-weighted"
     ),
 }

@@ -1551,6 +1551,41 @@ WINDOW w AS (
 """
 
 
+# --------------------------------------------------------------------------
+# q100 — cumulative distinct users per day. A windowed COUNT(DISTINCT)
+# is unsupported (and would hold per-frame sets); the scalable identity
+# is: distinct-so-far = running sum of FIRST OCCURRENCES. One groupBy
+# per user (min day), one daily count, one running sum over the tiny
+# per-day frame.
+# --------------------------------------------------------------------------
+
+def q100_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+Q100_SQL = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+), daily AS (
+  SELECT day, count(*) AS new_users FROM first_day GROUP BY 1
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1579,6 +1614,9 @@ QUERIES.update(
         "q97_scd2_intervals": QuerySpec(q97_scd2_intervals, Q97_SQL, "§2.5-ext scd2"),
         "q98_trailing_window": QuerySpec(
             q98_trailing_window, Q98_SQL, "§2.5-ext range-frame"
+        ),
+        "q100_cumulative_users": QuerySpec(
+            q100_cumulative_users, Q100_SQL, "§2.5-ext running-distinct"
         ),
     }
 )

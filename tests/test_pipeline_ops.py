@@ -942,3 +942,48 @@ class TestScd2:
         states = {r["state"]: (r["valid_from"], r["valid_to"]) for r in out}
         assert states[None] == (t(0), t(2))
         assert states["a"] == (t(2), None)
+
+
+class TestWeightedSample:
+    def test_heavy_weights_dominate_inclusion(self, spark):
+        """A-ES property: across independent draws (salts), an item with
+        10x weight is included far more often than a 1x item when k
+        covers a fraction of the population."""
+        from citibike_analysis_spark.operators.sampling import (
+            weighted_sample_without_replacement,
+        )
+
+        rows = [(i, 10.0 if i < 5 else 1.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id: long, w: double")
+        heavy_hits = light_hits = 0
+        for salt in ("s1", "s2", "s3", "s4", "s5", "s6"):
+            got = {
+                r["doc_id"]
+                for r in weighted_sample_without_replacement(
+                    df, "doc_id", "w", 10, salt=salt
+                ).collect()
+            }
+            assert len(got) == 10
+            heavy_hits += sum(1 for i in range(5) if i in got)
+            light_hits += sum(1 for i in range(5, 50) if i in got)
+        # heavy items: weight share 50/95 over 6 draws of k=10.
+        # Expected inclusion ~5-6x the per-item light rate.
+        assert heavy_hits / 5 > 3 * (light_hits / 45)
+
+    def test_deterministic_and_nonpositive_weight_excluded(self, spark):
+        from citibike_analysis_spark.operators.sampling import (
+            weighted_sample_without_replacement,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 0.0), (2, -3.0), (3, None), (4, 2.0)],
+            "doc_id: long, w: double",
+        )
+        a = {r["doc_id"] for r in weighted_sample_without_replacement(df, "doc_id", "w", 10).collect()}
+        b = {
+            r["doc_id"]
+            for r in weighted_sample_without_replacement(
+                df.repartition(5), "doc_id", "w", 10
+            ).collect()
+        }
+        assert a == b == {0, 4}
