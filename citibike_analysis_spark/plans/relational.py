@@ -1586,6 +1586,82 @@ FROM daily
 """
 
 
+# --------------------------------------------------------------------------
+# q101 — ordered conversion funnel (view → click → purchase, strictly
+# increasing event times). Each stage's earliest qualifying time is a
+# conditional MIN over the previous stage's anchor — three grouped
+# aggregations chained by per-user equi-joins, never a sequence scan.
+# --------------------------------------------------------------------------
+
+def q101_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.any_value("t_view").alias("t_view"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = e.select("user_id").distinct()
+    return (
+        users.join(t1, "user_id", "left")
+        .join(t2.select("user_id", "t_click"), "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+Q101_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click, any_value(t1.t_view) AS t_view
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY 1
+), users AS (
+  SELECT DISTINCT user_id FROM events
+)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       t1.t_view, t2.t_click, t3.t_purchase,
+       CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+                 WHEN t2.t_click IS NOT NULL THEN 2
+                 WHEN t1.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM users u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1618,5 +1694,6 @@ QUERIES.update(
         "q100_cumulative_users": QuerySpec(
             q100_cumulative_users, Q100_SQL, "§2.5-ext running-distinct"
         ),
+        "q101_funnel": QuerySpec(q101_funnel, Q101_SQL, "§2.4-ext funnel"),
     }
 )
