@@ -1662,6 +1662,43 @@ LEFT JOIN t3 ON u.user_id = t3.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q102 — cohort retention matrix: users grouped by first-activity week,
+# counted by distinct activity in each later week offset. Two grouped
+# aggregations + one equi-join back through the cohort anchor — the
+# standard retention triangle, never a per-user timeline scan.
+# --------------------------------------------------------------------------
+
+def q102_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.weekofyear(F.to_date("ts")).alias("_wk")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("_wk").alias("cohort_week"))
+    active = e.distinct()  # (user, week) activity
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("_wk") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+Q102_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id, week(CAST(ts AS DATE)) AS w FROM events
+), cohort AS (
+  SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(wk.w - c.cohort_week AS BIGINT) AS week_offset,
+       count(*) AS n_active
+FROM wk JOIN cohort c ON wk.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES.update(
     {
         "q24_rainy_day_flag": QuerySpec(q24_rainy_day_flag, Q24_SQL, "A4 F13 J4"),
@@ -1695,5 +1732,8 @@ QUERIES.update(
             q100_cumulative_users, Q100_SQL, "§2.5-ext running-distinct"
         ),
         "q101_funnel": QuerySpec(q101_funnel, Q101_SQL, "§2.4-ext funnel"),
+        "q102_cohort_retention": QuerySpec(
+            q102_cohort_retention, Q102_SQL, "§2.4-ext cohort"
+        ),
     }
 )
