@@ -12,8 +12,11 @@ LSH (q36), brute-force ANN (q38), as-of join (q41) and its bucketed
 hot-key-safe variant (q58), LSH-bucketed ANN (q44), dedup
 clustering / connected components (q46), benchmark decontamination
 (q63), corpus-statistics join-back (q68), sketch + exact-recount heavy
-hitters (q72), chunk-level span dedup (q74), and bigram-LM scoring
-(q79).
+hitters (q72), chunk-level span dedup (q74), bigram-LM scoring
+(q79), within-cluster semantic dedup (q77), the composed five-stage
+corpus pipeline (q86 — the closest shape to the real 100 TB job),
+vocab encode (q90 — the Python/Arrow boundary cost), the sort-free
+global index (q95), and per-stratum weighted sampling (q99).
 """
 
 from __future__ import annotations
@@ -42,7 +45,12 @@ HEADLINE = [
     "q68_unigram_logprob",
     "q72_frequent_tokens",
     "q74_chunk_dedup",
+    "q77_semantic_dedup",
     "q79_bigram_logprob",
+    "q86_corpus_pipeline",
+    "q90_encode_documents",
+    "q95_global_positions",
+    "q99_weighted_sample",
 ]
 
 

@@ -26,6 +26,33 @@ from citibike_analysis_spark.functions.text import (
 )
 
 
+def _reuse(df: DataFrame) -> DataFrame:
+    """Materialize-once strategy for an intermediate that feeds 2-3 plan
+    branches (the shingle/fingerprint inverted indexes, the MinHash
+    candidate list). Without it Spark re-executes the full upstream
+    pipeline (tokenize, shingle, sign, band) once per referencing branch.
+
+    Strategy is selectable via ``SPARK_GRAFT_DEDUP_REUSE`` =
+    ``persist`` (default) | ``checkpoint`` | ``none`` — kept as a knob
+    because the right answer is measured, not assumed: the r02 bench
+    showed ``localCheckpoint(eager=False)`` REGRESSING q36 ×1.59 at
+    sf0.1 (serializing blocks to local disk cost more than the saved
+    recompute at that scale), while ``persist()`` (MEMORY_AND_DISK,
+    deserialized in-memory reuse, spill only under pressure) keeps the
+    compute-once property without the mandatory disk round-trip. At
+    corpus scale the index may exceed memory; persist degrades to disk
+    blocks per-partition — the same worst case checkpoint always pays.
+    """
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_DEDUP_REUSE", "persist")
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    if mode == "none":
+        return df
+    return df.persist()
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, canonical_id, dup_count).
 
@@ -109,8 +136,8 @@ def ngram_jaccard_pairs(
         "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
     ).select("_id", F.xxhash64("_s").alias("_h"))
     # the index feeds three plan branches (sizes + both join sides);
-    # checkpoint it so tokenize+shingle+explode runs once, not three times
-    inv = inv.localCheckpoint(eager=False)
+    # materialize once so tokenize+shingle+explode doesn't run three times
+    inv = _reuse(inv)
     sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
     joinable = _df_capped(inv, "_h", max_doc_freq)
     a, b = joinable.alias("a"), joinable.alias("b")
@@ -163,7 +190,7 @@ def ngram_containment_pairs(
     inv = tk.select(
         "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
     ).select("_id", F.xxhash64("_s").alias("_h"))
-    inv = inv.localCheckpoint(eager=False)  # sizes + both join sides
+    inv = _reuse(inv)  # sizes + both join sides
     sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
     joinable = _df_capped(inv, "_h", max_doc_freq)
     a, b = joinable.alias("a"), joinable.alias("b")
@@ -288,9 +315,9 @@ def minhash_dedup_pairs(
     """
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
     # the candidate list feeds three branches (the verify join + both
-    # halves of the id set); checkpoint so the signature+banding pipeline
-    # runs once, not three times
-    cand = cand.localCheckpoint(eager=False)
+    # halves of the id set); materialize so the signature+banding
+    # pipeline runs once, not three times
+    cand = _reuse(cand)
     # Shingle only candidate documents: broadcast-semi-join the candidate
     # id set *below* the shingle projection, so tokenization runs on the
     # (vanishing at scale) candidate subset, not the corpus.
@@ -303,7 +330,8 @@ def minhash_dedup_pairs(
         df.join(F.broadcast(cand_ids), df[id_col] == F.col("_cid"), "left_semi")
         .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
         .select("_id", shingles_of(F.col("_tk"), shingle_n).alias("_sh"))
-    ).localCheckpoint(eager=False)  # reused by both sides of the verify join
+    )
+    sh = _reuse(sh)  # reused by both sides of the verify join
     j = (
         cand.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "_shb"}), "id_b")
@@ -356,8 +384,8 @@ def winnow_overlap_pairs(
     only shrink, so pairs may fall below ``min_shared`` but none are
     added.
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
-        eager=False  # both join sides read the same index — compute once
+    fp = _reuse(  # both join sides read the same index — compute once
+        winnow_fingerprints(df, id_col, text_col, k, w)
     )
     fp = _df_capped(fp, "fingerprint", max_doc_freq)
     a, b = fp.alias("a"), fp.alias("b")

@@ -76,6 +76,14 @@ def stratified_fixed_sample(
     Spark's WindowGroupLimit keeps ≤ k rows per stratum on the map side,
     so the shuffle moves survivors, not strata. A stratum with fewer
     than k rows is kept whole.
+
+    GLOBAL-k CONTRACT (``strata_cols=None``): the window partitions by a
+    constant, so the FINAL rank runs in one task. WindowGroupLimit still
+    caps that task's input at ≤ k rows per upstream partition, so the
+    single task sees ≤ k × num_partitions rows — fine for eval-set k
+    (10³–10⁶), but a global k approaching corpus size belongs in the
+    per-stratum form (pass real ``strata_cols``, the scale path — see
+    q87 for the per-source shape).
     """
     parts = [F.col(c).cast("string") for c in (strata_cols or [])]
     key = F.concat_ws("|", *parts, F.col(id_col).cast("string"))
@@ -185,6 +193,12 @@ def weighted_sample_without_replacement(
     Rows with non-positive or NULL weight are excluded (zero-weight
     rows can never be drawn; a NULL would sort nondeterministically).
     One shuffle on the strata + a WindowGroupLimit-capped rank window.
+
+    GLOBAL-k CONTRACT (``strata_cols=None``): the final rank window runs
+    in one task over ≤ k × num_partitions rows (WindowGroupLimit caps
+    each upstream partition's contribution at k). Sane eval-set k is
+    fine; for corpus-scale k use real ``strata_cols`` (per-stratum
+    windows parallelize — the q99-per-source shape is the scale path).
     """
     parts = [F.col(c).cast("string") for c in (strata_cols or [])]
     key = F.concat_ws("|", *parts, F.col(id_col).cast("string"))

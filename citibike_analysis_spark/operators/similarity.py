@@ -333,6 +333,13 @@ def _assign_nearest(df: DataFrame, idname: str, vec: str, cents) -> DataFrame:
     BEFORE the broadcast join, so each pair pays exactly one dot fold —
     measured ~3x over the naive dot/(|v|·|c|) per pair at sf0.1.
     cos(v, c) = dot(v, ĉ)/|v|: same argmax, same value to float noise.
+
+    Zero-norm rows: an all-zero embedding would make _d = 0/0 = NaN and
+    the argmax pick an arbitrary centroid, silently propagating NaN
+    through kmeans_clusters / semantic_dedup_pairs / ivf_topk. The row
+    norm is floored at 1e-300 (same guard the centroid side gets
+    driver-side), so a zero vector scores cosine 0.0 against every
+    centroid and deterministically lands in the lowest-cid cluster.
     """
     import numpy as np
 
@@ -341,7 +348,7 @@ def _assign_nearest(df: DataFrame, idname: str, vec: str, cents) -> DataFrame:
         for cid, v in cents
     ]
     scored = (
-        df.withColumn("_vn", norm(F.col(vec)))
+        df.withColumn("_vn", F.greatest(norm(F.col(vec)), F.lit(1e-300)))
         .crossJoin(F.broadcast(_cent_df(df.sparkSession, ncents)))
         .withColumn("_d", dot(F.col(vec), F.col("_cvec")) / F.col("_vn"))
     )
@@ -366,27 +373,39 @@ def _train_centroids(
     per-iteration means are rounded to 6 decimals so float summation
     order cannot flip assignments across runs; empty clusters keep their
     previous centroid. Per iteration the corpus is touched once
-    (broadcast join + one aggregation) — never a corpus self-join."""
-    centroids = [
-        (i, r[vec]) for i, r in enumerate(c.orderBy(idname).limit(k).collect())
-    ]
-    for _ in range(train_iters):
-        assigned = _assign_nearest(c, idname, vec, centroids)
-        new_means = (
-            assigned.select("cid", F.posexplode(vec).alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("v"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: F.round(s["v"], 6),
-                ).alias("_cvec")
+    (broadcast join + one aggregation) — never a corpus self-join.
+
+    The projected corpus is persisted (MEMORY_AND_DISK) for the duration
+    of training: the init scan materializes the cache and every Lloyd
+    iteration reads blocks instead of re-scanning + re-projecting the
+    source — at corpus scale that turns train_iters+1 full input passes
+    into one (MLlib KMeans persists its norm-augmented input for exactly
+    this reason). Unpersisted before return; the caller's final emit
+    pass re-reads the source once."""
+    c = c.persist()
+    try:
+        centroids = [
+            (i, r[vec]) for i, r in enumerate(c.orderBy(idname).limit(k).collect())
+        ]
+        for _ in range(train_iters):
+            assigned = _assign_nearest(c, idname, vec, centroids)
+            new_means = (
+                assigned.select("cid", F.posexplode(vec).alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("v").alias("v"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                        lambda s: F.round(s["v"], 6),
+                    ).alias("_cvec")
+                )
             )
-        )
-        updated = {r["cid"]: r["_cvec"] for r in new_means.collect()}
-        centroids = [(cid, updated.get(cid, v)) for cid, v in centroids]
-    return centroids
+            updated = {r["cid"]: r["_cvec"] for r in new_means.collect()}
+            centroids = [(cid, updated.get(cid, v)) for cid, v in centroids]
+        return centroids
+    finally:
+        c.unpersist()
 
 
 def kmeans_clusters(

@@ -22,6 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from citibike_analysis_spark.functions.stats import (
+    round_avg_exact,
+    round_avg_exact_over,
+    round_sum_exact,
+    sql_round_avg_exact,
+    sql_round_sum_exact,
+)
 from citibike_analysis_spark.operators.rollup import interval_rollup
 from citibike_analysis_spark.operators.spatial import within_distance_pairs
 from citibike_analysis_spark.operators.windows import top_k_per_group
@@ -48,35 +55,38 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # product expressions are exact 4-/6-decimal values, so their
+            # sums land exactly on round-to-2 midpoints ~1% of the time —
+            # rounded in integer space (functions/stats.py) so the result
+            # is engine- and summation-order-independent
+            round_sum_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
+            round_sum_exact(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_avg_exact("l_quantity").alias("avg_qty"),
+            round_avg_exact("l_extendedprice").alias("avg_price"),
+            round_avg_exact("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-Q01_SQL = """
+Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-       round(avg(l_quantity), 4)                                            AS avg_qty,
-       round(avg(l_extendedprice), 4)                                       AS avg_price,
-       round(avg(l_discount), 4)                                            AS avg_disc,
-       count(*)                                                             AS count_order
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       {sql_round_sum_exact('l_extendedprice * (1 - l_discount)', 4, 2)} AS sum_disc_price,
+       {sql_round_sum_exact('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6, 2)} AS sum_charge,
+       {sql_round_avg_exact('l_quantity')}      AS avg_qty,
+       {sql_round_avg_exact('l_extendedprice')} AS avg_price,
+       {sql_round_avg_exact('l_discount')}      AS avg_disc,
+       count(*)                       AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -145,13 +155,13 @@ def q04_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            round_avg_exact("p_retailprice").alias("avg_price"),
         )
     )
 
 
-Q04_SQL = """
-SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+Q04_SQL = f"""
+SELECT p_brand, count(*) AS n_parts, {sql_round_avg_exact('p_retailprice')} AS avg_price
 FROM part
 WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') AND p_size >= 10
 GROUP BY p_brand
@@ -345,26 +355,37 @@ def q11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     # Spark dayofweek: 1=Sunday … 7=Saturday → normalize to 0=Sunday.
     dow = (F.dayofweek(F.col("ts")) - F.lit(1)).cast("long")
-    pivoted = (
+    # The exact rounded mean is a composition of two aggregates, which a
+    # pivot .agg() can't host directly — aggregate per (type, dow) first,
+    # then pivot the (already 1-row-per-cell) means with first(). Same
+    # two-shuffle plan Spark generates for pivot-over-avg anyway.
+    cell = (
         e.withColumn("dow", dow)
-        .groupBy("event_type")
-        .pivot("dow", list(range(7)))
-        .agg(F.round(F.avg("value"), 4))
+        .groupBy("event_type", "dow")
+        .agg(round_avg_exact("value").alias("_m"))
+    )
+    pivoted = (
+        cell.groupBy("event_type").pivot("dow", list(range(7))).agg(F.first("_m"))
     )
     return pivoted.select(
         "event_type", *[F.col(str(d)).alias(f"d{d}") for d in range(7)]
     )
 
 
-Q11_SQL = """
+_Q11_CELL = [
+    sql_round_avg_exact(f"CASE WHEN dayofweek(ts) = {d} THEN value END")
+    for d in range(7)
+]
+
+Q11_SQL = f"""
 SELECT event_type,
-       round(avg(CASE WHEN dayofweek(ts) = 0 THEN value END), 4) AS d0,
-       round(avg(CASE WHEN dayofweek(ts) = 1 THEN value END), 4) AS d1,
-       round(avg(CASE WHEN dayofweek(ts) = 2 THEN value END), 4) AS d2,
-       round(avg(CASE WHEN dayofweek(ts) = 3 THEN value END), 4) AS d3,
-       round(avg(CASE WHEN dayofweek(ts) = 4 THEN value END), 4) AS d4,
-       round(avg(CASE WHEN dayofweek(ts) = 5 THEN value END), 4) AS d5,
-       round(avg(CASE WHEN dayofweek(ts) = 6 THEN value END), 4) AS d6
+       {_Q11_CELL[0]} AS d0,
+       {_Q11_CELL[1]} AS d1,
+       {_Q11_CELL[2]} AS d2,
+       {_Q11_CELL[3]} AS d3,
+       {_Q11_CELL[4]} AS d4,
+       {_Q11_CELL[5]} AS d5,
+       {_Q11_CELL[6]} AS d6
 FROM events
 GROUP BY event_type
 """
@@ -401,7 +422,7 @@ def q13_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("l_extendedprice").alias("n"),
-        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+        round_avg_exact("l_extendedprice").alias("mean"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev"),
         F.round(F.min("l_extendedprice"), 2).alias("min"),
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
@@ -411,9 +432,9 @@ def q13_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q13_SQL = """
+Q13_SQL = f"""
 SELECT count(l_extendedprice) AS n,
-       round(avg(l_extendedprice), 4) AS mean,
+       {sql_round_avg_exact('l_extendedprice')} AS mean,
        round(stddev_samp(l_extendedprice), 4) AS stddev,
        round(min(l_extendedprice), 2) AS min,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -927,16 +948,16 @@ def q25_wide_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        *[F.round(F.avg(c), 4).alias(f"avg_{c}") for c in measures]
+        *[round_avg_exact(c).alias(f"avg_{c}") for c in measures]
     )
 
 
-Q25_SQL = """
+Q25_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(avg(l_quantity), 4)      AS avg_l_quantity,
-       round(avg(l_extendedprice), 4) AS avg_l_extendedprice,
-       round(avg(l_discount), 4)      AS avg_l_discount,
-       round(avg(l_tax), 4)           AS avg_l_tax
+       {sql_round_avg_exact('l_quantity')}      AS avg_l_quantity,
+       {sql_round_avg_exact('l_extendedprice')} AS avg_l_extendedprice,
+       {sql_round_avg_exact('l_discount')}      AS avg_l_discount,
+       {sql_round_avg_exact('l_tax')}           AS avg_l_tax
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
@@ -1395,17 +1416,17 @@ def q54_ci_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("mean_value"),
+            round_avg_exact("value").alias("mean_value"),
             F.round(F.percentile("value", 0.05), 4).alias("p05"),
             F.round(F.percentile("value", 0.95), 4).alias("p95"),
         )
     )
 
 
-Q54_SQL = """
+Q54_SQL = f"""
 SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
        count(*) AS n,
-       round(avg(value), 4) AS mean_value,
+       {sql_round_avg_exact('value')} AS mean_value,
        round(quantile_cont(value, 0.05), 4) AS p05,
        round(quantile_cont(value, 0.95), 4) AS p95
 FROM events
@@ -1533,16 +1554,16 @@ def q98_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         "ts",
         F.count("*").over(w).cast("long").alias("n_trailing_1h"),
-        F.round(F.avg("value").over(w), 6).alias("avg_trailing_1h"),
+        round_avg_exact_over("value", w, 2, 6).alias("avg_trailing_1h"),
     )
 
 
-Q98_SQL = """
+Q98_SQL = f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(user_id AS BIGINT) AS user_id,
        ts,
        CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
-       round(avg(value) OVER w, 6) AS avg_trailing_1h
+       {sql_round_avg_exact('value', 2, 6, over='OVER w')} AS avg_trailing_1h
 FROM events
 WINDOW w AS (
   PARTITION BY user_id ORDER BY ts
@@ -1667,12 +1688,26 @@ LEFT JOIN t3 ON u.user_id = t3.user_id
 # counted by distinct activity in each later week offset. Two grouped
 # aggregations + one equi-join back through the cohort anchor — the
 # standard retention triangle, never a per-user timeline scan.
+#
+# The cohort anchor is an ABSOLUTE week index (weeks since Monday
+# 1970-01-05), not weekofyear(): a calendar week number resets every
+# January, so data spanning a year boundary would conflate week 52 of one
+# year with week 52 of the next and produce negative/wrong offsets
+# (e.g. first activity in ISO week 52/2019, activity in week 1/2020 ->
+# offset -51). The epoch-week index is monotone across years; both sides
+# (Spark and the DuckDB oracle) truncate to the Monday of the week and
+# divide the day-diff by 7, which is exact because both are Monday-aligned.
 # --------------------------------------------------------------------------
 
 def q102_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", F.weekofyear(F.to_date("ts")).alias("_wk")
+    epoch_week = F.floor(
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"),
+            F.to_date(F.lit("1970-01-05")),
+        )
+        / 7
     )
+    e = _t(spark, sf_dir, "events").select("user_id", epoch_week.alias("_wk"))
     cohort = e.groupBy("user_id").agg(F.min("_wk").alias("cohort_week"))
     active = e.distinct()  # (user, week) activity
     return (
@@ -1687,7 +1722,11 @@ def q102_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q102_SQL = """
 WITH wk AS (
-  SELECT DISTINCT user_id, week(CAST(ts AS DATE)) AS w FROM events
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '1970-01-05',
+                              CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)) / 7.0)
+              AS BIGINT) AS w
+  FROM events
 ), cohort AS (
   SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1
 )

@@ -84,11 +84,14 @@ def write_sharded(
     ``maxRecordsPerFile`` splits each task's output at the bound, so
     shard size is enforced regardless of partition skew; combine with
     ``df.repartition(n)`` upstream to set the floor on parallelism.
-    Returns the manifest — one row per written shard with its row count
-    (computed from the written files' parquet footers: a count over
-    ``input_file_name()`` reads metadata, not data) — and writes it next
-    to the shards as ``<path>_manifest`` JSON for loaders that can't
-    list the filesystem.
+    Returns the manifest — one row per written shard with its row count,
+    read GENUINELY from the written files' parquet footers: the shard
+    list comes from the scan's file index (``inputFiles()``, a listing,
+    no data read) and each footer's ``num_rows`` is read by pyarrow on
+    the executors via ``mapInPandas`` — a few KB per file, never a
+    re-scan of the rows just written. The manifest lands next to the
+    shards as ``<path>_manifest`` JSON for loaders that can't list the
+    filesystem.
     """
     spark = df.sparkSession
     w = df.write.mode("overwrite").option(
@@ -97,16 +100,40 @@ def write_sharded(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
-    from pyspark.sql import functions as F
 
-    manifest = (
-        spark.read.parquet(path)
-        .groupBy(F.input_file_name().alias("shard"))
-        .count()
-        .withColumnRenamed("count", "n_rows")
-    )
+    files = spark.read.parquet(path).inputFiles()
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "shard: string"
+    ).repartition(max(1, min(len(files), 32)))
+
+    def _footer_counts(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            counts = []
+            for uri in pdf["shard"]:
+                counts.append(_parquet_footer_rows(uri))
+            yield pd.DataFrame({"shard": pdf["shard"], "n_rows": counts})
+
+    manifest = paths_df.mapInPandas(_footer_counts, "shard string, n_rows long")
     manifest.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "_manifest")
     return manifest
+
+
+def _parquet_footer_rows(uri: str) -> int:
+    """num_rows from one parquet footer (metadata-only read). Resolves
+    the filesystem from the URI scheme (file://, s3://, hdfs:// — any
+    pyarrow.fs-supported scheme); a bare path is treated as local."""
+    import pyarrow.parquet as pq
+
+    if "://" in uri or uri.startswith("file:/"):
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(uri)
+        with fs.open_input_file(p) as fh:
+            return pq.ParquetFile(fh).metadata.num_rows
+    return pq.ParquetFile(uri).metadata.num_rows
 
 
 def read_orc(spark: SparkSession, path: str, schema) -> DataFrame:

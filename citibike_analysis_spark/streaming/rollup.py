@@ -124,6 +124,7 @@ def upsert_station_dimension(
     )
     from pyspark.errors import AnalysisException
 
+    _recover_snapshot(spark, snapshot_path)
     try:
         existing = spark.read.parquet(snapshot_path)
         merged = (
@@ -144,16 +145,57 @@ def upsert_station_dimension(
     # Never overwrite the directory being read: a persist() is evictable
     # (not a checkpoint), so cache loss mid-overwrite would recompute the
     # plan against deleted files. Write the merged snapshot to a staging
-    # path, then swap via the snapshot's own filesystem (HDFS rename is
-    # atomic; the delete+rename window is the standard non-transactional
-    # parquet caveat).
+    # path, then swap with rename-aside: dst -> dst__old, staging -> dst,
+    # delete dst__old. At every instant either dst, a complete __staging
+    # (with _SUCCESS), or __old holds a full snapshot, and
+    # _recover_snapshot() on the next batch promotes whichever survives —
+    # the unrecoverable window shrinks to a metadata rename (HDFS renames
+    # are atomic; crash between two renames leaves both old and staging,
+    # recovery prefers the newer complete staging).
     staging = snapshot_path.rstrip("/") + "__staging"
+    old = snapshot_path.rstrip("/") + "__old"
     merged.write.mode("overwrite").parquet(staging)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(snapshot_path).getFileSystem(spark._jsc.hadoopConfiguration())
     dst = hpath(snapshot_path)
-    if fs.exists(dst):
-        fs.delete(dst, True)
+    if fs.exists(hpath(old)):
+        fs.delete(hpath(old), True)
+    if fs.exists(dst) and not fs.rename(dst, hpath(old)):
+        raise IOError(f"rename {snapshot_path} -> {old} failed")
     if not fs.rename(hpath(staging), dst):
         raise IOError(f"rename {staging} -> {snapshot_path} failed")
+    if fs.exists(hpath(old)):
+        fs.delete(hpath(old), True)
+
+
+def _recover_snapshot(spark, snapshot_path: str) -> None:
+    """Promote a surviving snapshot if a crash interrupted the swap.
+
+    If the live path is missing, prefer a COMPLETE staging write (its
+    parquet ``_SUCCESS`` marker proves the job committed — a partial
+    staging from a crash mid-write is never promoted), else fall back to
+    the renamed-aside previous snapshot. If the live path exists, any
+    leftover ``__old`` is stale and is removed.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(snapshot_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    dst = hpath(snapshot_path)
+    staging = hpath(snapshot_path.rstrip("/") + "__staging")
+    old = hpath(snapshot_path.rstrip("/") + "__old")
+    if fs.exists(dst):
+        if fs.exists(old):
+            fs.delete(old, True)
+        return
+    staging_ok = fs.exists(staging) and fs.exists(
+        hpath(snapshot_path.rstrip("/") + "__staging/_SUCCESS")
+    )
+    if staging_ok:
+        if not fs.rename(staging, dst):
+            raise IOError(f"recovery rename {staging} -> {dst} failed")
+        if fs.exists(old):
+            fs.delete(old, True)
+    elif fs.exists(old):
+        if not fs.rename(old, dst):
+            raise IOError(f"recovery rename {old} -> {dst} failed")

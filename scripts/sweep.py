@@ -57,7 +57,9 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'} {name:45s} {dt:6.2f}s {status}", flush=True)
 
     print(json.dumps({"failures": failures, "total": len(results)}))
-    return len(failures)
+    # POSIX exit codes wrap mod 256 — 256 failures would read as success,
+    # so the code is boolean; the JSON line carries the exact count.
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
