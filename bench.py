@@ -78,6 +78,11 @@ def main() -> None:
     steady: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
+        # drop cached blocks leaked by earlier queries' compute-once
+        # persists: each query is timed self-contained, and accumulated
+        # storage memory otherwise bleeds GC pressure into later queries
+        # (q58 measured 18 s in-session vs 4.5 s standalone before this)
+        spark.catalog.clearCache()
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()

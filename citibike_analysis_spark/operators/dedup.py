@@ -33,15 +33,21 @@ def _reuse(df: DataFrame) -> DataFrame:
     pipeline (tokenize, shingle, sign, band) once per referencing branch.
 
     Strategy is selectable via ``SPARK_GRAFT_DEDUP_REUSE`` =
-    ``persist`` (default) | ``checkpoint`` | ``none`` — kept as a knob
-    because the right answer is measured, not assumed: the r02 bench
-    showed ``localCheckpoint(eager=False)`` REGRESSING q36 ×1.59 at
-    sf0.1 (serializing blocks to local disk cost more than the saved
-    recompute at that scale), while ``persist()`` (MEMORY_AND_DISK,
-    deserialized in-memory reuse, spill only under pressure) keeps the
-    compute-once property without the mandatory disk round-trip. At
-    corpus scale the index may exceed memory; persist degrades to disk
-    blocks per-partition — the same worst case checkpoint always pays.
+    ``persist`` (default) | ``checkpoint`` | ``none``. Measured A/B
+    (scripts/ab_reuse.py, sf0.1, fresh JVM per strategy, 5 reps,
+    min/median over q36/q34/q50/q92): any materialization beats none
+    (q34 ×1.2, q50 ×1.35 slower without), and checkpoint is ~10%
+    faster than persist locally (q36 min 2.06 s vs 2.59 s — checkpoint
+    matching BENCH_r01's 2.09 s, which shows the 3.32 s recorded in
+    BENCH_r02 was harness load noise, not a checkpoint cost). persist
+    stays the DEFAULT anyway because ``localCheckpoint`` truncates
+    lineage: a lost executor makes its blocks unrecoverable and fails
+    the query, while persist recomputes from lineage — on a large
+    cluster with preemption/decommissioning that reliability gap is
+    worth far more than 10% of a local run. Deployments on stable
+    executors can flip the knob. At corpus scale the index may exceed
+    memory; persist degrades to per-partition disk blocks — the same
+    worst case checkpoint always pays.
     """
     import os
 

@@ -639,17 +639,23 @@ def near_duplicate_embeddings(
     bits are computed once per vector behind a projection boundary, then
     sliced+packed per table; multi-table duplicate candidates are
     dropDuplicates'd before the (exact, per-candidate) verify.
+
+    The bucket self-join and the dedup move BARE (tbl, bkt, id) /
+    (id_a, id_b) rows; vectors are joined back onto the already-deduped
+    candidate pairs for the exact verify. Candidates hit in ~p^bits
+    of the ``tables`` tables, so carrying the two d-dim vectors through
+    the join+dedup shuffles would multiply vector bytes by the table
+    hit count — measured 2.3x wall (23.2 s → 9.9 s) on the rehearsal
+    corpus at 2k vectors, and the multiplier grows with ``tables``;
+    bare pairs make those shuffles 16-byte rows, the same economics as
+    the MinHash verify join (operators/dedup.py).
     """
     planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
-    c = _bucketize(
-        corpus.select(
-            F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
-        ),
-        "_id",
-        "_v",
-        planes_df,
-        bits,
-        tables,
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    c = _bucketize(vecs, "_id", "_v", planes_df, bits, tables).select(
+        "_id", "tbl", "bkt"
     )
     a, b = c.alias("a"), c.alias("b")
     cand = (
@@ -659,16 +665,15 @@ def near_duplicate_embeddings(
             & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        cand.join(
+            vecs.withColumnsRenamed({"_id": "id_a", "_v": "_va"}), "id_a"
+        )
+        .join(vecs.withColumnsRenamed({"_id": "id_b", "_v": "_vb"}), "id_b")
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select(
             F.col("id_a").cast("long"),

@@ -1,0 +1,194 @@
+"""Two-point scale rehearsal for the near-dup family (VERDICT r02 #5).
+
+The sf0.1 operating point is one data point; this script generates a
+1x and a 10x synthetic corpus FROM THE SAME GENERATOR (Zipfian vocab,
+lognormal doc lengths, fixed 5% near-duplicate injection; clustered
+embeddings with 2% near-duplicate vectors) and runs the near-dup
+queries on both, recording wall time and the candidate-pair counts
+that drive the economics — empirical confirmation that banding and the
+df-cap hold off the single measured operating point.
+
+The uncapped inverted-index join's candidate count is Σ C(df,2) over
+shingle document frequencies; it is computed analytically at both
+scales (cheap — one groupBy over the index) and the uncapped q34 is
+only EXECUTED where that count says it is sane. That asymmetry is the
+point of the experiment: uncapped grows ~quadratically with corpus
+size on the Zipf head while the df-cap pins it ~linear.
+
+Usage: python scripts/scale_rehearsal.py [workdir]
+Writes documents.parquet/embeddings.parquet under <workdir>/{x1,x10}
+(default /tmp/scale_rehearsal) and prints one JSON line per (scale,
+query) plus a markdown summary table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+VOCAB = 20_000
+ZIPF_A = 1.1
+MEAN_WORDS, SIGMA_WORDS = 200, 0.5
+NEAR_DUP_FRAC = 0.05  # fraction of docs that are an edited copy of an earlier doc
+EDIT_FRAC = 0.08  # words replaced in a near-dup copy
+EMB_DIM = 64
+EMB_FAMILY = 40  # vectors per near-dup family: FIXED as the corpus grows
+VEC_DUP_FRAC = 0.02
+
+
+def gen_documents(n: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    words = np.array([f"w{i}" for i in range(VOCAB)])
+    # Zipf ranks clipped into the vocab: heavy head + long tail, like text
+    texts: list[str] = []
+    sources = rng.integers(0, 8, n)
+    for i in range(n):
+        if i > 0 and rng.random() < NEAR_DUP_FRAC:
+            j = rng.integers(0, i)
+            toks = texts[j].split()
+            k = max(1, int(len(toks) * EDIT_FRAC))
+            pos = rng.choice(len(toks), size=min(k, len(toks)), replace=False)
+            ranks = rng.zipf(ZIPF_A, size=len(pos)) % VOCAB
+            for p, r in zip(pos, ranks):
+                toks[p] = words[r]
+            texts.append(" ".join(toks))
+            continue
+        ln = max(8, int(rng.lognormal(np.log(MEAN_WORDS), SIGMA_WORDS)))
+        ranks = rng.zipf(ZIPF_A, size=ln) % VOCAB
+        texts.append(" ".join(words[ranks]))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"src{s}" for s in sources]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, seed: int) -> pa.Table:
+    # cluster COUNT scales with n, cluster SIZE stays ~EMB_FAMILY: a real
+    # corpus grows by adding near-dup families (boilerplate variants),
+    # not by inflating each family — this keeps q39's true-pair count
+    # ~linear in n, so superlinear wall-time growth indicts the PLAN.
+    rng = np.random.default_rng(seed + 1)
+    n_clusters = max(10, n // EMB_FAMILY)
+    centers = rng.normal(size=(n_clusters, EMB_DIM)) * 3.0
+    labels = rng.integers(0, n_clusters, n)
+    vecs = centers[labels] + rng.normal(size=(n, EMB_DIM))
+    dup = rng.random(n) < VEC_DUP_FRAC
+    for i in np.flatnonzero(dup):
+        if i == 0:
+            continue
+        j = rng.integers(0, i)
+        vecs[i] = vecs[j] + rng.normal(size=EMB_DIM) * 0.01
+        labels[i] = labels[j]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs]),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+def main() -> int:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal"
+    scales = {"x1": (5_000, 2_000), "x10": (50_000, 20_000)}
+    for name, (nd, ne) in scales.items():
+        d = os.path.join(work, name)
+        os.makedirs(d, exist_ok=True)
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            pq.write_table(gen_documents(nd, seed=7), os.path.join(d, "documents.parquet"))
+            pq.write_table(gen_embeddings(ne, seed=7), os.path.join(d, "embeddings.parquet"))
+
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.plans import all_queries
+    from citibike_analysis_spark.session import get_spark
+    from citibike_analysis_spark.functions.text import shingles_of, tokens
+    from citibike_analysis_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale_rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    results: dict[str, dict] = {}
+    for name in scales:
+        d = os.path.join(work, name)
+        docs = load_table(spark, d, "documents")
+        # analytic candidate-pair counts for the inverted-index join,
+        # uncapped vs df-capped at the q61 default (max_doc_freq=100)
+        # explode over a NAMED token projection — inlining tokens() into
+        # shingles_of makes interpreted eval re-run the regex split per
+        # array element (O(words^2) per doc; observed as a 20-minute
+        # single-task straggler on the 10x corpus's longest docs). Same
+        # expression-shape rule the engine's own index builders follow
+        # (operators/dedup.py).
+        tk = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+        inv = (
+            tk.select("doc_id", F.explode(shingles_of(F.col("_tk"), 3)).alias("s"))
+            .groupBy(F.xxhash64("s").alias("h")).count()
+        )
+        pairs = inv.select(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("uncapped"),
+            F.sum(F.expr("CASE WHEN count <= 100 THEN count * (count - 1) / 2 ELSE 0 END")).alias("capped"),
+        ).collect()[0]
+        row: dict = {
+            "n_docs": scales[name][0],
+            "uncapped_pairs": int(pairs["uncapped"]),
+            "df_capped_pairs": int(pairs["capped"]),
+        }
+        qnames = ["q61_capped_jaccard", "q36_minhash_dedup", "q46_dedup_clusters",
+                  "q62_dedup_clusters_star", "q39_embedding_near_dup"]
+        # executing the uncapped join past ~3e7 analytic candidates is
+        # pointless pain: the hot shingle's partition becomes one
+        # multi-minute straggler task (observed live at 10x) — which is
+        # the finding; the counts carry it without the wall-clock
+        if name == "x1" or pairs["uncapped"] < 3e7:
+            qnames.insert(0, "q34_ngram_jaccard")
+        else:
+            row["q34_ngram_jaccard"] = {"skipped": "uncapped candidate count prohibitive (by design)"}
+        for q in qnames:
+            runs, rows_out = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = specs[q].fn(spark, d)
+                rows_out = out.count()
+                runs.append(round(time.perf_counter() - t0, 2))
+            row[q] = {"sec": min(runs), "rows": rows_out}
+            print(json.dumps({"scale": name, "query": q, **row[q]}), flush=True)
+        results[name] = row
+        print(json.dumps({"scale": name, "pair_economics": {
+            "uncapped": row["uncapped_pairs"], "capped": row["df_capped_pairs"]}}), flush=True)
+
+    # markdown summary for SCALE.md
+    print("\n| metric | 1x (5k docs / 2k vecs) | 10x (50k / 20k) | growth |")
+    print("|---|---|---|---|")
+    x1, x10 = results["x1"], results["x10"]
+    def g(a, b):
+        return f"x{b / a:.1f}" if a else "-"
+    print(f"| uncapped index candidate pairs | {x1['uncapped_pairs']:,} | {x10['uncapped_pairs']:,} | {g(x1['uncapped_pairs'], x10['uncapped_pairs'])} |")
+    print(f"| df-capped (=100) candidate pairs | {x1['df_capped_pairs']:,} | {x10['df_capped_pairs']:,} | {g(x1['df_capped_pairs'], x10['df_capped_pairs'])} |")
+    for q in ["q34_ngram_jaccard", "q61_capped_jaccard", "q36_minhash_dedup",
+              "q46_dedup_clusters", "q62_dedup_clusters_star", "q39_embedding_near_dup"]:
+        a, b = x1.get(q, {}), x10.get(q, {})
+        if "skipped" in b:
+            print(f"| {q} | {a.get('sec')}s / {a.get('rows')} rows | SKIPPED ({b['skipped']}) | - |")
+        else:
+            print(f"| {q} | {a.get('sec')}s / {a.get('rows')} rows | {b.get('sec')}s / {b.get('rows')} rows | {g(a.get('sec', 0), b.get('sec', 0))} |")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
