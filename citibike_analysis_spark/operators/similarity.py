@@ -472,7 +472,9 @@ def semantic_dedup_pairs(
             "cid",
             F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"),
         )
-    )
+    ).persist()  # feeds BOTH sides of the cid self-join: without this the
+    # assignment pipeline (k-way score + argmax + normalize) re-runs the
+    # corpus once per side — two extra full passes at scale
     a, b = assigned.alias("a"), assigned.alias("b")
     return (
         a.join(
@@ -656,7 +658,9 @@ def near_duplicate_embeddings(
     )
     c = _bucketize(vecs, "_id", "_v", planes_df, bits, tables).select(
         "_id", "tbl", "bkt"
-    )
+    ).persist()  # both self-join sides read the signature projection;
+    # persisting avoids recomputing the O(d·bits·tables) plane folds
+    # (and a second corpus scan) for the b side
     a, b = c.alias("a"), c.alias("b")
     cand = (
         a.join(
