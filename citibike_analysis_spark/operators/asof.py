@@ -181,6 +181,12 @@ def asof_join_bucketed(
         *[F.col(c) for c in left_cols if c not in on],
     ).withColumn("__b", _bucket_of(F.col("__ts"), bucket_seconds))
 
+    # r feeds three plan branches (bucket universe, closings, the final
+    # union) and l two — persist both so the source scan+projection runs
+    # once per side, not once per branch (3 saved corpus passes at scale)
+    r = r.persist()
+    l = l.persist()
+
     # per-(key, bucket) closing payload → prefix-max over earlier buckets.
     # The bucket universe must include LEFT-side buckets: a left row in a
     # bucket with no right rows still needs its carry-in (shrunk-out by
