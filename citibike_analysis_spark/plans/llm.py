@@ -535,17 +535,29 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# q46 — dedup clustering: transitive closure of the q34 near-dup pairs
-# into canonical clusters (operators/graph.py connected components). The
+# q46 — dedup clustering: transitive closure of near-dup pairs into
+# canonical clusters (operators/graph.py connected components). The
 # oracle recomputes the same pairs and closes them with a recursive CTE —
 # a full value-level check even though the Spark side is iterative.
+#
+# The pair source is the DF-CAPPED inverted index (the q61 form, cap
+# mirrored in the oracle): the r03 two-point rehearsal measured the
+# uncapped join's candidates growing x95 for x10 docs while CC itself
+# stays flat (~2-3 s at both scales over banded pairs) — a registered
+# clustering query whose input is the uncapped join would inherit that
+# blowup, so the capped index IS the declared form at every scale.
 # --------------------------------------------------------------------------
+
+_Q61_MAX_DF = 25
+
 
 def q46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citibike_analysis_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=_Q61_MAX_DF
+    )
     return dedup_clusters(d, "doc_id", pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("canonical_id").cast("long").alias("canonical_id"),
@@ -561,9 +573,13 @@ WITH RECURSIVE toks AS (
   FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), ok AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= {_Q61_MAX_DF}
+), shj AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b
@@ -598,10 +614,9 @@ FROM labeled
 # 100 TB form of q34 (ubiquitous-shingle fan-out bounded, VERDICT r1
 # #3). The oracle replicates the cap exactly — index keys with df >
 # MAX_DF are dropped from the JOIN side while set sizes stay full — so
-# this is hash-verified, not a weaker rows-only check.
+# this is hash-verified, not a weaker rows-only check. (_Q61_MAX_DF is
+# defined above q46, which shares the capped index as its pair source.)
 # --------------------------------------------------------------------------
-
-_Q61_MAX_DF = 25
 
 
 def q61_capped_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,7 +663,9 @@ def q62_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citibike_analysis_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=_Q61_MAX_DF
+    )
     return dedup_clusters(d, "doc_id", pairs, algorithm="star").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("canonical_id").cast("long").alias("canonical_id"),
