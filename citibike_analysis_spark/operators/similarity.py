@@ -685,3 +685,65 @@ def near_duplicate_embeddings(
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def incremental_embedding_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bits: int = 2,
+    tables: int = 24,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-side incremental dedup: keep only the batch vectors with
+    NO near-duplicate (cosine ≥ threshold) in the existing corpus — the
+    ingest-time admission filter of a continuously-growing training set
+    (the embedding dual of the text-hash form,
+    ``operators.dedup.incremental_dedup``; cf. SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540, which dedups *within* a corpus — this is the
+    batch-vs-corpus variant a pipeline runs per ingest).
+
+    Plan: sign-LSH bucket BOTH sides with the same hyperplanes (recall
+    economics identical to :func:`near_duplicate_embeddings` — per-pair
+    miss probability (1-p^bits)^tables), equi-join buckets batch×corpus
+    moving bare (id, tbl, bkt) rows, verify candidates with exact cosine
+    on vectors joined back per side, then LEFT-ANTI the confirmed-dup
+    batch ids. The corpus side never self-joins and the batch (small by
+    assumption) is the build side everywhere; at steady state the
+    corpus-side signature projection is the natural thing to persist
+    across ingests via :func:`build_lsh_index`'s save path.
+
+    Output: the admitted batch rows (original batch columns).
+    """
+    planes_df = _planes_frame(batch.sparkSession, bits, tables, dim, seed)
+    bvec = batch.select(
+        F.col(id_col).alias("_bid"), as_double(F.col(vec_col)).alias("_bv")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("_cid"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    bsig = _bucketize(bvec, "_bid", "_bv", planes_df, bits, tables).select(
+        "_bid", "tbl", "bkt"
+    )
+    csig = _bucketize(cvec, "_cid", "_cv", planes_df, bits, tables).select(
+        "_cid", "tbl", "bkt"
+    )
+    cand = (
+        bsig.join(csig, ["tbl", "bkt"])
+        .select("_bid", "_cid")
+        .dropDuplicates(["_bid", "_cid"])
+    )
+    dup_ids = (
+        cand.join(bvec, "_bid")
+        .join(cvec, "_cid")
+        .withColumn("_cos", cosine(F.col("_bv"), F.col("_cv")))
+        .filter(F.col("_cos") >= F.lit(threshold))
+        .select("_bid")
+        .distinct()
+    )
+    return batch.join(
+        dup_ids, batch[id_col] == dup_ids["_bid"], "left_anti"
+    )

@@ -2040,6 +2040,53 @@ FROM ranked WHERE rn <= {_Q99_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q103 — incremental EMBEDDING dedup: admit only the batch vectors with
+# no near-duplicate in the existing corpus — the per-ingest admission
+# filter of a growing training set (embedding dual of q85's text form).
+# Batch = vec_id % 10 == 0, corpus = the rest (deterministic split of
+# the embeddings table). The oracle is the exact NOT-EXISTS over all
+# batch×corpus pairs; the LSH plan's per-pair miss probability at
+# bits=2/tables=24 is ~(1-p²)²⁴ ≲ 1e-6 for cosine ≥ 0.45, so the
+# bucketed plan hash-matches the exact oracle (same recall argument,
+# and the same parameters, as q39).
+# --------------------------------------------------------------------------
+
+def q103_incremental_embedding_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from citibike_analysis_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    out = incremental_embedding_dedup(
+        batch, corpus, "vec_id", "embedding", threshold=0.45, bits=2, tables=24
+    )
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"))
+
+
+Q103_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT * FROM e WHERE vec_id % 10 = 0
+), c AS (
+  SELECT * FROM e WHERE vec_id % 10 <> 0
+)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id
+FROM b
+WHERE NOT EXISTS (
+  SELECT 1 FROM c
+  WHERE list_dot_product(b.v, c.v)
+        / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v)))
+        >= 0.45
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -2117,5 +2164,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q99_weighted_sample": QuerySpec(
         q99_weighted_sample, Q99_SQL, "§7 sampling-weighted"
+    ),
+    "q103_incremental_embedding_dedup": QuerySpec(
+        q103_incremental_embedding_dedup, Q103_SQL, "§7 dedup-embedding-incremental"
     ),
 }

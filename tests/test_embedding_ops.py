@@ -147,3 +147,45 @@ class TestQuantization:
         got = {r["vec_id"]: (r["scale"], r["mse"]) for r in quantization_error(df).collect()}
         assert got[0] == (0.0, 0.0)
         assert got[1][0] == pytest.approx(2.0 / 127, abs=1e-9)
+
+
+class TestIncrementalEmbeddingDedup:
+    def test_admits_novel_drops_near_dup(self, spark):
+        from citibike_analysis_spark.operators.similarity import (
+            incremental_embedding_dedup,
+        )
+
+        dim = 8
+        base = [1.0] * dim
+        ortho = [1.0, -1.0] * (dim // 2)  # cosine 0 vs base
+        corpus = spark.createDataFrame(
+            [(100, base), (101, [2.0] * dim)],
+            "vec_id: long, embedding: array<float>",
+        )
+        batch = spark.createDataFrame(
+            [
+                (1, [1.01] * dim),  # near-dup of corpus -> dropped
+                (2, ortho),         # orthogonal -> admitted
+                (3, [-1.0] * dim),  # anti-parallel (cos -1) -> admitted
+            ],
+            "vec_id: long, embedding: array<float>",
+        )
+        out = incremental_embedding_dedup(
+            batch, corpus, threshold=0.45, bits=2, tables=24, dim=dim
+        )
+        assert sorted(r["vec_id"] for r in out.collect()) == [2, 3]
+        # original batch columns survive the anti-join untouched
+        assert set(out.columns) == {"vec_id", "embedding"}
+
+    def test_empty_corpus_admits_everything(self, spark):
+        from citibike_analysis_spark.operators.similarity import (
+            incremental_embedding_dedup,
+        )
+
+        corpus = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+        batch = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, [2.0] * 8)],
+            "vec_id: long, embedding: array<float>",
+        )
+        out = incremental_embedding_dedup(batch, corpus, dim=8)
+        assert out.count() == 2
