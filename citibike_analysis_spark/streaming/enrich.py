@@ -96,6 +96,61 @@ def scrub_documents(
     )
 
 
+def admit_novel_documents(
+    docs: DataFrame,
+    corpus_path: str,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming admission filter against a MAINTAINED corpus: drop any
+    incoming document whose content hash already exists in the landed
+    corpus at ``corpus_path`` (parquet with a ``content_hash`` column),
+    then dedup repeats arriving within the stream itself — the streaming
+    form of the batch incremental dedup (operators/dedup.py
+    incremental_dedup / q85, and q103 for embeddings).
+
+    The corpus side is a STREAM-STATIC left-anti join: Spark re-reads the
+    static table per micro-batch, so a corpus grown by a concurrent
+    batch-landing job is picked up continuously without restarting the
+    query, and no stream-side state is held for it. Corpus bytes never
+    move — the anti-join ships only the hash column, and a parquet
+    corpus laid out by ``content_hash`` gets the scan pruned to that one
+    column (the 100 TB contract: per-batch cost is a hash-column scan,
+    not a corpus read). Within-stream repeats are handled separately by
+    ``dropDuplicatesWithinWatermark`` (bounded state).
+
+    Compose AFTER :func:`scrub_documents`: admission must hash the
+    redacted form, like the batch path.
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = docs.sparkSession
+    hashed = docs.withColumn("_content_hash", F.md5(F.col(text_col)))
+    try:
+        existing = spark.read.parquet(corpus_path).select(
+            F.col("content_hash").alias("_content_hash")
+        )
+        novel = hashed.join(existing, "_content_hash", "left_anti")
+    except AnalysisException as exc:
+        # ONLY "no corpus yet" may fall through to admit-everything
+        # (first deployment; a restart after the corpus first lands picks
+        # it up). Any other analysis failure must propagate — swallowing
+        # it would silently stop deduplicating against the corpus (the
+        # same failure mode ADVICE r1 flagged on the snapshot upsert).
+        if (exc.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        novel = hashed
+    return (
+        novel.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
 def join_weather_streams(
     samples: DataFrame,
     weather: DataFrame,

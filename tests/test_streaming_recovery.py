@@ -300,3 +300,75 @@ def test_upsert_survives_missing_live_snapshot(spark, dirs):
     upsert_station_dimension(b2, base)
     snap = {r["station_id"]: r["available_bikes"] for r in spark.read.parquet(base).collect()}
     assert snap == {72: 5, 79: 8}  # station 72 survived via __old recovery
+
+
+def test_admit_novel_documents_against_corpus(spark, dirs):
+    """Stream-static admission: corpus hashes filter the stream, repeats
+    within the stream dedup via watermark state, and a corpus grown
+    between restarts is honored on the next run."""
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.streaming.enrich import admit_novel_documents
+
+    corpus_path = os.path.join(dirs["snap"], "corpus")
+    # land a corpus with one known document hash
+    spark.createDataFrame([(LONG,)], "text string").select(
+        F.md5("text").alias("content_hash")
+    ).write.parquet(corpus_path)
+
+    with open(f"{dirs['in']}/d1.json", "w") as f:
+        f.write(_doc_line(1, BASE, LONG) + "\n")               # in corpus -> dropped
+        f.write(_doc_line(2, BASE + timedelta(minutes=1), LONG + " two") + "\n")  # novel
+        f.write(_doc_line(3, BASE + timedelta(minutes=2), LONG + " two") + "\n")  # stream repeat
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(dirs["in"])
+    )
+    admitted = admit_novel_documents(docs, corpus_path, ts_col="ts")
+    land = os.path.join(dirs["land"], "novel")
+
+    def sink(batch, epoch_id):
+        if not batch.isEmpty():
+            batch.write.mode("overwrite").parquet(
+                os.path.join(land, f"epoch={epoch_id}")
+            )
+
+    q = (
+        admitted.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", dirs["ckpt_d"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.option("basePath", land).parquet(land).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2]  # 1 corpus-dup, 3 stream-dup
+
+    # corpus grows (doc 2's hash lands); restart admits only truly new docs
+    spark.createDataFrame([(LONG + " two",)], "text string").select(
+        F.md5("text").alias("content_hash")
+    ).write.mode("append").parquet(corpus_path)
+    with open(f"{dirs['in']}/d2.json", "w") as f:
+        f.write(_doc_line(4, BASE + timedelta(minutes=30), LONG + " two") + "\n")  # now in corpus
+        f.write(_doc_line(5, BASE + timedelta(minutes=31), LONG + " three") + "\n")  # novel
+    docs2 = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(dirs["in"])
+    )
+    q2 = (
+        admit_novel_documents(docs2, corpus_path, ts_col="ts")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", dirs["ckpt_d"])
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.option("basePath", land).parquet(land).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2, 5]
