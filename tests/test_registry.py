@@ -1,0 +1,113 @@
+"""Driver-window rotation invariants (plans/__init__.py).
+
+The driver signs only the first ~50 ``all_queries()`` entries per round,
+so the ordering logic IS the verification schedule. r03 lesson: two
+queries crashed the driver's canonicalizer, and the old ever-SEEN
+predicate would have rotated them permanently out of the window. These
+tests pin the green-not-seen predicate and the window invariants that
+must hold for ANY state of the committed CORRECTNESS_r*.json files.
+"""
+
+from __future__ import annotations
+
+from citibike_analysis_spark.plans import (
+    _SENTINELS,
+    _classify_row,
+    _driver_green,
+    all_queries,
+)
+
+WINDOW = 50
+
+
+def test_classify_hash_match_is_oracle_green():
+    row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "spark_rows": 6,
+        "oracle_rows": 6,
+        "err": None,
+    }
+    assert _classify_row(row) == "oracle"
+
+
+def test_classify_designed_rows_only_is_green():
+    row = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": 100,
+        "oracle_rows": None,
+        "err": "no_oracle",
+    }
+    assert _classify_row(row) == "rows_only"
+
+
+def test_classify_crashed_row_is_not_green():
+    # the exact r03 shape: canonicalizer TypeError, no row counts
+    row = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": "TypeError: unhashable type: 'numpy.ndarray'",
+    }
+    assert _classify_row(row) is None
+
+
+def test_classify_mismatch_row_is_not_green():
+    row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": False,
+        "spark_rows": 6,
+        "oracle_rows": 6,
+        "err": None,
+    }
+    assert _classify_row(row) is None
+
+
+def test_classify_garbage_is_not_green():
+    assert _classify_row(None) is None
+    assert _classify_row("oops") is None
+    assert _classify_row({}) is None
+
+
+def test_sentinels_lead_the_window():
+    names = list(all_queries())
+    assert tuple(names[: len(_SENTINELS)]) == _SENTINELS
+
+
+def test_unverified_oracle_queries_enter_the_window():
+    """Every oracle-backed query WITHOUT a green oracle signature must
+    sort into the driver's 50-entry window (else it never gets one)."""
+    reg = all_queries()
+    names = list(reg)
+    green = _driver_green()
+    pending = [
+        n
+        for n, spec in reg.items()
+        if spec.oracle is not None and not green.get(n, (0, False))[1]
+    ]
+    # if more than the window is pending, the earliest window-full must
+    # still all be pending ones (minus sentinels which are verified anyway)
+    window = set(names[:WINDOW])
+    overflow = [n for n in pending if n not in window]
+    assert len(pending) > WINDOW - len(_SENTINELS) or not overflow, (
+        f"pending oracle queries outside the driver window: {overflow}"
+    )
+
+
+def test_signed_tail_is_least_recently_verified_first():
+    reg = all_queries()
+    green = _driver_green()
+
+    def signed(n):
+        if n not in green:
+            return False
+        return green[n][1] or reg[n].oracle is None
+
+    tail_rounds = [green[n][0] for n in reg if signed(n) and n not in _SENTINELS]
+    assert tail_rounds == sorted(tail_rounds)
