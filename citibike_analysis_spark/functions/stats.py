@@ -22,8 +22,17 @@ test (no float division anywhere near a midpoint); the final
 every engine and far from any midpoint the comparator's 9-decimal
 normalization could see.
 
-Map-side shape is identical to plain avg: sum + count partials, both
-mergeable — nothing about the rewrite costs extra at 100 TB.
+Map-side SHAPE is identical to plain avg: sum + count partials, both
+mergeable — so the rewrite changes no shuffle and no aggregation mode.
+It is NOT free, though: the per-row scale/round/cast (+ hi/lo split
+where enabled) and the extra sum column are a real constant factor —
+measured ×2.3 on q01's wide aggregate when every output column carried
+its own private partials (r03 → judged). The constant is linear in rows,
+so it neither grows nor shrinks with scale; the mitigation is SHARING:
+:func:`exact_scaled_sum` computes one scaled-integer partial per input
+column, from which every rounded sum/avg over that column is derived
+(see q01), and ``split=False`` drops the hi/lo split for columns whose
+scaled magnitude keeps a raw long sum overflow-safe.
 """
 
 from __future__ import annotations
@@ -36,7 +45,7 @@ _SPLIT_BITS = 20
 _SPLIT = 1 << _SPLIT_BITS  # 1048576
 
 
-def _split_sum(c: Column, in_scale: int, over=None):
+def _split_sum(c: Column, in_scale: int, over=None, split: bool = True):
     """Exact sum of the scaled-integer image of ``c`` with all PER-ROW
     work in long space — a decimal(38,0) accumulator per row costs ~4x
     on a wide aggregate (measured on q01 at sf0.1), so the scaled value
@@ -47,8 +56,27 @@ def _split_sum(c: Column, in_scale: int, over=None):
     Overflow bounds (int64 ≈ 9.2e18): lo < 2^20 → safe to ~8.8e12 rows
     per group; hi ≤ scaled/2^20 (≤ ~10^5 for 6-decimal money) → safe to
     ~9e13 — both past the 100 TB operating point, unlike a raw long sum
-    of 6-decimal-scaled money, which overflows at ~8e7 rows per group."""
-    sc = F.round(c * F.lit(int(10**in_scale))).cast("long")
+    of 6-decimal-scaled money, which overflows at ~8e7 rows per group.
+
+    ``split=False`` drops the hi/lo split (one sum, no bit ops) for
+    columns the CALLER knows are small: with |scaled| ≤ B, a raw long
+    sum is safe to 9.2e18/B rows per group — e.g. B=10^4 (quantities
+    ≤ 50, rates ≤ 1 at 2 decimals) is safe past 9e14 rows per group,
+    two orders beyond the 100 TB operating point.
+
+    The integer recovery uses ``rint`` (one IEEE round-to-nearest-even
+    instruction inside codegen), NOT ``round`` — Spark's Round on
+    doubles allocates a java BigDecimal per row, which was most of the
+    r03 q01 regression. Exactness is unaffected: the scaled value sits
+    within ~1e-9 of the true integer (module contract), so every
+    tie-breaking convention recovers the same integer — ties at .5
+    cannot occur."""
+    sc = F.rint(c * F.lit(int(10**in_scale))).cast("long")
+    if not split:
+        s = F.sum(sc)
+        if over is not None:
+            s = s.over(over)
+        return s.cast("decimal(38,0)")
     hi = F.shiftright(sc, _SPLIT_BITS)
     lo = sc.bitwiseAND(F.lit(_SPLIT - 1))
     sh, sl = F.sum(hi), F.sum(lo)
@@ -80,6 +108,104 @@ def _exact_round(s: Column, n: Column, in_scale: int, out_scale: int) -> Column:
     ).otherwise(F.lit(None).cast("double"))
 
 
+def exact_scaled_sum(
+    col: Column | str, in_scale: int, split: bool = True
+) -> Column:
+    """The shared partial: exact scaled-integer group sum of ``col``
+    (decimal(38,0) = Σ round(x·10^in_scale)) as an aggregate column.
+
+    Compute it ONCE per input column in ``.agg(...)``, then derive every
+    rounded sum/avg over that column with :func:`round_from_scaled` /
+    :func:`round_avg_from_scaled` in a following ``.select`` — per-group
+    work, free. This is the wide-aggregate fast path: q01 derives 7 of
+    its 8 measures from 5 such partials instead of carrying private
+    partials per output column (the r03 ×2.3 regression).
+
+    ``split=False``: see :func:`_split_sum` — only for columns whose
+    scaled magnitude bound keeps a raw long sum overflow-safe.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return _split_sum(c, in_scale, split=split)
+
+
+def round_from_scaled(s: Column, in_scale: int, out_scale: int) -> Column:
+    """Finish ``round(sum(x), out_scale)`` from an :func:`exact_scaled_sum`
+    group column — half-away-from-zero in exact integer space for
+    ``out_scale < in_scale``, identity rescale otherwise."""
+    if out_scale >= in_scale:
+        return s.cast("double") / F.lit(float(10**in_scale))
+    d = F.lit(int(10 ** (in_scale - out_scale))).cast("decimal(38,0)")
+    r = s % d
+    base = ((s - r) / d).cast("long")
+    adj = (
+        F.when(r * 2 >= d, F.lit(1))
+        .when(r * 2 <= -d, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (base + adj).cast("double") / F.lit(float(10**out_scale))
+
+
+def round_avg_from_scaled(
+    s: Column, n: Column, in_scale: int, out_scale: int
+) -> Column:
+    """Finish ``round(avg(x), out_scale)`` from an :func:`exact_scaled_sum`
+    group column and a row count ``n`` (cast to decimal(38,0) by the
+    caller contract — share one ``count(*)`` across all avg measures
+    when the input columns are non-null, as q01 does)."""
+    return _exact_round(s, n, in_scale, out_scale)
+
+
+def spark_sql_scaled_sum(expr: str, in_scale: int, split: bool = True) -> str:
+    """Spark-SQL-dialect fragment for :func:`exact_scaled_sum` — emits
+    the scaled-integer group sum as SQL text. Used by wide aggregates
+    (q01) that are registered as ONE ``spark.sql()`` string: building
+    the same plan out of Column objects costs hundreds of py4j round
+    trips (~0.35 s of driver time per call, measured — half of q01's
+    whole sf0.1 runtime), while a SQL string is parsed JVM-side in one.
+    Semantics are identical to the Column form; ``rint`` per the module
+    contract (ties cannot occur)."""
+    m = int(10**in_scale)
+    sc = f"CAST(rint(({expr}) * {m}) AS BIGINT)"
+    if not split:
+        return f"CAST(sum({sc}) AS DECIMAL(38,0))"
+    return (
+        f"(CAST(sum(shiftright({sc}, {_SPLIT_BITS})) AS DECIMAL(38,0)) * {_SPLIT}"
+        f" + CAST(sum({sc} & {_SPLIT - 1}) AS DECIMAL(38,0)))"
+    )
+
+
+def spark_sql_round_from_scaled(s: str, in_scale: int, out_scale: int) -> str:
+    """Spark-SQL mirror of :func:`round_from_scaled` over a named scaled
+    sum column/fragment ``s``."""
+    if out_scale >= in_scale:
+        return f"(CAST({s} AS DOUBLE) / {int(10**in_scale)})"
+    d = int(10 ** (in_scale - out_scale))
+    r = f"({s} % {d})"
+    base = f"CAST(({s} - {r}) / {d} AS BIGINT)"
+    adj = (
+        f"(CASE WHEN 2 * {r} >= {d} THEN 1 "
+        f"WHEN 2 * {r} <= -{d} THEN -1 ELSE 0 END)"
+    )
+    return f"(CAST({base} + {adj} AS DOUBLE) / {int(10**out_scale)})"
+
+
+def spark_sql_round_avg_from_scaled(
+    s: str, n: str, in_scale: int, out_scale: int
+) -> str:
+    """Spark-SQL mirror of :func:`round_avg_from_scaled`; ``n`` is a
+    positive row-count fragment (grouped context — no empty groups)."""
+    k = int(10 ** (out_scale - in_scale))
+    sk = f"(({s}) * {k})"
+    nn = f"CAST({n} AS DECIMAL(38,0))"
+    r = f"({sk} % {nn})"
+    base = f"CAST(({sk} - {r}) / {nn} AS BIGINT)"
+    adj = (
+        f"(CASE WHEN 2 * {r} >= {nn} THEN 1 "
+        f"WHEN 2 * {r} <= -{nn} THEN -1 ELSE 0 END)"
+    )
+    return f"(CAST({base} + {adj} AS DOUBLE) / {int(10**out_scale)})"
+
+
 def round_sum_exact(
     col: Column | str, in_scale: int, out_scale: int
 ) -> Column:
@@ -93,19 +219,7 @@ def round_sum_exact(
     per engine/run — so the down-rounding is done with an exact integer
     remainder test, like :func:`round_avg_exact`."""
     c = F.col(col) if isinstance(col, str) else col
-    s = _split_sum(c, in_scale)
-    if out_scale >= in_scale:
-        # exact value already representable at out_scale: round is identity
-        return s.cast("double") / F.lit(float(10**in_scale))
-    d = F.lit(int(10 ** (in_scale - out_scale))).cast("decimal(38,0)")
-    r = s % d
-    base = ((s - r) / d).cast("long")
-    adj = (
-        F.when(r * 2 >= d, F.lit(1))
-        .when(r * 2 <= -d, F.lit(-1))
-        .otherwise(F.lit(0))
-    )
-    return (base + adj).cast("double") / F.lit(float(10**out_scale))
+    return round_from_scaled(_split_sum(c, in_scale), in_scale, out_scale)
 
 
 def sql_round_sum_exact(

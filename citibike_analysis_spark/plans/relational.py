@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from citibike_analysis_spark.functions.stats import (
     round_avg_exact,
     round_avg_exact_over,
-    round_sum_exact,
+    spark_sql_round_avg_from_scaled,
+    spark_sql_round_from_scaled,
+    spark_sql_scaled_sum,
     sql_round_avg_exact,
     sql_round_sum_exact,
 )
@@ -46,41 +48,58 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # multi-aggregate with CASE WHEN measures over a date-filtered fact scan.
 # --------------------------------------------------------------------------
 
+# One exact scaled-integer partial per INPUT column/expression (5), not
+# per output measure (which cost ×2.3 in r03): sum and avg of the same
+# column derive from one shared partial, and all three avgs share
+# count(*) (every measure column is non-null in lineitem). The hi/lo
+# overflow split stays ONLY on the two product columns (scaled ≤
+# 10^9/10^11, where a raw long sum overflows at 9.2e9/9.2e7 rows per
+# group — inside the operating point). Direct columns skip it:
+# quantity/discount scaled ≤ 5·10^3 (safe past 10^15 rows/group);
+# extendedprice scaled ≤ 10^7 → safe to 9.2e11 rows PER GROUP, ×4-5
+# above the largest flag/status group of a ~6·10^11-row 100 TB lineitem
+# — flip to split=True if a deployment ever exceeds ~10^12 rows per
+# group. Registered as ONE spark.sql() string: the equivalent Column-API
+# construction costs ~0.35 s of py4j driver time PER CALL (measured —
+# half of q01's sf0.1 runtime); the SQL text parses JVM-side in one
+# round trip and produces the identical plan. Rounds sit exactly on
+# round-to-2 midpoints ~1% of groups — both engines round in integer
+# space, so results are engine- and summation-order-independent.
+_Q01_SPARK_SQL = f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         {spark_sql_scaled_sum('l_quantity', 2, split=False)}      AS _sq,
+         {spark_sql_scaled_sum('l_extendedprice', 2, split=False)} AS _sp,
+         {spark_sql_scaled_sum('l_extendedprice * (1 - l_discount)', 4)} AS _sdp,
+         {spark_sql_scaled_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS _sc,
+         {spark_sql_scaled_sum('l_discount', 2, split=False)}      AS _sd,
+         count(*) AS count_order
+  FROM {{li}}
+  WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       {spark_sql_round_from_scaled('_sq', 2, 2)} AS sum_qty,
+       {spark_sql_round_from_scaled('_sp', 2, 2)} AS sum_base_price,
+       {spark_sql_round_from_scaled('_sdp', 4, 2)} AS sum_disc_price,
+       {spark_sql_round_from_scaled('_sc', 6, 2)} AS sum_charge,
+       {spark_sql_round_avg_from_scaled('_sq', 'count_order', 2, 4)} AS avg_qty,
+       {spark_sql_round_avg_from_scaled('_sp', 'count_order', 2, 4)} AS avg_price,
+       {spark_sql_round_avg_from_scaled('_sd', 'count_order', 2, 4)} AS avg_disc,
+       count_order
+FROM g
+"""
+
+
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    cutoff = F.lit("1998-09-02").cast("timestamp_ntz")
-    return (
-        li.filter(F.col("l_shipdate") <= cutoff)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # product expressions are exact 4-/6-decimal values, so their
-            # sums land exactly on round-to-2 midpoints ~1% of the time —
-            # rounded in integer space (functions/stats.py) so the result
-            # is engine- and summation-order-independent
-            round_sum_exact(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
-            ).alias("sum_disc_price"),
-            round_sum_exact(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
-                6,
-                2,
-            ).alias("sum_charge"),
-            round_avg_exact("l_quantity").alias("avg_qty"),
-            round_avg_exact("l_extendedprice").alias("avg_price"),
-            round_avg_exact("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
+    return spark.sql(_Q01_SPARK_SQL, li=li)
 
 
 Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)      AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
+       {sql_round_sum_exact('l_quantity', 2, 2)}      AS sum_qty,
+       {sql_round_sum_exact('l_extendedprice', 2, 2)} AS sum_base_price,
        {sql_round_sum_exact('l_extendedprice * (1 - l_discount)', 4, 2)} AS sum_disc_price,
        {sql_round_sum_exact('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6, 2)} AS sum_charge,
        {sql_round_avg_exact('l_quantity')}      AS avg_qty,
