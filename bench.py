@@ -6,7 +6,8 @@ Prints exactly one JSON line:
 
 Headline set spans the engine's main cost shapes: grouped aggregation
 (q01), the flagship CTE+window reduction (q20) and its skew-safe
-approx-quantile variant (q56), broadcast-join chain (q05), windowed
+approx-quantile variant (q104 — q56 is that plan's driver-checked
+overlap audit), broadcast-join chain (q05), windowed
 rollup (q19), spatial band join (q21), shingle near-dup (q34), minhash
 LSH (q36), brute-force ANN (q38), as-of join (q41) and its bucketed
 hot-key-safe variant (q58), LSH-bucketed ANN (q44), dedup
@@ -39,7 +40,7 @@ HEADLINE = [
     "q41_asof_join",
     "q44_ann_lsh",
     "q46_dedup_clusters",
-    "q56_interesting_suppliers_scalable",
+    "q104_scalable_picks",
     "q58_asof_join_bucketed",
     "q63_decontaminate",
     "q68_unigram_logprob",

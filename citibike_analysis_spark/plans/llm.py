@@ -315,16 +315,54 @@ WHERE list_dot_product(a.v, b.v)
 
 # --------------------------------------------------------------------------
 # q40 — scalable ntile (approx-quantile bucketing; SURVEY.md §7 "scale
-# redesign of global windows"). Approximate by construction → no oracle;
-# pytest bounds its divergence from exact ntile.
+# redesign of global windows"), registered as its DIVERGENCE AUDIT so
+# the driver can hash-verify it (r03 VERDICT #3): per EXACT decile, the
+# supplier count plus a boolean asserting every supplier's approx
+# bucket is within 1 of its exact bucket (the bound pytest pins). The
+# oracle recomputes the exact-ntile deciles and states the expected
+# invariant (`true`) — a divergence regression or a broken bucketing
+# hash-mismatches. Per-decile counts are order-robust: ntile sizes are
+# positional, so engine-side float-sum tie ordering cannot change them.
+#
+# Scale note: the approx_ntile leg is the 100 TB plan (no global sort);
+# the exact-ntile leg is the AUDIT side and sorts one row per supplier
+# — dimension-sized, the same bounded-cardinality class as q90's vocab
+# rank. The pure scalable bucketing without the audit join remains
+# `approx_ntile` itself (benched via q56's scalable-picks sibling).
 # --------------------------------------------------------------------------
 
 def q40_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.windows import exact_ntile
+
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
-    return approx_ntile(per_supp, "total_qty", 10, "decile").select(
-        "l_suppkey", F.round("total_qty", 2).alias("total_qty"), "decile"
+    ex = exact_ntile(
+        per_supp, [F.asc("total_qty"), F.asc("l_suppkey")], 10, "decile"
     )
+    ap = approx_ntile(per_supp, "total_qty", 10, "_b").select("l_suppkey", "_b")
+    return (
+        ex.join(ap, "l_suppkey")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (F.max(F.abs(F.col("decile") - F.col("_b"))) <= 1).alias(
+                "divergence_le_1"
+            ),
+        )
+    )
+
+
+Q40_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1
+), ex AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY total_qty, l_suppkey) AS BIGINT) AS decile
+  FROM per_supp
+)
+SELECT decile, count(*) AS n_suppliers, true AS divergence_le_1
+FROM ex GROUP BY 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2116,7 +2154,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q37_simhash_pairs": QuerySpec(q37_simhash_pairs, None, "§7 dedup-simhash"),
     "q38_ann_topk": QuerySpec(q38_ann_topk, Q38_SQL, "§7 similarity-bruteforce"),
     "q39_embedding_near_dup": QuerySpec(q39_embedding_near_dup, Q39_SQL, "§7 dedup-embedding"),
-    "q40_approx_ntile": QuerySpec(q40_approx_ntile, None, "§7 scalable-ntile"),
+    "q40_approx_ntile": QuerySpec(q40_approx_ntile, Q40_SQL, "§7 scalable-ntile"),
     "q44_ann_lsh": QuerySpec(q44_ann_lsh, None, "§7 similarity-lsh"),
     "q45_multimodal_features": QuerySpec(q45_multimodal_features, Q45_SQL, "§7 multimodal"),
     "q46_dedup_clusters": QuerySpec(q46_dedup_clusters, Q46_SQL, "§7 dedup-clusters"),

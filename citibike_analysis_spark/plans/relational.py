@@ -1411,16 +1411,52 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
-def q56_interesting_suppliers_scalable(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def q104_scalable_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship reduction query on its 100 TB plan: approx-quantile
     bucketing replaces the three single-task global ntile sorts.
-    Approximate at tie boundaries → no oracle; pick-set overlap with the
-    exact plan is bounded in tests."""
+    Approximate at tie boundaries → no oracle; q56 is its driver-checked
+    overlap audit, pytest bounds the pick-set overlap, and the plan
+    assert pins zero global sorts. This is the form bench.py times."""
     return q20_interesting_suppliers(
         spark, sf_dir, percentile_strategy="approx"
     )
+
+
+def q56_interesting_suppliers_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-verifiable OVERLAP AUDIT of the scalable flagship variant
+    (r03 VERDICT #3): one row — the exact plan's pick count plus a
+    boolean asserting the approx plan's picks substantially agree
+    (Jaccard ≥ 0.4 and |approx| ≤ 2·|exact|, the bounds the pytest
+    pins; ties at bucket boundaries make exact agreement impossible by
+    design — see operators/windows.approx_ntile). The oracle recomputes
+    the exact picks via the q20 SQL and states the expected invariant,
+    so a gate/bucketing regression on either plan hash-mismatches."""
+    exact = q20_interesting_suppliers(spark, sf_dir).select("l_suppkey")
+    approx = q104_scalable_picks(spark, sf_dir).select(
+        F.col("l_suppkey").alias("_a")
+    )
+    j = exact.join(approx, exact.l_suppkey == F.col("_a"), "full_outer")
+    return j.agg(
+        F.count("l_suppkey").cast("long").alias("n_exact_picks"),
+        (
+            (
+                F.count(F.when(F.col("l_suppkey") == F.col("_a"), 1))
+                / F.count("*")
+                >= 0.4
+            )
+            & (F.count("_a") <= 2 * F.greatest(F.count("l_suppkey"), F.lit(1)))
+        ).alias("overlap_ok"),
+    )
+
+
+# DuckDB allows a WITH query as a derived table, so the audit oracle
+# wraps the flagship oracle verbatim — one source of truth for "exact".
+Q56_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact_picks, true AS overlap_ok
+FROM ({Q20_SQL}) q20_exact
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1457,16 +1493,43 @@ GROUP BY 1
 # q57 — approx_count_distinct (HyperLogLog++): the sketch that replaces
 # exact distinct counting at 100 TB (mergeable ⇒ map-side partials; the
 # shuffle moves fixed-size sketches, not value sets). Sketch estimates
-# are engine-specific → no oracle; pytest bounds relative error against
-# the exact counts (tests/test_plans.py).
+# are engine-specific, so the REGISTERED query is the ERROR AUDIT the
+# driver can hash-verify (r03 VERDICT #3): the exact per-group distinct
+# count plus a boolean asserting the HLL estimate sits within 5σ
+# (rsd=0.01 → |est − exact| ≤ max(0.05·exact, 2), the bound the pytest
+# pins; HLL++ is deterministic per dataset, so the boolean is stable).
+# The oracle recomputes the exact counts and states the expected
+# invariant — a broken sketch hash-mismatches. Scale note: the
+# exact-distinct leg is the AUDIT side (the very shuffle the sketch
+# exists to avoid); production uses approx_count_distinct alone.
 # --------------------------------------------------------------------------
 
 def q57_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_est"),
         F.count("*").alias("n_lines"),
     )
+    bound = F.greatest(F.lit(2.0), F.col("exact_orders") * 0.05)
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_lines",
+        (F.abs(F.col("_est") - F.col("exact_orders")) <= bound).alias(
+            "within_5_sigma"
+        ),
+    )
+
+
+Q57_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       count(*) AS n_lines,
+       true AS within_5_sigma
+FROM lineitem
+GROUP BY 1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1775,9 +1838,14 @@ QUERIES.update(
         "q53_grouping_sets": QuerySpec(q53_grouping_sets, Q53_SQL, "A-ext"),
         "q54_ci_bands": QuerySpec(q54_ci_bands, Q54_SQL, "§2.11"),
         "q56_interesting_suppliers_scalable": QuerySpec(
-            q56_interesting_suppliers_scalable, None, "§7 scalable flagship"
+            q56_interesting_suppliers_scalable, Q56_SQL, "§7 scalable flagship"
         ),
-        "q57_approx_distinct": QuerySpec(q57_approx_distinct, None, "A-ext sketch"),
+        "q104_scalable_picks": QuerySpec(
+            q104_scalable_picks, None, "§7 scalable flagship (pure approx plan)"
+        ),
+        "q57_approx_distinct": QuerySpec(
+            q57_approx_distinct, Q57_SQL, "A-ext sketch"
+        ),
         "q58_asof_join_bucketed": QuerySpec(
             q58_asof_join_bucketed, Q41_SQL, "§2.3-ext as-of §4 skew"
         ),

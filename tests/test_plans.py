@@ -94,9 +94,7 @@ def test_scalable_flagship_has_no_global_sort(spark):
     # none — that is the entire point of the 100 TB plan (its remaining
     # SinglePartition exchanges move one sketch row each)
     exact = _plan(SPECS["q20_interesting_suppliers"].fn(spark, SF001))
-    scalable = _plan(
-        SPECS["q56_interesting_suppliers_scalable"].fn(spark, SF001)
-    )
+    scalable = _plan(SPECS["q104_scalable_picks"].fn(spark, SF001))
     assert _global_sorts(exact) >= 1  # documents the exact plan's limit
     assert _global_sorts(scalable) == 0
     assert "ntile(100)" not in scalable  # (plain "ntile" ⊂ "percentile_approx")
@@ -109,9 +107,7 @@ def test_scalable_flagship_picks_overlap_exact(spark):
     }
     approx = {
         r["l_suppkey"]
-        for r in SPECS["q56_interesting_suppliers_scalable"]
-        .fn(spark, SF001)
-        .collect()
+        for r in SPECS["q104_scalable_picks"].fn(spark, SF001).collect()
     }
     assert approx, "scalable variant selected nothing"
     # At 100 suppliers the counter metrics are massively tied, and exact
@@ -124,6 +120,10 @@ def test_scalable_flagship_picks_overlap_exact(spark):
     overlap = len(exact & approx) / max(len(exact | approx), 1)
     assert overlap >= 0.4, f"overlap {overlap}: exact={exact} approx={approx}"
     assert len(approx) <= 2 * max(len(exact), 1)
+    # ... and the registered q56 audit asserts the same bounds in-engine
+    [audit] = SPECS["q56_interesting_suppliers_scalable"].fn(spark, SF001).collect()
+    assert audit["n_exact_picks"] == len(exact)
+    assert audit["overlap_ok"] is True
 
 
 def test_approx_distinct_error_bounded(spark):
@@ -137,14 +137,12 @@ def test_approx_distinct_error_bounded(spark):
         .agg(FF.count_distinct("l_orderkey").alias("n"))
         .collect()
     }
-    approx = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in SPECS["q57_approx_distinct"].fn(spark, SF001).collect()
-    }
-    assert set(approx) == set(exact)
-    for k, n in exact.items():
-        # rsd=0.01 → HLL++ standard error 1%; 5 sigma is a safe bound
-        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, approx[k], n)
+    # the registered q57 is the in-engine audit of the same 5σ bound
+    rows = SPECS["q57_approx_distinct"].fn(spark, SF001).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_orders"] == exact[r["l_returnflag"]]
+        assert r["within_5_sigma"] is True, r
 
 
 def test_ngram_index_shuffle_carries_hashes_not_text(spark):
