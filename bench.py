@@ -27,6 +27,8 @@ import os
 import sys
 import time
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -53,6 +55,146 @@ HEADLINE = [
     "q95_global_positions",
     "q99_weighted_sample",
 ]
+
+
+# --------------------------------------------------------------------------
+# Cross-round comparability (r03 VERDICT #4). The host drifted ~4.5x
+# between rounds 2 and 3, which made raw BENCH_r*.json deltas
+# uninterpretable and cost two rounds of phantom-regression chasing.
+# Two additions make every BENCH file self-normalizing:
+#   - "host": a hardware fingerprint + load sample, so files from
+#     different hosts/states are never compared raw;
+#   - "canary": the PREVIOUS round's committed code timed on TODAY's
+#     host in the same bench run (subprocess against a temp git
+#     worktree, min of 3). cross-round claims should cite
+#     steady[q]/canary[q] (same host, same session) — not deltas
+#     between files.
+# --------------------------------------------------------------------------
+
+CANARY_QUERIES = ("q41_asof_join", "q05_regional_revenue")
+
+_CANARY_SCRIPT = r"""
+import json, sys, time
+tree, sf_dir, names, reps = sys.argv[1], sys.argv[2], sys.argv[3].split(","), int(sys.argv[4])
+sys.path.insert(0, tree)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{sys.argv[5]}]")
+         .config("spark.sql.shuffle.partitions", sys.argv[5])
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from citibike_analysis_spark.plans import all_queries
+specs = all_queries()
+out = {}
+for name in names:
+    if name not in specs:
+        continue
+    specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    runs = []
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    out[name] = min(runs)
+print(json.dumps(out))
+spark.stop()
+"""
+
+
+def host_block() -> dict:
+    import hashlib
+    import platform
+
+    info: dict = {"platform": platform.platform(), "ncpus": os.cpu_count()}
+    try:
+        lines = open("/proc/cpuinfo").read().splitlines()
+        model = next(
+            (
+                ln.split(":", 1)[1].strip()
+                for ln in lines
+                if ln.lower().startswith("model name")
+            ),
+            None,
+        )
+        # hash only frequency-independent fields: "cpu MHz" changes per
+        # read and would make the fingerprint useless
+        stable_keys = ("model name", "vendor_id", "cpu cores", "siblings", "cache size", "flags")
+        stable = "\n".join(
+            sorted({ln for ln in lines if ln.split(":")[0].strip() in stable_keys})
+        )
+        info["cpu_model"] = model
+        info["cpuinfo_hash"] = hashlib.md5(stable.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    try:
+        info["loadavg_start"] = list(os.getloadavg())
+    except OSError:
+        pass
+    try:
+        mem = next(ln for ln in open("/proc/meminfo") if ln.startswith("MemTotal"))
+        info["mem_total_kb"] = int(mem.split()[1])
+    except (OSError, StopIteration, ValueError):
+        pass
+    return info
+
+
+def _time_tree(tree: str, sf_dir: str, cpus: str, reps: int) -> dict:
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c", _CANARY_SCRIPT, tree, sf_dir,
+         ",".join(CANARY_QUERIES), str(reps), cpus],
+        capture_output=True, text=True, timeout=600,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def canary_block(sf_dir: str, cpus: str, reps: int = 3) -> dict:
+    """Time the previous round's committed code AND HEAD on today's host
+    under an identical fresh-subprocess protocol.
+
+    The main loop's steady numbers come from a long-lived, fully
+    JIT-warmed JVM; a canary subprocess is colder. Comparing the main
+    numbers against a cold canary bakes a warmth bias into the ratio
+    (measured ~2x on q41), so BOTH trees run the same one-warmup,
+    min-of-N fresh-JVM protocol and only prev-vs-head is compared.
+    Never fails the bench: any error is reported in the block.
+    """
+    import re
+    import subprocess
+    import tempfile
+
+    try:
+        log = subprocess.run(
+            ["git", "log", "--pretty=%H %s"],
+            capture_output=True, text=True, cwd=REPO, check=True, timeout=30,
+        ).stdout
+        m = re.search(r"^([0-9a-f]{40}) round (\d+):", log, re.M)
+        if not m:
+            return {"err": "no previous-round commit found"}
+        sha, rnd = m.group(1), int(m.group(2))
+        wt = tempfile.mkdtemp(prefix="bench_canary_")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", "-f", wt, sha],
+            cwd=REPO, check=True, capture_output=True, timeout=60,
+        )
+        try:
+            prev = _time_tree(wt, sf_dir, cpus, reps)
+            head = _time_tree(REPO, sf_dir, cpus, reps)
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=REPO, capture_output=True, timeout=60,
+            )
+        return {
+            "ref": sha[:9],
+            "round": rnd,
+            "reps": reps,
+            "prev": prev,
+            "head": head,
+        }
+    except Exception as exc:  # noqa: BLE001 - canary must never sink the bench
+        return {"err": f"{type(exc).__name__}: {exc}"[:300]}
 
 
 def main() -> None:
@@ -93,6 +235,16 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         steady[name] = round(min(runs), 3)
 
+    spark.stop()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    canary = canary_block(sf_dir, cpus)
+    prev_t, head_t = canary.get("prev", {}), canary.get("head", {})
+    ratios = {
+        q: round(head_t[q] / t, 3)
+        for q, t in prev_t.items()
+        if head_t.get(q) and t
+    }
     print(
         json.dumps(
             {
@@ -103,10 +255,15 @@ def main() -> None:
                 "value_cold": round(sum(cold.values()), 3),
                 "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host": host_block(),
+                "canary": canary,
+                # steady/canary on the SAME host+session: the only valid
+                # cross-round comparison basis (>1 = HEAD slower than the
+                # previous round's code today)
+                "canary_ratio": ratios,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
