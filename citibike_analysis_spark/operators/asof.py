@@ -183,9 +183,13 @@ def asof_join_bucketed(
 
     # r feeds three plan branches (bucket universe, closings, the final
     # union) and l two — persist both so the source scan+projection runs
-    # once per side, not once per branch (3 saved corpus passes at scale)
-    r = r.persist()
-    l = l.persist()
+    # once per side, not once per branch (3 saved corpus passes at
+    # scale). Tracked so cache.cache_scope()/release_all() can unpersist
+    # once the caller's terminal action completes.
+    from citibike_analysis_spark.cache import track
+
+    r = track(r.persist())
+    l = track(l.persist())
 
     # per-(key, bucket) closing payload → prefix-max over earlier buckets.
     # The bucket universe must include LEFT-side buckets: a left row in a

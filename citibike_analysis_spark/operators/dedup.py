@@ -27,36 +27,13 @@ from citibike_analysis_spark.functions.text import (
 
 
 def _reuse(df: DataFrame) -> DataFrame:
-    """Materialize-once strategy for an intermediate that feeds 2-3 plan
-    branches (the shingle/fingerprint inverted indexes, the MinHash
-    candidate list). Without it Spark re-executes the full upstream
-    pipeline (tokenize, shingle, sign, band) once per referencing branch.
+    """Materialize-once for an intermediate feeding 2-3 plan branches.
+    Delegates to :func:`citibike_analysis_spark.cache.reuse` (strategy
+    knob ``SPARK_GRAFT_DEDUP_REUSE``, measured A/B in its docstring),
+    which also registers the frame for ``cache_scope`` cleanup."""
+    from citibike_analysis_spark.cache import reuse
 
-    Strategy is selectable via ``SPARK_GRAFT_DEDUP_REUSE`` =
-    ``persist`` (default) | ``checkpoint`` | ``none``. Measured A/B
-    (scripts/ab_reuse.py, sf0.1, fresh JVM per strategy, 5 reps,
-    min/median over q36/q34/q50/q92): any materialization beats none
-    (q34 ×1.2, q50 ×1.35 slower without), and checkpoint is ~10%
-    faster than persist locally (q36 min 2.06 s vs 2.59 s — checkpoint
-    matching BENCH_r01's 2.09 s, which shows the 3.32 s recorded in
-    BENCH_r02 was harness load noise, not a checkpoint cost). persist
-    stays the DEFAULT anyway because ``localCheckpoint`` truncates
-    lineage: a lost executor makes its blocks unrecoverable and fails
-    the query, while persist recomputes from lineage — on a large
-    cluster with preemption/decommissioning that reliability gap is
-    worth far more than 10% of a local run. Deployments on stable
-    executors can flip the knob. At corpus scale the index may exceed
-    memory; persist degrades to per-partition disk blocks — the same
-    worst case checkpoint always pays.
-    """
-    import os
-
-    mode = os.environ.get("SPARK_GRAFT_DEDUP_REUSE", "persist")
-    if mode == "checkpoint":
-        return df.localCheckpoint(eager=False)
-    if mode == "none":
-        return df
-    return df.persist()
+    return reuse(df)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

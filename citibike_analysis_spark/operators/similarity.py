@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from citibike_analysis_spark.cache import track
+
 
 def as_double(vec: Column) -> Column:
     """array<float> → array<double> (do all math in double: deterministic
@@ -472,9 +474,12 @@ def semantic_dedup_pairs(
             "cid",
             F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"),
         )
-    ).persist()  # feeds BOTH sides of the cid self-join: without this the
+    )
+    # feeds BOTH sides of the cid self-join: without persisting, the
     # assignment pipeline (k-way score + argmax + normalize) re-runs the
-    # corpus once per side — two extra full passes at scale
+    # corpus once per side — two extra full passes at scale. Tracked so
+    # cache.cache_scope()/release_all() can unpersist after the action.
+    assigned = track(assigned.persist())
     a, b = assigned.alias("a"), assigned.alias("b")
     return (
         a.join(
@@ -658,9 +663,11 @@ def near_duplicate_embeddings(
     )
     c = _bucketize(vecs, "_id", "_v", planes_df, bits, tables).select(
         "_id", "tbl", "bkt"
-    ).persist()  # both self-join sides read the signature projection;
-    # persisting avoids recomputing the O(d·bits·tables) plane folds
-    # (and a second corpus scan) for the b side
+    )
+    # both self-join sides read the signature projection; persisting
+    # avoids recomputing the O(d·bits·tables) plane folds (and a second
+    # corpus scan) for the b side. Tracked for cache_scope cleanup.
+    c = track(c.persist())
     a, b = c.alias("a"), c.alias("b")
     cand = (
         a.join(

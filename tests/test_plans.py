@@ -120,10 +120,12 @@ def test_scalable_flagship_picks_overlap_exact(spark):
     overlap = len(exact & approx) / max(len(exact | approx), 1)
     assert overlap >= 0.4, f"overlap {overlap}: exact={exact} approx={approx}"
     assert len(approx) <= 2 * max(len(exact), 1)
-    # ... and the registered q56 audit asserts the same bounds in-engine
+    # ... and the registered q56 audit pins the bucketing against its
+    # exact ties-high cume-dist reference (SF-robust; see q56 docstring)
     [audit] = SPECS["q56_interesting_suppliers_scalable"].fn(spark, SF001).collect()
     assert audit["n_exact_picks"] == len(exact)
-    assert audit["overlap_ok"] is True
+    assert audit["divergence_le_1"] is True
+    assert audit["gates_sandwich_ok"] is True
 
 
 def test_approx_distinct_error_bounded(spark):
