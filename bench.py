@@ -39,6 +39,7 @@ HEADLINE = [
     "q34_ngram_jaccard",
     "q36_minhash_dedup",
     "q38_ann_topk",
+    "q39_embedding_near_dup",
     "q41_asof_join",
     "q44_ann_lsh",
     "q46_dedup_clusters",

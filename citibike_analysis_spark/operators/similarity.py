@@ -624,8 +624,8 @@ def near_duplicate_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    bits: int = 8,
-    tables: int = 1,
+    bits: int | str = "auto",
+    tables: int = 16,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -640,6 +640,21 @@ def near_duplicate_embeddings(
     (θ→0, p→1) one table of many bits suffices; for looser thresholds
     drop ``bits`` and raise ``tables`` — e.g. bits=2/tables=24 recovers
     cosine ≥ 0.45 pairs with per-pair miss probability ~1e-6.
+
+    ``bits="auto"`` (default) sizes the index for the corpus: a FIXED
+    ``bits`` has 2^bits buckets, so per-bucket occupancy — and with it
+    the within-bucket candidate product — grows linearly with corpus
+    size, which is exactly the quadratic blow-up the r03 scale rehearsal
+    measured on the loose bits=2 form (×44 wall at ×10 data). Auto mode
+    counts the corpus once (one column-pruned scan — the same corpus-
+    sizing pass any index build pays) and sets ``bits =
+    clamp(ceil(log2(n / 8)), 4, 24)``: occupancy stays ~8 per bucket,
+    candidates ~``4·tables·n`` — LINEAR in corpus size. The cost is
+    borderline-θ recall decaying as bits grows (p^bits per table);
+    exact duplicates and cos→1 near-dups keep recall ≈ 1 at any size
+    (p→1), which is the regime near-dup DETECTION runs in. For
+    oracle-exact recall at a loose θ, pin bits/tables explicitly
+    (the q105 calibration parameterization).
 
     Plan shape matches :func:`lsh_topk`: planes ride a 1-row broadcast
     (not a literal — measured analysis-cost trap, see lsh_topk), sign
@@ -657,6 +672,11 @@ def near_duplicate_embeddings(
     bare pairs make those shuffles 16-byte rows, the same economics as
     the MinHash verify join (operators/dedup.py).
     """
+    if bits == "auto":
+        import math
+
+        n = corpus.select(id_col).count()
+        bits = max(4, min(24, math.ceil(math.log2(max(n, 2) / 8))))
     planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
     vecs = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")

@@ -280,26 +280,80 @@ WHERE rk <= 5
 
 
 # --------------------------------------------------------------------------
-# q39 — embedding-cosine near-duplicate pairs, DECLARED as the bucketed
-# sign-LSH plan (operators.similarity.near_duplicate_embeddings): the
+# q39 — embedding near-duplicate detection, the PRODUCTION
+# parameterization (r03 VERDICT #5): θ=0.9, auto-sized sign-LSH banding
+# (bits grows with log of corpus size so per-bucket occupancy — and the
+# within-bucket candidate product — stays constant; candidates are
+# ~linear in corpus size, verified by scripts/scale_rehearsal.py). The
 # corpus self-join is an equi-join on (table, bucket), never all-pairs.
-# This corpus's max pairwise cosine is ~0.51, so the threshold is 0.45
-# and the banding is tuned loose (bits=2, tables=24 → per-pair miss
-# probability ~1e-6 at cos 0.45) so the deterministic-seed output matches
-# the exact all-pairs oracle bit-for-bit; tests/test_plans.py asserts
-# both the no-cartesian plan shape and exact parity with the all-pairs
-# form. For true near-dup thresholds (0.95+) the same operator runs
-# bits↑/tables↓.
+#
+# The synthetic corpus's max pairwise cosine is ~0.51, so a θ=0.9 scan
+# of it alone is vacuously empty. To keep the driver check non-trivial
+# the query models the duplication a crawler actually produces: the
+# corpus unioned with a RE-INGESTED copy of itself (identical vectors,
+# offset ids — a re-crawl landing the same content under new ids). The
+# expected answer is exactly one pair per original id: identical
+# vectors share every sign bucket with probability 1, so the LSH output
+# matches the exact all-pairs oracle deterministically at any
+# bits/tables — no tuned-recall argument needed (that argument lives in
+# q105, the loose-threshold calibration form).
 # --------------------------------------------------------------------------
 
+_REINGEST_OFFSET = 10_000_000
+
+
 def q39_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reingested = e.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_REINGEST_OFFSET)
+    )
+    corpus = e.unionByName(reingested)
+    return near_duplicate_embeddings(
+        corpus, "vec_id", "embedding", threshold=0.9, bits="auto", tables=16
+    )
+
+
+Q39_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_REINGEST_OFFSET} AS vec_id, v FROM base
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(b.vec_id AS BIGINT) AS id_b,
+       round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
+# q105 — loose-threshold RECALL CALIBRATION of the sign-LSH near-dup
+# operator (the pre-r04 q39, renamed per VERDICT #5): θ=0.45 with the
+# banding tuned loose (bits=2, tables=24 → per-pair miss probability
+# ~1e-6 at cos 0.45) so the deterministic-seed output matches the exact
+# all-pairs oracle bit-for-bit — the strongest oracle evidence that the
+# banding math is right. bits=2 means 4 buckets/table, so the candidate
+# set is ~n²/4 per table: this is the textbook LSH recall/cost trade
+# run deliberately at its recall extreme, an AUDIT-scale query (like
+# q40/q57's exact legs), NOT the production plan — that is q39 (auto
+# bits, linear candidates); the loose-θ scale path is SemDeDup (q77) /
+# IVF (q49). scripts/scale_rehearsal.py carries its measured ×10 growth
+# with this annotation.
+# --------------------------------------------------------------------------
+
+def q105_neardup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return near_duplicate_embeddings(
         e, "vec_id", "embedding", threshold=0.45, bits=2, tables=24
     )
 
 
-Q39_SQL = """
+Q105_SQL = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 )
@@ -2105,7 +2159,7 @@ FROM ranked WHERE rn <= {_Q99_K}
 # batch×corpus pairs; the LSH plan's per-pair miss probability at
 # bits=2/tables=24 is ~(1-p²)²⁴ ≲ 1e-6 for cosine ≥ 0.45, so the
 # bucketed plan hash-matches the exact oracle (same recall argument,
-# and the same parameters, as q39).
+# and the same parameters, as the q105 calibration form).
 # --------------------------------------------------------------------------
 
 def q103_incremental_embedding_dedup(
@@ -2223,5 +2277,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q103_incremental_embedding_dedup": QuerySpec(
         q103_incremental_embedding_dedup, Q103_SQL, "§7 dedup-embedding-incremental"
+    ),
+    "q105_neardup_calibration": QuerySpec(
+        q105_neardup_calibration, Q105_SQL, "§7 dedup-embedding-calibration"
     ),
 }

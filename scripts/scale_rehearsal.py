@@ -149,7 +149,8 @@ def main() -> int:
             "df_capped_pairs": int(pairs["capped"]),
         }
         qnames = ["q61_capped_jaccard", "q36_minhash_dedup", "q46_dedup_clusters",
-                  "q62_dedup_clusters_star", "q39_embedding_near_dup"]
+                  "q62_dedup_clusters_star", "q39_embedding_near_dup",
+                  "q103_incremental_embedding_dedup"]
         # executing the uncapped join past ~3e7 analytic candidates is
         # pointless pain: the hot shingle's partition becomes one
         # multi-minute straggler task (observed live at 10x) — which is
@@ -158,6 +159,15 @@ def main() -> int:
             qnames.insert(0, "q34_ngram_jaccard")
         else:
             row["q34_ngram_jaccard"] = {"skipped": "uncapped candidate count prohibitive (by design)"}
+        # q105 is the loose-θ (0.45) bits=2 RECALL CALIBRATION — its
+        # 4-buckets/table candidate set is ~n²/4 by construction (the
+        # r03-measured ×44: textbook LSH recall/cost extreme, registered
+        # as an audit-scale query; the production plan is q39's auto
+        # bits). Executed at 1x for the record, skipped at 10x.
+        if name == "x1":
+            qnames.append("q105_neardup_calibration")
+        else:
+            row["q105_neardup_calibration"] = {"skipped": "calibration-scale by design (bits=2 → candidates ~n²/4; production form is q39 auto-bits)"}
         for q in qnames:
             runs, rows_out = [], None
             for _ in range(2):
@@ -180,7 +190,9 @@ def main() -> int:
     print(f"| uncapped index candidate pairs | {x1['uncapped_pairs']:,} | {x10['uncapped_pairs']:,} | {g(x1['uncapped_pairs'], x10['uncapped_pairs'])} |")
     print(f"| df-capped (=100) candidate pairs | {x1['df_capped_pairs']:,} | {x10['df_capped_pairs']:,} | {g(x1['df_capped_pairs'], x10['df_capped_pairs'])} |")
     for q in ["q34_ngram_jaccard", "q61_capped_jaccard", "q36_minhash_dedup",
-              "q46_dedup_clusters", "q62_dedup_clusters_star", "q39_embedding_near_dup"]:
+              "q46_dedup_clusters", "q62_dedup_clusters_star",
+              "q39_embedding_near_dup", "q103_incremental_embedding_dedup",
+              "q105_neardup_calibration"]:
         a, b = x1.get(q, {}), x10.get(q, {})
         if "skipped" in b:
             print(f"| {q} | {a.get('sec')}s / {a.get('rows')} rows | SKIPPED ({b['skipped']}) | - |")

