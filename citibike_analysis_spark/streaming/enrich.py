@@ -9,9 +9,11 @@ Completes the collection-tier re-model:
   (``dropDuplicatesWithinWatermark``);
 - hourly weather joined onto samples by (zip, hour)
   (reference README.md:162,187-188) → :func:`join_weather` as a
-  stream-static broadcast join: the dimension is re-read per
-  micro-batch, so a concurrently-maintained weather table is picked up
-  without restarting the query, and no stream-stream state is held;
+  stream-static broadcast join: no stream-stream state is held, and a
+  weather table maintained by a concurrent job is picked up on query
+  restart (raw parquet's file listing is plan-time; see
+  :func:`admit_novel_documents` for the contract and
+  :func:`start_admission` for the per-batch re-resolve pattern);
 - :func:`track_sessions` is the custom stateful operator slice
   (``applyInPandasWithState``): per-key session accumulation with
   explicit state and event-time timeout — the streaming dual of the
@@ -96,6 +98,28 @@ def scrub_documents(
     )
 
 
+def _corpus_hashes(spark, corpus_path: str) -> DataFrame | None:
+    """Read the landed corpus's ``content_hash`` column, or ``None`` if
+    the corpus doesn't exist yet (first deployment)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(corpus_path).select(
+            F.col("content_hash").alias("_content_hash")
+        )
+    except AnalysisException as exc:
+        # ONLY "no corpus yet" may fall through to admit-everything.
+        # Any other analysis failure must propagate — swallowing it
+        # would silently stop deduplicating against the corpus (the
+        # same failure mode ADVICE r1 flagged on the snapshot upsert).
+        if (exc.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        return None
+
+
 def admit_novel_documents(
     docs: DataFrame,
     corpus_path: str,
@@ -103,52 +127,100 @@ def admit_novel_documents(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming admission filter against a MAINTAINED corpus: drop any
-    incoming document whose content hash already exists in the landed
+    """Streaming admission filter against a landed corpus SNAPSHOT: drop
+    any incoming document whose content hash already exists in the
     corpus at ``corpus_path`` (parquet with a ``content_hash`` column),
     then dedup repeats arriving within the stream itself — the streaming
     form of the batch incremental dedup (operators/dedup.py
     incremental_dedup / q85, and q103 for embeddings).
 
-    The corpus side is a STREAM-STATIC left-anti join: Spark re-reads the
-    static table per micro-batch, so a corpus grown by a concurrent
-    batch-landing job is picked up continuously without restarting the
-    query, and no stream-side state is held for it. Corpus bytes never
-    move — the anti-join ships only the hash column, and a parquet
-    corpus laid out by ``content_hash`` gets the scan pruned to that one
-    column (the 100 TB contract: per-batch cost is a hash-column scan,
-    not a corpus read). Within-stream repeats are handled separately by
-    ``dropDuplicatesWithinWatermark`` (bounded state).
+    Corpus-growth contract (r03 ADVICE): the static side's parquet file
+    listing is resolved at PLAN time, so corpus files landed by a
+    concurrent batch job are picked up **on query restart**, not between
+    micro-batches — raw-parquet stream-static re-executes the static
+    plan per batch but never re-lists the directory (that property
+    belongs to table formats with a refreshable snapshot log). For
+    continuous pickup without a restart, use :func:`start_admission`,
+    which re-resolves the corpus per micro-batch via ``foreachBatch``.
+    Within-stream repeats are handled by
+    ``dropDuplicatesWithinWatermark`` (bounded state), which also covers
+    admitted-but-not-yet-landed duplicates inside the watermark window.
 
-    Compose AFTER :func:`scrub_documents`: admission must hash the
-    redacted form, like the batch path.
+    Corpus bytes never move — the anti-join ships only the hash column,
+    and a parquet corpus gets the scan pruned to that one column (the
+    100 TB contract: the corpus cost is a hash-column scan, not a
+    corpus read). Compose AFTER :func:`scrub_documents`: admission must
+    hash the redacted form, like the batch path.
     """
-    from pyspark.errors import AnalysisException
-
-    spark = docs.sparkSession
     hashed = docs.withColumn("_content_hash", F.md5(F.col(text_col)))
-    try:
-        existing = spark.read.parquet(corpus_path).select(
-            F.col("content_hash").alias("_content_hash")
-        )
-        novel = hashed.join(existing, "_content_hash", "left_anti")
-    except AnalysisException as exc:
-        # ONLY "no corpus yet" may fall through to admit-everything
-        # (first deployment; a restart after the corpus first lands picks
-        # it up). Any other analysis failure must propagate — swallowing
-        # it would silently stop deduplicating against the corpus (the
-        # same failure mode ADVICE r1 flagged on the snapshot upsert).
-        if (exc.getCondition() or "") not in (
-            "PATH_NOT_FOUND",
-            "UNABLE_TO_INFER_SCHEMA",
-        ):
-            raise
-        novel = hashed
+    existing = _corpus_hashes(docs.sparkSession, corpus_path)
+    novel = (
+        hashed
+        if existing is None
+        else hashed.join(existing, "_content_hash", "left_anti")
+    )
     return (
         novel.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_hash"])
         .drop("_content_hash")
     )
+
+
+def start_admission(
+    docs: DataFrame,
+    corpus_path: str,
+    sink,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    query_name: str | None = None,
+):
+    """LIVE-CORPUS admission filter: like :func:`admit_novel_documents`,
+    but the corpus anti-join runs inside ``foreachBatch`` with a FRESH
+    parquet read per micro-batch, so hashes landed by a concurrent
+    batch job start filtering from the very next micro-batch — no query
+    restart (the continuous-pickup contract the static form cannot
+    honor; see its docstring). Pickup latency is pinned by
+    ``tests/test_streaming_recovery.py``.
+
+    ``sink(admitted_batch_df, epoch_id)`` receives each micro-batch's
+    admitted rows (original columns) and owns the write — the usual
+    foreachBatch idempotence contract applies (a replayed epoch_id may
+    re-deliver the same batch after a crash).
+
+    State/scale shape is unchanged: within-stream repeats dedup via
+    ``dropDuplicatesWithinWatermark`` BEFORE the sink (bounded state);
+    the per-batch corpus cost is a fresh hash-column-pruned scan of the
+    corpus listing — at 100 TB, land hashes in a compacted sidecar
+    (e.g. partitioned by hash prefix) so per-batch listing+scan stays
+    flat. An admitted document whose hash has not yet landed re-admits
+    only after the watermark expires AND before landing completes —
+    size ``watermark`` to cover the landing job's cadence.
+
+    Returns the started ``StreamingQuery``.
+    """
+    hashed = (
+        docs.withColumn("_content_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+    )
+
+    def _admit(batch: DataFrame, epoch_id: int) -> None:
+        existing = _corpus_hashes(batch.sparkSession, corpus_path)
+        out = (
+            batch
+            if existing is None
+            else batch.join(existing, "_content_hash", "left_anti")
+        )
+        sink(out.drop("_content_hash"), epoch_id)
+
+    writer = hashed.writeStream.outputMode("append").foreachBatch(_admit)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if query_name is not None:
+        writer = writer.queryName(query_name)
+    return writer.start()
 
 
 def join_weather_streams(
@@ -197,8 +269,11 @@ def join_weather(
 
     The static side is broadcast per micro-batch (dimension scale: 27
     zips × hours — reference README.md:148,162). Stream-static holds NO
-    join state; late weather rows simply appear in later batches'
-    snapshots, replacing the reference's re-fetch/patch cycle.
+    join state; weather rows landed after the query starts appear on
+    restart (plan-time file listing — same contract as
+    :func:`admit_novel_documents`; wrap the join in ``foreachBatch``
+    with a fresh read, as :func:`start_admission` does, for continuous
+    pickup), replacing the reference's re-fetch/patch cycle.
     """
     w = weather.select(
         F.col(zip_col).alias("__wzip"),

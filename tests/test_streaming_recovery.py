@@ -372,3 +372,49 @@ def test_admit_novel_documents_against_corpus(spark, dirs):
         q2.stop()
     rows = spark.read.option("basePath", land).parquet(land).collect()
     assert sorted(r["doc_id"] for r in rows) == [2, 5]
+
+
+def test_start_admission_picks_up_corpus_growth_without_restart(spark, dirs):
+    """r03 VERDICT #8 / ADVICE: the foreachBatch admission re-resolves
+    the corpus per micro-batch, so a hash landed by a concurrent job
+    starts filtering from the NEXT micro-batch of the SAME running
+    query — the continuous-pickup contract the plain stream-static form
+    only honors on restart (plan-time file listing)."""
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.streaming.enrich import start_admission
+
+    corpus_path = os.path.join(dirs["snap2"], "corpus")
+    land = os.path.join(dirs["land"], "live")
+    with open(f"{dirs['in2']}/d1.json", "w") as f:
+        f.write(_doc_line(1, BASE, LONG) + "\n")  # no corpus yet -> admitted
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(dirs["in2"])
+    )
+
+    def sink(batch, epoch_id):
+        if not batch.isEmpty():
+            batch.write.mode("overwrite").parquet(
+                os.path.join(land, f"epoch={epoch_id}")
+            )
+
+    q = start_admission(
+        docs, corpus_path, sink, ts_col="ts", checkpoint_dir=dirs["ckpt2"]
+    )
+    try:
+        q.processAllAvailable()
+        # corpus lands a new hash while the query is RUNNING ...
+        spark.createDataFrame([(LONG + " two",)], "text string").select(
+            F.md5("text").alias("content_hash")
+        ).write.parquet(corpus_path)
+        with open(f"{dirs['in2']}/d2.json", "w") as f:
+            # ... and filters the very next micro-batch, no restart
+            f.write(_doc_line(2, BASE + timedelta(minutes=40), LONG + " two") + "\n")
+            f.write(_doc_line(3, BASE + timedelta(minutes=41), LONG + " three") + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.option("basePath", land).parquet(land).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
