@@ -124,15 +124,44 @@ def write_sharded(
 def _parquet_footer_rows(uri: str) -> int:
     """num_rows from one parquet footer (metadata-only read). Resolves
     the filesystem from the URI scheme (file://, s3://, hdfs:// — any
-    pyarrow.fs-supported scheme); a bare path is treated as local."""
+    pyarrow.fs-supported scheme); a bare path is treated as local.
+
+    Remote-scheme contract (r03 ADVICE): this runs on EXECUTORS inside
+    mapInPandas, where pyarrow's own credential chain applies — env
+    vars / instance profile for S3, a libhdfs install for HDFS — NOT
+    the cluster's Hadoop configuration (no JVM gateway exists in a
+    Python worker, so the Hadoop FileSystem API is unreachable here).
+    Deployments whose object-store credentials live only in Hadoop
+    confs must mirror them into the executor environment, or the
+    footer read fails even though the shard write (Spark-native)
+    succeeded. Spark's Hadoop-flavored ``s3a://``/``s3n://`` URIs are
+    normalized to the ``s3://`` scheme pyarrow understands; failures
+    raise with this contract spelled out rather than a bare pyarrow
+    error.
+    """
     import pyarrow.parquet as pq
 
     if "://" in uri or uri.startswith("file:/"):
         import pyarrow.fs as pafs
 
-        fs, p = pafs.FileSystem.from_uri(uri)
-        with fs.open_input_file(p) as fh:
-            return pq.ParquetFile(fh).metadata.num_rows
+        pa_uri = uri
+        for hadoop_scheme in ("s3a://", "s3n://"):
+            if pa_uri.startswith(hadoop_scheme):
+                pa_uri = "s3://" + pa_uri[len(hadoop_scheme):]
+                break
+        try:
+            fs, p = pafs.FileSystem.from_uri(pa_uri)
+            with fs.open_input_file(p) as fh:
+                return pq.ParquetFile(fh).metadata.num_rows
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"manifest footer read failed for {uri!r}: executors "
+                "resolve remote URIs through pyarrow.fs, which uses "
+                "pyarrow's credential chain (env/instance profile; "
+                "libhdfs for hdfs://), not the cluster's Hadoop "
+                "configuration — make credentials visible to pyarrow "
+                "on every executor"
+            ) from exc
     return pq.ParquetFile(uri).metadata.num_rows
 
 
