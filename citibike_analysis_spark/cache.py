@@ -78,15 +78,51 @@ def reuse(df: DataFrame, env: str = "SPARK_GRAFT_DEDUP_REUSE") -> DataFrame:
     return track(df.persist())
 
 
+def _checkpoint_rdd(df: DataFrame):
+    """The JVM RDD backing a ``localCheckpoint``-ed frame (its analyzed
+    plan is a LogicalRDD), or None for any other plan shape."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            return lp.rdd()
+    except Exception:
+        pass
+    return None
+
+
+def free_checkpoint(df: DataFrame) -> bool:
+    """Drop the storage blocks of a materialized ``localCheckpoint``
+    frame (``DataFrame.unpersist`` is a no-op for these: the blocks
+    belong to the plan's internal RDD, not the cache manager). After
+    this the frame is UNUSABLE — lineage was truncated at checkpoint
+    time, so the blocks are the only copy. Only call once every
+    consumer of the frame has produced its result (the iterative-CC
+    round pattern in operators/graph.py, or scope teardown)."""
+    rdd = _checkpoint_rdd(df)
+    if rdd is None:
+        return False
+    try:
+        rdd.unpersist(False)
+    except Exception:
+        return False
+    return True
+
+
+def _release(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session already stopped — nothing left to release
+    free_checkpoint(df)
+
+
 def release_all() -> None:
-    """Unpersist every tracked frame (blocking=False: async block drop)."""
+    """Unpersist every tracked frame (blocking=False: async block drop).
+    Handles both cache-manager persists and localCheckpoint blocks."""
     with _lock:
         frames, _LIVE[:] = list(_LIVE), []
     for df in frames:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing left to release
+        _release(df)
 
 
 @contextmanager
@@ -106,7 +142,4 @@ def cache_scope():
         with _lock:
             frames, _LIVE[mark:] = list(_LIVE[mark:]), []
         for df in frames:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+            _release(df)

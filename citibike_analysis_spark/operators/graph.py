@@ -57,7 +57,16 @@ def connected_components(
     # Convergence detector: labels only ever decrease, so the label sum is
     # strictly monotone until fixpoint — one cheap aggregate on the freshly
     # checkpointed result replaces a join-against-previous + count job.
+    # Block hygiene: once round N's checkpoint is materialized (by that
+    # same aggregate), round N-1's blocks are garbage — free them NOW so
+    # peak storage is one label table, not one per round (at corpus
+    # scale, rounds × vertex-table blocks is real memory). The FINAL
+    # round's checkpoint backs the returned plan: registered with
+    # cache.track for scope-level release, like the operator persists.
+    from citibike_analysis_spark.cache import free_checkpoint, track
+
     prev_sum = None
+    prev_frame = None
     converged = False
     for _ in range(max_iter):
         msgs = sym.join(
@@ -71,11 +80,16 @@ def connected_components(
             # one job per round instead of checkpoint-job + agg-job
         )
         label_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels = new_labels
+        if prev_frame is not None and prev_frame is not new_labels:
+            free_checkpoint(prev_frame)
+        labels, prev_frame = new_labels, new_labels
         if label_sum == prev_sum:
             converged = True
             break
         prev_sum = label_sum
+    # the fixpoint no longer references the edge list — free it too
+    free_checkpoint(sym)
+    track(labels)
     if not converged:
         # Partially-propagated labels are silently WRONG (a chain longer
         # than max_iter keeps distinct labels inside one component), and
@@ -162,7 +176,15 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
 
+    # same per-round block hygiene as connected_components: freeing
+    # round N-1's checkpoint once round N materializes keeps peak
+    # storage at one edge table; the final round's checkpoint (and the
+    # vertex universe, which the returned plan left-joins) stay live,
+    # registered for scope-level release.
+    from citibike_analysis_spark.cache import free_checkpoint, track
+
     prev_sig = None
+    prev_frame = e  # the input checkpoint: garbage once round 0 lands
     converged = False
     for _ in range(max_iter):
         sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -172,10 +194,15 @@ def connected_components_star(
         sig = tuple(
             e.agg(F.count("*"), F.bit_xor(F.xxhash64("a", "b"))).collect()[0]
         )
+        if prev_frame is not None:
+            free_checkpoint(prev_frame)
+        prev_frame = e
         if sig == prev_sig:
             converged = True
             break
         prev_sig = sig
+    track(e)
+    track(verts)
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "

@@ -720,7 +720,7 @@ def incremental_embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    bits: int = 2,
+    bits: int | str = 2,
     tables: int = 24,
     dim: int = 64,
     seed: int = 42,
@@ -743,8 +743,23 @@ def incremental_embedding_dedup(
     corpus-side signature projection is the natural thing to persist
     across ingests via :func:`build_lsh_index`'s save path.
 
+    Scale contract: per-ingest work is candidates ≈ |batch| × per-bucket
+    corpus occupancy × tables. The default loose parameterization
+    (θ=0.45, bits=2 → 4 buckets/table) keeps occupancy ~corpus/4, so
+    each ingest pays one corpus-linear pass — acceptable for recall
+    calibration, not for a 100 TB steady state. Production admission at
+    a TIGHT threshold should pass ``bits="auto"`` (sized from the
+    corpus count exactly like :func:`near_duplicate_embeddings` — the
+    rehearsal-measured flat-occupancy form); loose-θ admission at scale
+    belongs to the centroid-bounded SemDeDup/IVF route (q77/q49).
+
     Output: the admitted batch rows (original batch columns).
     """
+    if bits == "auto":
+        import math
+
+        n = corpus.select(id_col).count()
+        bits = max(4, min(24, math.ceil(math.log2(max(n, 2) / 8))))
     planes_df = _planes_frame(batch.sparkSession, bits, tables, dim, seed)
     bvec = batch.select(
         F.col(id_col).alias("_bid"), as_double(F.col(vec_col)).alias("_bv")

@@ -149,8 +149,7 @@ def main() -> int:
             "df_capped_pairs": int(pairs["capped"]),
         }
         qnames = ["q61_capped_jaccard", "q36_minhash_dedup", "q46_dedup_clusters",
-                  "q62_dedup_clusters_star", "q39_embedding_near_dup",
-                  "q103_incremental_embedding_dedup"]
+                  "q62_dedup_clusters_star", "q39_embedding_near_dup"]
         # executing the uncapped join past ~3e7 analytic candidates is
         # pointless pain: the hot shingle's partition becomes one
         # multi-minute straggler task (observed live at 10x) — which is
@@ -163,10 +162,18 @@ def main() -> int:
         # 4-buckets/table candidate set is ~n²/4 by construction (the
         # r03-measured ×44: textbook LSH recall/cost extreme, registered
         # as an audit-scale query; the production plan is q39's auto
-        # bits). Executed at 1x for the record, skipped at 10x.
+        # bits). The registered q103 fixture splits batch/corpus by
+        # vec_id % 10, so its BATCH grows with the corpus — right for an
+        # SF-proportional driver fixture, wrong as a scale model (r04
+        # rehearsal measured ×30 at ×10 that way): the operator's
+        # contract is a BOUNDED per-ingest batch against a growing
+        # corpus, rehearsed below as q103_fixed_batch_*. Both
+        # SF-proportional forms execute at 1x only, for the record.
         if name == "x1":
+            qnames.append("q103_incremental_embedding_dedup")
             qnames.append("q105_neardup_calibration")
         else:
+            row["q103_incremental_embedding_dedup"] = {"skipped": "SF-proportional fixture (batch grows with corpus); contract rehearsed as q103_fixed_batch_*"}
             row["q105_neardup_calibration"] = {"skipped": "calibration-scale by design (bits=2 → candidates ~n²/4; production form is q39 auto-bits)"}
         for q in qnames:
             runs, rows_out = [], None
@@ -177,6 +184,33 @@ def main() -> int:
                 runs.append(round(time.perf_counter() - t0, 2))
             row[q] = {"sec": min(runs), "rows": rows_out}
             print(json.dumps({"scale": name, "query": q, **row[q]}), flush=True)
+
+        # incremental admission under its actual contract: a FIXED
+        # 500-vector ingest batch against the full (growing) corpus —
+        # loose calibration banding (per-ingest work ~corpus-linear:
+        # occupancy n/4 × 24 tables) and production tight-θ auto-bits
+        # (flat occupancy → per-ingest work ~flat in corpus size,
+        # modulo the corpus-side signature pass).
+        from citibike_analysis_spark.operators.similarity import (
+            incremental_embedding_dedup,
+        )
+
+        emb = load_table(spark, d, "embeddings")
+        fixed_batch = emb.filter(F.col("vec_id") < 500)
+        rest = emb.filter(F.col("vec_id") >= 500)
+        for label, kw in [
+            ("q103_fixed_batch_loose", dict(threshold=0.45, bits=2, tables=24)),
+            ("q103_fixed_batch_auto", dict(threshold=0.9, bits="auto", tables=16)),
+        ]:
+            runs, rows_out = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows_out = incremental_embedding_dedup(
+                    fixed_batch, rest, "vec_id", "embedding", **kw
+                ).count()
+                runs.append(round(time.perf_counter() - t0, 2))
+            row[label] = {"sec": min(runs), "rows": rows_out}
+            print(json.dumps({"scale": name, "query": label, **row[label]}), flush=True)
         results[name] = row
         print(json.dumps({"scale": name, "pair_economics": {
             "uncapped": row["uncapped_pairs"], "capped": row["df_capped_pairs"]}}), flush=True)
@@ -192,6 +226,7 @@ def main() -> int:
     for q in ["q34_ngram_jaccard", "q61_capped_jaccard", "q36_minhash_dedup",
               "q46_dedup_clusters", "q62_dedup_clusters_star",
               "q39_embedding_near_dup", "q103_incremental_embedding_dedup",
+              "q103_fixed_batch_loose", "q103_fixed_batch_auto",
               "q105_neardup_calibration"]:
         a, b = x1.get(q, {}), x10.get(q, {})
         if "skipped" in b:

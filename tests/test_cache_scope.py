@@ -62,3 +62,15 @@ def test_nested_scopes_release_only_their_own(spark):
         # inner released its own frame only; the outer one is still live
         assert _n_persistent(spark) >= 1
     assert _n_persistent(spark) == 0
+
+
+def test_connected_components_releases_checkpoints(spark):
+    # graph.py's per-round localCheckpoints: rounds N-1 are freed inside
+    # the loop; the final round's blocks (which back the returned plan)
+    # are released by the scope. Covers both algorithm variants.
+    spark.catalog.clearCache()
+    assert _n_persistent(spark) == 0
+    _run_scoped(spark, "q46_dedup_clusters")
+    assert _n_persistent(spark) == 0
+    _run_scoped(spark, "q62_dedup_clusters_star")
+    assert _n_persistent(spark) == 0
