@@ -202,28 +202,35 @@ def lsh_topk(
     """
     planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
 
-    def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        return _bucketize(df, idname, vecname, planes_df, bits, tables)
-
-    q = bucketed(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-        ),
-        "query_id",
-        "_qv",
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
-    c = bucketed(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-        ),
-        "neighbor_id",
-        "_cv",
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     )
-    scored = (
+    q = _bucketize(qv, "query_id", "_qv", planes_df, bits, tables).select(
+        "query_id", "tbl", "bkt"
+    )
+    c = _bucketize(cv, "neighbor_id", "_cv", planes_df, bits, tables).select(
+        "neighbor_id", "tbl", "bkt"
+    )
+    # bucket join + multi-table dedup move BARE (query, neighbor) id
+    # pairs — carrying the two d-dim vectors through those shuffles
+    # multiplies vector bytes by the table hit count (the r03
+    # near_duplicate_embeddings measurement: 2.3x wall). Vectors are
+    # re-attached only to the deduped candidates: the corpus pays a
+    # second column-pruned scan instead, streamed against the
+    # broadcast candidate list (queries × occupancy × tables rows —
+    # small by the ANN contract), so neither verify join shuffles.
+    cand = (
         c.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # candidate ∈ >1 table
+    )
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
         .select("query_id", "neighbor_id", "cosine_sim")
     )
