@@ -368,6 +368,201 @@ WHERE list_dot_product(a.v, b.v)
 
 
 # --------------------------------------------------------------------------
+# q106–q109 — driver-verifiable BOUND AUDITS for the remaining approx
+# operators (extending the r03 VERDICT #3 pattern that converted
+# q40/q56/q57): each emits exact-recompute values the oracle can state
+# verbatim plus booleans asserting the approximation's pinned bound, so
+# the driver hash-verifies what was previously rows-only pytest
+# evidence. The operator OUTPUTS stay registered as q44/q49/q36/q77 —
+# these audits are additional registrations, not replacements. Bounds
+# were measured deterministic (seeded operators) at sf0.001/0.01/0.1:
+# LSH agg recall 0.32/0.38/0.44; IVF per-query min recall 0.8 at all
+# three; MinHash subset+recall 1.0; SemDeDup subset ok, recall
+# 0.29/0.71/0.39. The exact legs (brute-force top-k, uncapped Jaccard,
+# all-pairs cosine) are AUDIT-scale, same class as q40/q57's exact legs.
+# --------------------------------------------------------------------------
+
+def _ann_recall_audit(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, flag: str, per_query: float | None, agg: float | None
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+    ap = approx.select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
+    )
+    hit = exact.join(
+        ap,
+        (exact.query_id == F.col("_q")) & (exact.neighbor_id == F.col("_n")),
+        "left",
+    )
+    per = hit.groupBy("query_id").agg(
+        F.round(F.max("cosine_sim"), 6).alias("exact_best_sim"),
+        F.count("_n").alias("_hits"),
+        F.count("*").alias("_k"),
+    )
+    if per_query is not None:
+        return per.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "exact_best_sim",
+            (F.col("_hits") / F.col("_k") >= per_query).alias(flag),
+        )
+    tot = per.agg((F.sum("_hits") / F.sum("_k") >= agg).alias(flag))
+    return per.join(F.broadcast(tot)).select(
+        F.col("query_id").cast("long").alias("query_id"), "exact_best_sim", flag
+    )
+
+
+def q106_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query: the exact best-neighbor cosine (oracle-recomputed) and
+    the AGGREGATE recall@5 bound of the q44 LSH parameterization
+    (bits=6/tables=8 → theory ≈ 1-(1-p^6)^8 ≈ 0.45 at cos 0.45; bound
+    0.25 holds with margin at every SF). Per-query recall can be 0 for
+    an individual unlucky query at these parameters — that is the
+    banding distribution, not a defect — so the pinned bound is the
+    aggregate, like the pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    ap = lsh_topk(e, q, "vec_id", "embedding", k=5, bits=6, tables=8)
+    return _ann_recall_audit(spark, sf_dir, ap, "agg_recall_ge_025", None, 0.25)
+
+
+def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
+    for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
+    min 0.8 per query at every SF: true neighbors concentrate in the
+    probed lists)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    ap = ivf_topk(e, q, "vec_id", "embedding", k=5, nlist=16, nprobe=6)
+    return _ann_recall_audit(spark, sf_dir, ap, "query_recall_ge_06", 0.6, None)
+
+
+_ANN_AUDIT_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT q.vec_id AS query_id,
+         list_dot_product(q.v, e.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       round(max(sim), 6) AS exact_best_sim,
+       true AS {flag}
+FROM scored GROUP BY query_id
+"""
+
+Q106_SQL = _ANN_AUDIT_SQL.format(flag="agg_recall_ge_025")
+Q107_SQL = _ANN_AUDIT_SQL.format(flag="query_recall_ge_06")
+
+
+def q108_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row auditing MinHash-LSH (q36's parameterization) against the
+    exact shingle-Jaccard pairs: the exact pair count (oracle-
+    recomputed via the q34 SQL), a precision boolean (every MinHash
+    pair IS an exact pair with the identical Jaccard value — exact by
+    construction: candidates are verified with exact Jaccard), and the
+    banding recall bound (b=16, r=4 at J ≥ 0.5 — measured 1.0 at every
+    SF; pinned ≥ 0.9 like the pytest)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("_je")
+    )
+    approx = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("_ja")
+    )
+    j = exact.join(approx, ["id_a", "id_b"], "full_outer")
+    matched = F.count(F.when(F.col("_je").isNotNull() & F.col("_ja").isNotNull(), 1))
+    return j.agg(
+        F.count("_je").cast("long").alias("n_exact_pairs"),
+        F.coalesce(
+            F.bool_and(
+                F.col("_je").isNotNull()
+                & (F.abs(F.col("_ja") - F.col("_je")) < F.lit(1e-9))
+                | F.col("_ja").isNull()
+            ),
+            F.lit(True),
+        ).alias("precision_exact"),
+        F.coalesce(matched / F.count("_je") >= 0.9, F.lit(True)).alias(
+            "recall_ge_09"
+        ),
+    )
+
+
+Q108_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       true AS precision_exact,
+       true AS recall_ge_09
+FROM ({Q34_SQL}) exact_pairs
+"""
+
+
+def q109_semdedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row auditing SemDeDup (q77's parameterization) against the
+    exact all-pairs θ=0.45 set: exact pair count (the q105 oracle's
+    count), a precision boolean (every reported pair is a true θ-pair
+    with the matching cosine — exact by construction, k-means only
+    prunes candidates), and the within-cluster recall bound (k=8,
+    3 Lloyd iterations — measured 0.29/0.71/0.39 across SFs, pinned
+    ≥ 0.2; recall is the knob SemDeDup trades for its Σ|cluster|²
+    candidate bound, the full-recall path being q105/q39)."""
+    from citibike_analysis_spark.operators.similarity import (
+        as_double,
+        cosine,
+        semantic_dedup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select(F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v"))
+    a, b = ev.alias("a"), ev.alias("b")
+    exact = (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("_ce", F.round(cosine(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("_ce") >= 0.45)
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "_ce"
+        )
+    )
+    rep = semantic_dedup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, k=8, train_iters=3
+    ).select("id_a", "id_b", F.col("cosine_sim").alias("_cr"))
+    j = exact.join(rep, ["id_a", "id_b"], "full_outer")
+    matched = F.count(F.when(F.col("_ce").isNotNull() & F.col("_cr").isNotNull(), 1))
+    return j.agg(
+        F.count("_ce").cast("long").alias("n_exact_pairs"),
+        F.coalesce(
+            F.bool_and(
+                F.col("_ce").isNotNull()
+                & (F.abs(F.col("_cr") - F.col("_ce")) <= F.lit(1e-6))
+                | F.col("_cr").isNull()
+            ),
+            F.lit(True),
+        ).alias("precision_exact"),
+        F.coalesce(matched / F.count("_ce") >= 0.2, F.lit(True)).alias(
+            "recall_ge_02"
+        ),
+    )
+
+
+Q109_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       true AS precision_exact,
+       true AS recall_ge_02
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
 # q40 — scalable ntile (approx-quantile bucketing; SURVEY.md §7 "scale
 # redesign of global windows"), registered as its DIVERGENCE AUDIT so
 # the driver can hash-verify it (r03 VERDICT #3): per EXACT decile, the
@@ -2280,5 +2475,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q105_neardup_calibration": QuerySpec(
         q105_neardup_calibration, Q105_SQL, "§7 dedup-embedding-calibration"
+    ),
+    "q106_ann_lsh_recall_audit": QuerySpec(
+        q106_ann_lsh_recall_audit, Q106_SQL, "§7 similarity-lsh-audit"
+    ),
+    "q107_ann_ivf_recall_audit": QuerySpec(
+        q107_ann_ivf_recall_audit, Q107_SQL, "§7 similarity-ivf-audit"
+    ),
+    "q108_minhash_recall_audit": QuerySpec(
+        q108_minhash_recall_audit, Q108_SQL, "§7 dedup-minhash-audit"
+    ),
+    "q109_semdedup_precision_audit": QuerySpec(
+        q109_semdedup_precision_audit, Q109_SQL, "§7 dedup-semantic-audit"
     ),
 }
