@@ -562,6 +562,143 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def q110_winnow_guarantee_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row verifying the WINNOWING THEOREM end-to-end (Schleimer et
+    al., SIGMOD'03): with k=3, w=4, any two documents sharing a verbatim
+    run of ≥ w+k-1 = 6 tokens MUST share at least one fingerprint. The
+    oracle recomputes the pairs sharing a distinct 6-token gram (pure
+    SQL) and the audit asserts (a) every such pair appears in the
+    fingerprint-overlap output — the guarantee — and (b) every
+    fingerprint-overlap pair shares an exact distinct 3-gram — the
+    soundness direction (a fingerprint IS a 3-gram hash). Both are
+    theorems, not tuned bounds, so the booleans are stable at every SF
+    (verified at sf0.001/0.01/0.1); a windowing/selection bug in
+    winnow_of breaks one of them. The in-engine 6-gram/3-gram legs are
+    audit-scale inverted-index joins (the q34 shape)."""
+    from citibike_analysis_spark.functions.text import shingles_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.col("doc_id").alias("_id"), tokens(F.col("text")).alias("_tk"))
+
+    def sharing(n: int) -> DataFrame:
+        inv = tk.select(
+            "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
+        ).select("_id", F.xxhash64("_s").alias("_h"))
+        a, b = inv.alias("a"), inv.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+
+    rep = winnow_overlap_pairs(docs, "doc_id", "text", k=3, w=4, min_shared=1).select(
+        "id_a", "id_b"
+    )
+    g = sharing(6).join(rep.withColumn("_r", F.lit(1)), ["id_a", "id_b"], "left")
+    guarantee = g.agg(
+        F.count("*").cast("long").alias("n_pairs_sharing_6gram"),
+        F.coalesce(F.bool_and(F.col("_r").isNotNull()), F.lit(True)).alias(
+            "guarantee_ok"
+        ),
+    )
+    s = rep.join(
+        sharing(3).withColumn("_e", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    subset = s.agg(
+        F.coalesce(F.bool_and(F.col("_e").isNotNull()), F.lit(True)).alias(
+            "subset_ok"
+        )
+    )
+    return guarantee.join(F.broadcast(subset))
+
+
+Q110_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[t.i : t.i + 5], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 5, 0))) AS t(i)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs_sharing_6gram,
+       true AS guarantee_ok,
+       true AS subset_ok
+FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+) pairs
+"""
+
+
+def q111_pca_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row auditing the PCA projection (q82's parameterization)
+    against SQL-recomputable statistics: the corpus TOTAL variance
+    (Σ per-dimension var_pop — computed here by plain SQL aggregation,
+    NOT the numpy moment path, so the two implementations cross-check;
+    the oracle recomputes it in DuckDB) plus two booleans on the
+    variance captured by the 4 projected components:
+
+    - ``captured_ge_isotropic``: captured/total ≥ 4/64 — a THEOREM, not
+      a tuned bound (the mean of the 4 largest eigenvalues is ≥ the
+      mean of all 64, so their sum is ≥ 4·total/64); measured
+      0.08-0.11 on this corpus.
+    - ``captured_le_total``: captured cannot exceed total (orthonormal
+      projection); a sign/normalization bug in the eigenvector path
+      breaks it.
+    """
+    from citibike_analysis_spark.operators.decomposition import pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tot = (
+        e.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "_x"
+            )
+        )
+        .groupBy("pos")
+        .agg(F.var_pop("_x").alias("_v"))
+        .agg(
+            F.round(F.sum("_v"), 4).alias("total_variance"),
+            F.sum("_v").alias("_tot"),
+        )
+    )
+    proj = pca_project(e, "vec_id", "embedding", n_components=4)
+    cap = proj.select(
+        *[F.col("pcs")[i].alias(f"_p{i}") for i in range(4)]
+    ).agg(
+        sum([F.var_pop(f"_p{i}") for i in range(4)], F.lit(0.0)).alias("_cap")
+    )
+    return (
+        tot.join(F.broadcast(cap))
+        .select(
+            "total_variance",
+            (F.col("_cap") / F.col("_tot") >= F.lit(4.0 / 64.0)).alias(
+                "captured_ge_isotropic"
+            ),
+            (F.col("_cap") <= F.col("_tot") * F.lit(1.0 + 1e-9)).alias(
+                "captured_le_total"
+            ),
+        )
+    )
+
+
+Q111_SQL = """
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT i.i AS pos, var_pop(v[i.i]) AS vv
+  FROM e, generate_series(1, 64) AS i(i)
+  GROUP BY 1
+)
+SELECT round(sum(vv), 4) AS total_variance,
+       true AS captured_ge_isotropic,
+       true AS captured_le_total
+FROM comp
+"""
+
+
 # --------------------------------------------------------------------------
 # q40 — scalable ntile (approx-quantile bucketing; SURVEY.md §7 "scale
 # redesign of global windows"), registered as its DIVERGENCE AUDIT so
@@ -2487,5 +2624,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q109_semdedup_precision_audit": QuerySpec(
         q109_semdedup_precision_audit, Q109_SQL, "§7 dedup-semantic-audit"
+    ),
+    "q110_winnow_guarantee_audit": QuerySpec(
+        q110_winnow_guarantee_audit, Q110_SQL, "§7 dedup-winnow-audit"
+    ),
+    "q111_pca_variance_audit": QuerySpec(
+        q111_pca_variance_audit, Q111_SQL, "§7 decomposition-audit"
     ),
 }
