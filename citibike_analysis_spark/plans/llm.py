@@ -699,6 +699,60 @@ FROM comp
 """
 
 
+def q112_simhash_identity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row verifying the SimHash IDENTITY theorem (q37's
+    parameterization): byte-identical documents have identical
+    signatures, hence hamming distance 0 ≤ max_hamming — every
+    identical-text pair MUST appear in the simhash output. The synthetic
+    corpus has no exact duplicates below sf0.1, so (the q39 re-ingest
+    device) the audit runs over the corpus unioned with a copy of
+    itself under offset ids: the oracle counts the identical-text pairs
+    of that doubled corpus in SQL, and the boolean asserts all of them
+    are reported. Probabilistic near-dup recall at hamming ≤ 8 remains
+    pytest territory (no theorem exists); this pins the degenerate case
+    every fingerprinting scheme must get right, plus the banding/
+    signature plumbing end-to-end."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reingested = d.withColumn("doc_id", F.col("doc_id") + F.lit(_REINGEST_OFFSET))
+    corpus = d.unionByName(reingested)
+    rep = simhash_near_pairs(corpus, "doc_id", "text", max_hamming=8).select(
+        "id_a", "id_b"
+    )
+    h = corpus.select("doc_id", F.md5("text").alias("_h"))
+    a, b = h.alias("a"), h.alias("b")
+    ident = (
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    j = ident.join(rep.withColumn("_r", F.lit(1)), ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_identical_pairs"),
+        F.coalesce(F.bool_and(F.col("_r").isNotNull()), F.lit(True)).alias(
+            "identical_pairs_reported"
+        ),
+    )
+
+
+Q112_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), d AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_REINGEST_OFFSET} AS doc_id, text FROM base
+), h AS (
+  SELECT doc_id, md5(text) AS hh FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_identical_pairs,
+       true AS identical_pairs_reported
+FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # q40 — scalable ntile (approx-quantile bucketing; SURVEY.md §7 "scale
 # redesign of global windows"), registered as its DIVERGENCE AUDIT so
@@ -2630,5 +2684,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q111_pca_variance_audit": QuerySpec(
         q111_pca_variance_audit, Q111_SQL, "§7 decomposition-audit"
+    ),
+    "q112_simhash_identity_audit": QuerySpec(
+        q112_simhash_identity_audit, Q112_SQL, "§7 dedup-simhash-audit"
     ),
 }
