@@ -398,6 +398,11 @@ def _train_centroids(
         ]
         for _ in range(train_iters):
             assigned = _assign_nearest(c, idname, vec, centroids)
+            # per-cluster means via posexplode + (cid, pos) agg: measured
+            # FASTER than the tempting one-groupBy 64-wide element-wise
+            # avg form (2.6 s vs 4.2 s for q76 at sf0.1, same-host A/B —
+            # 64 aggregate buffers per group defeat the hash-agg codegen
+            # that the narrow exploded shape keeps)
             new_means = (
                 assigned.select("cid", F.posexplode(vec).alias("pos", "v"))
                 .groupBy("cid", "pos")
@@ -410,8 +415,13 @@ def _train_centroids(
                     ).alias("_cvec")
                 )
             )
-            updated = {r["cid"]: r["_cvec"] for r in new_means.collect()}
-            centroids = [(cid, updated.get(cid, v)) for cid, v in centroids]
+            updated = {r["cid"]: list(r["_cvec"]) for r in new_means.collect()}
+            new_centroids = [(cid, updated.get(cid, v)) for cid, v in centroids]
+            if new_centroids == centroids:
+                # fixpoint (means are rounded, so equality is exact):
+                # further iterations would recompute the same assignment
+                break
+            centroids = new_centroids
         return centroids
     finally:
         c.unpersist()
