@@ -84,6 +84,11 @@ spark = (SparkSession.builder.master(f"local[{sys.argv[5]}]")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from citibike_analysis_spark.plans import all_queries
+try:
+    from citibike_analysis_spark.cache import release_all
+except ImportError:  # pre-r04 trees (the canary's prev side) have no cache module
+    def release_all():
+        pass
 specs = all_queries()
 out = {}
 for name in names:
@@ -93,6 +98,7 @@ for name in names:
     runs = []
     for _ in range(reps):
         spark.catalog.clearCache()
+        release_all()  # clearCache misses localCheckpoint blocks (CC rounds)
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(round(time.perf_counter() - t0, 3))
@@ -202,6 +208,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from citibike_analysis_spark.cache import release_all
     from citibike_analysis_spark.plans import all_queries
     from citibike_analysis_spark.session import get_spark
 
@@ -225,8 +232,11 @@ def main() -> None:
         # drop cached blocks leaked by earlier queries' compute-once
         # persists: each query is timed self-contained, and accumulated
         # storage memory otherwise bleeds GC pressure into later queries
-        # (q58 measured 18 s in-session vs 4.5 s standalone before this)
+        # (q58 measured 18 s in-session vs 4.5 s standalone before this);
+        # release_all additionally frees localCheckpoint blocks (the CC
+        # rounds), which clearCache cannot reach
         spark.catalog.clearCache()
+        release_all()
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()

@@ -38,12 +38,19 @@ from pyspark.sql import DataFrame
 
 _lock = threading.RLock()
 _LIVE: list[DataFrame] = []
+_SCOPES = threading.local()  # per-thread stack of active cache_scope lists
 
 
 def track(df: DataFrame) -> DataFrame:
-    """Register an already-persisted frame in the release ledger."""
+    """Register an already-persisted frame in the release ledger (and in
+    the CURRENT THREAD's innermost active scope, if any — scopes are
+    thread-local, so a scope never releases frames another thread is
+    still computing on)."""
     with _lock:
         _LIVE.append(df)
+    stack = getattr(_SCOPES, "stack", None)
+    if stack:
+        stack[-1].append(df)
     return df
 
 
@@ -131,15 +138,26 @@ def cache_scope():
 
     Wrap plan CONSTRUCTION *and* the terminal action — unpersisting
     before the action would forfeit the reuse the persist exists for.
-    Nesting-safe: an inner scope releases only frames persisted inside
-    it.
+    Nesting-safe (an inner scope releases only frames persisted inside
+    it) and THREAD-SAFE: scopes are tracked per thread, so concurrent
+    scopes on different threads never release each other's frames (the
+    failure mode would be fatal for checkpointed frames, whose blocks
+    are the only copy).
     """
-    with _lock:
-        mark = len(_LIVE)
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    mine: list[DataFrame] = []
+    stack.append(mine)
     try:
         yield
     finally:
+        stack.remove(mine)
         with _lock:
-            frames, _LIVE[mark:] = list(_LIVE[mark:]), []
-        for df in frames:
+            for df in mine:
+                try:
+                    _LIVE.remove(df)
+                except ValueError:
+                    pass  # already drained by release_all
+        for df in mine:
             _release(df)

@@ -194,6 +194,10 @@ def spark_sql_round_avg_from_scaled(
 ) -> str:
     """Spark-SQL mirror of :func:`round_avg_from_scaled`; ``n`` is a
     positive row-count fragment (grouped context — no empty groups)."""
+    if out_scale < in_scale:
+        # same guard the Column mirror enforces — int(10**negative) is 0,
+        # which would silently turn every group's avg into 0.0
+        raise ValueError("out_scale must be >= in_scale")
     k = int(10 ** (out_scale - in_scale))
     sk = f"(({s}) * {k})"
     nn = f"CAST({n} AS DECIMAL(38,0))"
@@ -272,6 +276,8 @@ def sql_round_avg_exact(
     differential oracle compares exact numbers, not float coin flips.
     ``over`` (e.g. ``"OVER w"``) turns both partials into window calls.
     """
+    if out_scale < in_scale:
+        raise ValueError("out_scale must be >= in_scale")
     m = int(10**in_scale)
     k = int(10 ** (out_scale - in_scale))
     s = f"sum(CAST(round(({expr}) * {m}) AS HUGEINT)) {over}".rstrip()

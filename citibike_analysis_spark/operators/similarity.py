@@ -143,6 +143,18 @@ def _planes_frame(spark, bits: int, tables: int, dim: int, seed: int) -> DataFra
     )
 
 
+def _auto_bits(corpus: DataFrame, id_col: str) -> int:
+    """Corpus-sized sign-LSH banding: ``bits = clamp(ceil(log2(n/8)),
+    4, 24)`` from one column-pruned count — per-bucket occupancy stays
+    ~8, so within-bucket candidates grow linearly with corpus size (the
+    contract near_duplicate_embeddings and incremental_embedding_dedup
+    both document and the scale rehearsal measures)."""
+    import math
+
+    n = corpus.select(id_col).count()
+    return max(4, min(24, math.ceil(math.log2(max(n, 2) / 8))))
+
+
 def _bucketize(
     df: DataFrame,
     idname: str,
@@ -690,10 +702,7 @@ def near_duplicate_embeddings(
     the MinHash verify join (operators/dedup.py).
     """
     if bits == "auto":
-        import math
-
-        n = corpus.select(id_col).count()
-        bits = max(4, min(24, math.ceil(math.log2(max(n, 2) / 8))))
+        bits = _auto_bits(corpus, id_col)
     planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
     vecs = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
@@ -773,10 +782,7 @@ def incremental_embedding_dedup(
     Output: the admitted batch rows (original batch columns).
     """
     if bits == "auto":
-        import math
-
-        n = corpus.select(id_col).count()
-        bits = max(4, min(24, math.ceil(math.log2(max(n, 2) / 8))))
+        bits = _auto_bits(corpus, id_col)
     planes_df = _planes_frame(batch.sparkSession, bits, tables, dim, seed)
     bvec = batch.select(
         F.col(id_col).alias("_bid"), as_double(F.col(vec_col)).alias("_bv")

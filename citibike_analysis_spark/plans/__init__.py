@@ -54,6 +54,19 @@ class QuerySpec:
 # rotate automatically each round until every query has been signed.
 _SENTINELS = ("q01_pricing_summary", "q20_interesting_suppliers", "q23_round_half_even_hour")
 
+# Signature epochs: when a registered query's SEMANTICS (implementation
+# + oracle) are replaced under the same key, green rows from earlier
+# rounds verified the OLD query and must not count as signatures for
+# the new one — otherwise the rewritten query rides stale greens into
+# the already-signed tail and ships unverified (the rename/replace
+# variant of the r03 rotate-out-forever bug). Map: query -> first round
+# whose driver rows may sign it.
+_EPOCH = {
+    # r04: re-registered as the production θ=0.9 auto-bits re-ingest
+    # form; r01-r03 greens verified the θ=0.45 form (now q105)
+    "q39_embedding_near_dup": 4,
+}
+
 
 def _classify_row(row: object) -> str | None:
     """Classify one driver correctness row: ``"oracle"`` (hash match, or
@@ -98,6 +111,8 @@ def _driver_green() -> dict[str, tuple[int, bool]]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            if rnd < _EPOCH.get(name, 0):
+                continue  # row predates a semantic replacement of this key
             kind = _classify_row(row)
             if kind is None:
                 continue

@@ -11,7 +11,7 @@ against the exact operators instead (tests/test_dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from citibike_analysis_spark.functions.text import (
@@ -647,6 +647,15 @@ def q111_pca_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``captured_le_total``: captured cannot exceed total (orthonormal
       projection); a sign/normalization bug in the eigenvector path
       breaks it.
+
+    Float-parity note (r04 review): ``total_variance`` is the one float
+    aggregate among the audit emissions — a partition-order-dependent
+    sum rounded to 4 decimals on both engines. That is safe HERE
+    because the value's distance to the nearest rounding boundary was
+    measured at 0.37-0.47 of a step at every SF (vs ~1e-9-step
+    cross-engine divergence); a new dataset should re-check that margin
+    or emit counts/booleans only (the q01 exact-rounding machinery does
+    not apply: variance of float data has no exact integer form).
     """
     from citibike_analysis_spark.operators.decomposition import pca_project
 
@@ -756,28 +765,38 @@ FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
 # --------------------------------------------------------------------------
 # q40 — scalable ntile (approx-quantile bucketing; SURVEY.md §7 "scale
 # redesign of global windows"), registered as its DIVERGENCE AUDIT so
-# the driver can hash-verify it (r03 VERDICT #3): per EXACT decile, the
-# supplier count plus a boolean asserting every supplier's approx
-# bucket is within 1 of its exact bucket (the bound pytest pins). The
-# oracle recomputes the exact-ntile deciles and states the expected
+# the driver can hash-verify it (r03 VERDICT #3): per exact TIES-HIGH
+# decile, the supplier count plus a boolean asserting every supplier's
+# approx bucket is within 1 of its exact bucket. The exact reference is
+# ceil(10·rank_hi/N) computed in INTEGER rank space — the same
+# convention approx_ntile documents (a tie run lands wholly in its
+# highest bucket), so the ±1 bound is tie-robust at every SF (exact
+# ntile would split tie runs positionally and let a wide run eat the
+# tolerance — the q56 lesson, r04 review) and immune to the
+# ceil(cume_dist·10) float overshoot at exact k/N boundaries. The
+# oracle recomputes the same integer expression and states the expected
 # invariant (`true`) — a divergence regression or a broken bucketing
-# hash-mismatches. Per-decile counts are order-robust: ntile sizes are
-# positional, so engine-side float-sum tie ordering cannot change them.
+# hash-mismatches.
 #
 # Scale note: the approx_ntile leg is the 100 TB plan (no global sort);
-# the exact-ntile leg is the AUDIT side and sorts one row per supplier
-# — dimension-sized, the same bounded-cardinality class as q90's vocab
-# rank. The pure scalable bucketing without the audit join remains
-# `approx_ntile` itself (benched via q56's scalable-picks sibling).
+# the ranked exact leg is the AUDIT side and windows one row per
+# supplier — dimension-sized, the same bounded-cardinality class as
+# q90's vocab rank. The pure scalable bucketing without the audit join
+# remains `approx_ntile` itself (benched via q56's scalable-picks
+# sibling).
 # --------------------------------------------------------------------------
 
 def q40_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citibike_analysis_spark.operators.windows import exact_ntile
-
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
-    ex = exact_ntile(
-        per_supp, [F.asc("total_qty"), F.asc("l_suppkey")], 10, "decile"
+    n = F.count("*").over(Window.partitionBy())
+    hi = F.count("*").over(
+        Window.orderBy("total_qty").rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    ex = per_supp.withColumn(
+        "decile", F.floor((hi * 10 + n - 1) / n).cast("long")
     )
     ap = approx_ntile(per_supp, "total_qty", 10, "_b").select("l_suppkey", "_b")
     return (
@@ -796,12 +815,15 @@ Q40_SQL = """
 WITH per_supp AS (
   SELECT l_suppkey, sum(l_quantity) AS total_qty
   FROM lineitem GROUP BY 1
-), ex AS (
-  SELECT CAST(ntile(10) OVER (ORDER BY total_qty, l_suppkey) AS BIGINT) AS decile
+), ranked AS (
+  SELECT count(*) OVER (ORDER BY total_qty RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         count(*) OVER () AS n
   FROM per_supp
 )
-SELECT decile, count(*) AS n_suppliers, true AS divergence_le_1
-FROM ex GROUP BY 1
+SELECT CAST((hi * 10 + n - 1) // n AS BIGINT) AS decile,
+       count(*) AS n_suppliers,
+       true AS divergence_le_1
+FROM ranked GROUP BY 1
 """
 
 

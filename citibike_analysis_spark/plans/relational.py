@@ -1473,11 +1473,21 @@ def q56_interesting_suppliers_scalable(
         .alias("times_no_tax"),
     )
     metrics = [("max_qty", 40), ("times_no_discount", 30), ("times_no_tax", 30)]
-    p = v
+    p = v.withColumn("_n", F.count("*").over(Window.partitionBy()))
     for m, _ in metrics:
+        # ties-high rank = COUNT over a RANGE frame (peers included),
+        # bucket = ceil(100·rank/N) computed in INTEGER space:
+        # ceil(cume_dist()*100) overshoots by 1 whenever k/N·100 lands a
+        # float ulp above an integer (0.7*100 = 70.000000000000006 →
+        # ceil 71), which would silently eat the ±1 divergence tolerance
+        hi = F.count("*").over(
+            Window.orderBy(F.col(m)).rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
         p = p.withColumn(
             f"_{m}_cd",
-            F.ceil(F.cume_dist().over(Window.orderBy(F.col(m))) * 100).cast("long"),
+            F.floor((hi * 100 + F.col("_n") - 1) / F.col("_n")).cast("long"),
         )
         p = approx_ntile(p, m, 100, f"_{m}_ap")
 
