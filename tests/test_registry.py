@@ -111,3 +111,30 @@ def test_signed_tail_is_least_recently_verified_first():
 
     tail_rounds = [green[n][0] for n in reg if signed(n) and n not in _SENTINELS]
     assert tail_rounds == sorted(tail_rounds)
+
+
+def test_epoch_invalidates_pre_replacement_signatures():
+    """r04 review finding: a query whose semantics+oracle were REPLACED
+    under the same key must not ride green rows earned by the old
+    meaning. q39 was re-registered in r04 (epoch 4); its r01-r03 greens
+    verified the θ=0.45 form now living at q105."""
+    from citibike_analysis_spark.plans import _EPOCH
+
+    green = _driver_green()
+    for name, epoch in _EPOCH.items():
+        got = green.get(name)
+        assert got is None or got[0] >= epoch, (
+            f"{name}: green round {got} predates its epoch {epoch}"
+        )
+
+
+def test_epoch_reset_queries_reenter_the_window():
+    from citibike_analysis_spark.plans import _EPOCH
+
+    names = list(all_queries())
+    green = _driver_green()
+    for name in _EPOCH:
+        if name in names and not green.get(name, (0, False))[1]:
+            assert names.index(name) < WINDOW, (
+                f"{name} epoch-reset but outside the driver window"
+            )
