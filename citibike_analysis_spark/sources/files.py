@@ -165,6 +165,28 @@ def _parquet_footer_rows(uri: str) -> int:
     return pq.ParquetFile(uri).metadata.num_rows
 
 
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet(path)``, or ``None`` when the path does not
+    exist yet / holds no files — and ONLY then. Any other analysis
+    failure (permissions, corrupt footer, transient FS error) propagates:
+    the callers (dimension upsert, streaming admission) treat ``None``
+    as "first run, nothing landed", and swallowing a real failure there
+    silently loses or re-admits data (ADVICE r1). Shared by
+    streaming/rollup.py and streaming/enrich.py so the allowed-condition
+    set cannot drift between them (r04 review)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if (exc.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        return None
+
+
 def read_orc(spark: SparkSession, path: str, schema) -> DataFrame:
     """ORC scan with a declared schema — same contract as :func:`read_csv`:
     never infer (inference re-reads data and can flip types between

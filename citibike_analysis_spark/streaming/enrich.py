@@ -100,24 +100,15 @@ def scrub_documents(
 
 def _corpus_hashes(spark, corpus_path: str) -> DataFrame | None:
     """Read the landed corpus's ``content_hash`` column, or ``None`` if
-    the corpus doesn't exist yet (first deployment)."""
-    from pyspark.errors import AnalysisException
+    the corpus doesn't exist yet (first deployment). Only genuinely
+    -absent reads return None; real failures propagate (shared helper —
+    see its docstring for the rationale)."""
+    from citibike_analysis_spark.sources.files import read_parquet_if_exists
 
-    try:
-        return spark.read.parquet(corpus_path).select(
-            F.col("content_hash").alias("_content_hash")
-        )
-    except AnalysisException as exc:
-        # ONLY "no corpus yet" may fall through to admit-everything.
-        # Any other analysis failure must propagate — swallowing it
-        # would silently stop deduplicating against the corpus (the
-        # same failure mode ADVICE r1 flagged on the snapshot upsert).
-        if (exc.getCondition() or "") not in (
-            "PATH_NOT_FOUND",
-            "UNABLE_TO_INFER_SCHEMA",
-        ):
-            raise
+    df = read_parquet_if_exists(spark, corpus_path)
+    if df is None:
         return None
+    return df.select(F.col("content_hash").alias("_content_hash"))
 
 
 def admit_novel_documents(
@@ -189,14 +180,27 @@ def start_admission(
     foreachBatch idempotence contract applies (a replayed epoch_id may
     re-deliver the same batch after a crash).
 
-    State/scale shape is unchanged: within-stream repeats dedup via
-    ``dropDuplicatesWithinWatermark`` BEFORE the sink (bounded state);
-    the per-batch corpus cost is a fresh hash-column-pruned scan of the
-    corpus listing — at 100 TB, land hashes in a compacted sidecar
-    (e.g. partitioned by hash prefix) so per-batch listing+scan stays
-    flat. An admitted document whose hash has not yet landed re-admits
-    only after the watermark expires AND before landing completes —
-    size ``watermark`` to cover the landing job's cadence.
+    State note: the within-stream dedup
+    (``dropDuplicatesWithinWatermark``) must live in the streaming plan
+    and therefore runs BEFORE the per-batch anti-join, so corpus-known
+    hashes occupy dedup state here — per-watermark state is O(distinct
+    hashes seen), not O(novel hashes) as in the static form where the
+    anti-join runs first. On a re-crawl-heavy firehose that is a real
+    state-size difference; size the state store (or shorten the
+    watermark) accordingly. The per-batch corpus cost is a fresh
+    hash-column-pruned scan of the corpus listing — at 100 TB, land
+    hashes in a compacted sidecar (e.g. partitioned by hash prefix) so
+    per-batch listing+scan stays flat. An admitted document whose hash
+    has not yet landed re-admits only after the watermark expires AND
+    before landing completes — size ``watermark`` to cover the landing
+    job's cadence.
+
+    Failure posture (r04 review): "corpus absent → admit everything" is
+    only safe BEFORE the corpus has ever been seen (first deployment).
+    Once any batch has observed a corpus, a subsequent absent/unreadable
+    read (e.g. mid-rewrite of the sidecar by a compaction job) RAISES —
+    failing the micro-batch so Spark retries it — rather than silently
+    re-admitting known duplicates batch after batch.
 
     Returns the started ``StreamingQuery``.
     """
@@ -205,14 +209,28 @@ def start_admission(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_hash"])
     )
+    corpus_seen = {"flag": False}
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            # watermark-advancement batches: skip the corpus listing +
+            # schema inference entirely (same guard as write_rollup)
+            sink(batch.drop("_content_hash"), epoch_id)
+            return
         existing = _corpus_hashes(batch.sparkSession, corpus_path)
-        out = (
-            batch
-            if existing is None
-            else batch.join(existing, "_content_hash", "left_anti")
-        )
+        if existing is None:
+            if corpus_seen["flag"]:
+                raise RuntimeError(
+                    f"corpus at {corpus_path!r} was readable in an "
+                    "earlier micro-batch but is now absent/empty — "
+                    "failing the batch (retry) instead of silently "
+                    "admitting known duplicates; if the corpus was "
+                    "intentionally removed, restart the query"
+                )
+            out = batch
+        else:
+            corpus_seen["flag"] = True
+            out = batch.join(existing, "_content_hash", "left_anti")
         sink(out.drop("_content_hash"), epoch_id)
 
     writer = hashed.writeStream.outputMode("append").foreachBatch(_admit)
@@ -323,19 +341,36 @@ def _session_fn(gap_seconds: int):
             )
             return
 
+        # Interval merge (r04 review): fold the open session and the
+        # batch's points as INTERVALS sorted by start, merging whenever
+        # the next start is within gap of the running end. This handles
+        # late-but-in-watermark events on BOTH sides of the open
+        # session: a point within gap BEFORE session start extends the
+        # start backward (the batch `sessionize` answer — the old loop
+        # silently absorbed it without moving start), and a point more
+        # than gap before it forms its own earlier session, emitted
+        # closed below. The one divergence from an all-data batch run:
+        # that earlier session closes immediately, so a still-later
+        # event that would have joined it (legal while watermark > gap)
+        # starts a new session instead — single-open-session state
+        # cannot reopen history; keep watermark ≤ gap to rule it out.
         ts = pd.concat([b["ts"] for b in batches]).sort_values()
-        closed: list[tuple[Any, Any, int]] = []
+        ivs: list[list[Any]] = [[t, t, 1] for t in ts]
         if state.exists:
-            s0, l0, n = state.get
-            start, last = pd.Timestamp(s0), pd.Timestamp(l0)
-        else:
-            start, last, n = ts.iloc[0], ts.iloc[0], 0
-        for t in ts:
-            if t - last > gap:
-                closed.append((start, last, n))
-                start, n = t, 0
-            last = max(last, t)
-            n += 1
+            s0, l0, n0 = state.get
+            ivs.append([pd.Timestamp(s0), pd.Timestamp(l0), int(n0)])
+        ivs.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list[Any]] = [ivs[0]]
+        for iv in ivs[1:]:
+            if iv[0] - merged[-1][1] <= gap:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(iv)
+        closed: list[tuple[Any, Any, int]] = [
+            (m[0], m[1], m[2]) for m in merged[:-1]
+        ]
+        start, last, n = merged[-1]
         state.update((start.to_pydatetime(), last.to_pydatetime(), int(n)))
         # event-time timeout: close the open session once the watermark
         # passes its end + gap (clamped above the current watermark, which
@@ -367,7 +402,14 @@ def track_sessions(
 
     State per key is (start, last, n) — constant size regardless of
     session length; the watermark drives the timeout clock so idle keys
-    close and free their state.
+    close and free their state. Late-but-in-watermark samples merge into
+    the open session on either side (a sample within gap before the
+    session's start extends the start backward, matching the batch
+    ``operators.windows.sessionize`` answer); a sample more than gap
+    earlier emits as its own already-closed session. Keep ``watermark``
+    ≤ ``gap_seconds`` for exact batch parity — beyond that, history the
+    single-open-session state cannot reopen may split (documented in
+    the merge loop).
     """
     keyed = samples.withWatermark(ts_col, watermark).select(
         F.col(key), F.col(ts_col).alias("ts")

@@ -110,37 +110,39 @@ def upsert_station_dimension(
     from pyspark.sql import Window
 
     spark = batch.sparkSession
+    # Tiebreak among rows tied on the event time: the feed can repeat a
+    # station's stale last_communication_time while poll-time fields
+    # (e.g. available_bikes) differ, and `id` equals the partition key
+    # (every tied row shares it — a no-op orderer, r04 review). A hash
+    # of the FULL row content is a deterministic function of the data,
+    # so a crash-replayed batch picks the same winner regardless of row
+    # order — the property the idempotence contract below needs.
+    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in batch.columns]))
     latest_per_key = (
         batch.withColumn(
             "_rn",
             F.row_number().over(
                 Window.partitionBy(key).orderBy(
-                    F.desc("last_communication_time"), F.desc("id")
+                    F.desc("last_communication_time"), F.desc(row_hash)
                 )
             ),
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    from pyspark.errors import AnalysisException
+    from citibike_analysis_spark.sources.files import read_parquet_if_exists
 
     _recover_snapshot(spark, snapshot_path)
-    try:
-        existing = spark.read.parquet(snapshot_path)
+    existing = read_parquet_if_exists(spark, snapshot_path)
+    if existing is not None:
         merged = (
             existing.join(latest_per_key.select(key), key, "left_anti")
             .unionByName(latest_per_key)
         )
-    except AnalysisException as exc:
-        # ONLY "no snapshot yet" means first batch: a missing path, or an
-        # existing-but-empty directory (schema inference finds no files).
-        # Any other analysis failure (permissions, corrupt footer,
-        # transient FS error) must propagate — swallowing it would
-        # silently replace the whole snapshot with just the current batch
-        # (ADVICE r1, data loss).
-        cond = exc.getCondition() or ""
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            raise
+    else:
+        # first batch ever — no snapshot to merge (any OTHER read failure
+        # propagates from the helper: swallowing it would silently
+        # replace the whole snapshot with just this batch — ADVICE r1)
         merged = latest_per_key
     # Never overwrite the directory being read: a persist() is evictable
     # (not a checkpoint), so cache loss mid-overwrite would recompute the

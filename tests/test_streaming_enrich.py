@@ -299,3 +299,39 @@ def test_streaming_heavy_hitters_accumulate_across_batches(spark, dirs):
     for r in rows:
         shards.setdefault(r["token"], set()).add(r["shard"])
     assert all(len(s) == 1 for s in shards.values())
+
+
+def test_late_in_watermark_sample_extends_session_start(spark, dirs):
+    """r04 review: a sample arriving in a LATER micro-batch with an
+    event time within gap BEFORE the open session's start must extend
+    the start backward (the batch sessionize answer) — the old loop
+    absorbed it into n without moving start."""
+    stream = track_sessions(read_feed_stream(spark, dirs["in"]))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ls")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        with open(f"{dirs['in']}/b1.json", "w") as f:
+            f.write(_feed_line(72, BASE, 5) + "\n")
+        q.processAllAvailable()
+        with open(f"{dirs['in']}/b2.json", "w") as f:
+            # 10 min EARLIER than the open session's start, within the
+            # 30-min watermark and gap: extends start to 07:50
+            f.write(_feed_line(72, BASE - timedelta(minutes=10), 6) + "\n")
+        q.processAllAvailable()
+        with open(f"{dirs['in']}/b3.json", "w") as f:
+            # out-of-gap sample closes the (extended) session
+            f.write(_feed_line(72, BASE + timedelta(hours=2), 3) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("ls").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["session_start"] == BASE - timedelta(minutes=10)
+    assert row["session_end"] == BASE
+    assert row["n_samples"] == 2

@@ -418,3 +418,51 @@ def test_start_admission_picks_up_corpus_growth_without_restart(spark, dirs):
         q.stop()
     rows = spark.read.option("basePath", land).parquet(land).collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 3]
+
+
+def test_start_admission_fails_batch_when_seen_corpus_vanishes(spark, dirs):
+    """r04 review: once a corpus has been observed, an absent/unreadable
+    corpus read must FAIL the micro-batch (Spark retries) instead of
+    silently admitting known duplicates batch after batch (the
+    admit-everything fallthrough is for first deployment only)."""
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.streaming.enrich import start_admission
+
+    corpus_path = os.path.join(dirs["snap2"], "corpus_v")
+    land = os.path.join(dirs["land"], "vanish")
+    spark.createDataFrame([(LONG,)], "text string").select(
+        F.md5("text").alias("content_hash")
+    ).write.parquet(corpus_path)
+    with open(f"{dirs['in2']}/d1.json", "w") as f:
+        f.write(_doc_line(1, BASE, LONG + " novel") + "\n")
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(dirs["in2"])
+    )
+
+    def sink(batch, epoch_id):
+        if not batch.isEmpty():
+            batch.write.mode("overwrite").parquet(
+                os.path.join(land, f"epoch={epoch_id}")
+            )
+
+    q = start_admission(
+        docs, corpus_path, sink, ts_col="ts", checkpoint_dir=dirs["ckpt2"]
+    )
+    try:
+        q.processAllAvailable()  # corpus observed
+        shutil.rmtree(corpus_path)  # compaction gone wrong / removed
+        with open(f"{dirs['in2']}/d2.json", "w") as f:
+            f.write(_doc_line(2, BASE + timedelta(minutes=1), LONG) + "\n")
+        with pytest.raises(StreamingQueryException, match="absent/empty"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+    rows = spark.read.option("basePath", land).parquet(land).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1]  # doc 2 never landed
