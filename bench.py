@@ -153,7 +153,15 @@ def _time_tree(tree: str, sf_dir: str, cpus: str, reps: int) -> dict:
          ",".join(CANARY_QUERIES), str(reps), cpus],
         capture_output=True, text=True, timeout=600,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        # surface the subprocess's own diagnostics — an empty stdout
+        # otherwise dies as an unactionable IndexError (r04 review)
+        raise RuntimeError(
+            f"canary subprocess rc={out.returncode}: "
+            + out.stderr.strip()[-300:]
+        )
+    return json.loads(lines[-1])
 
 
 def canary_block(sf_dir: str, cpus: str, reps: int = 3) -> dict:
@@ -176,10 +184,21 @@ def canary_block(sf_dir: str, cpus: str, reps: int = 3) -> dict:
             ["git", "log", "--pretty=%H %s"],
             capture_output=True, text=True, cwd=REPO, check=True, timeout=30,
         ).stdout
-        m = re.search(r"^([0-9a-f]{40}) round (\d+):", log, re.M)
-        if not m:
-            return {"err": "no previous-round commit found"}
-        sha, rnd = m.group(1), int(m.group(2))
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, check=True, timeout=30,
+        ).stdout.strip()
+        # newest 'round N:' marker that is NOT HEAD itself: right after
+        # the driver commits 'round N', HEAD == that marker and the
+        # canary would time HEAD against HEAD, certifying ~1.0 without
+        # ever running the previous round's code (r04 review)
+        sha = rnd = None
+        for m in re.finditer(r"^([0-9a-f]{40}) round (\d+):", log, re.M):
+            if m.group(1) != head:
+                sha, rnd = m.group(1), int(m.group(2))
+                break
+        if sha is None:
+            return {"err": "no previous-round commit distinct from HEAD"}
         wt = tempfile.mkdtemp(prefix="bench_canary_")
         subprocess.run(
             ["git", "worktree", "add", "--detach", "-f", wt, sha],
@@ -229,16 +248,20 @@ def main() -> None:
     steady: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
-        # drop cached blocks leaked by earlier queries' compute-once
-        # persists: each query is timed self-contained, and accumulated
-        # storage memory otherwise bleeds GC pressure into later queries
-        # (q58 measured 18 s in-session vs 4.5 s standalone before this);
-        # release_all additionally frees localCheckpoint blocks (the CC
-        # rounds), which clearCache cannot reach
-        spark.catalog.clearCache()
-        release_all()
         runs = []
         for _ in range(2):
+            # Isolation before EVERY rep (not once per query — r04
+            # review): rep 1's operator-internal persists otherwise stay
+            # in the cache manager, rep 2's identical plan gets
+            # plan-matched to the cached blocks, and "steady" reports a
+            # cache-hit read with the index build skipped — a different
+            # quantity than the canary measures. clearCache drops
+            # persisted blocks (and the cross-query leak that measured
+            # q58 at 18 s in-session vs 4.5 s standalone); release_all
+            # additionally frees localCheckpoint blocks (the CC rounds),
+            # which clearCache cannot reach.
+            spark.catalog.clearCache()
+            release_all()
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -62,10 +62,12 @@ def reuse(df: DataFrame, env: str = "SPARK_GRAFT_DEDUP_REUSE") -> DataFrame:
 
     Strategy is selectable via ``env`` = ``persist`` (default) |
     ``checkpoint`` | ``none``. Measured A/B (scripts/ab_reuse.py, sf0.1,
-    fresh JVM per strategy, 5 reps, min/median over q36/q34/q50/q92):
-    any materialization beats none (q34 ×1.2, q50 ×1.35 slower without),
-    and checkpoint is ~10% faster than persist locally (q36 min 2.06 s
-    vs 2.59 s). persist stays the DEFAULT anyway because
+    fresh SparkSession per strategy — NB shared gateway JVM, so JIT
+    warmth biases against the first strategy; see that script's caveat —
+    5 reps, min/median over q36/q34/q50/q92): any materialization beats
+    none (q34 ×1.2, q50 ×1.35 slower without), and checkpoint measured
+    ~10% faster than persist locally (q36 min 2.06 s vs 2.59 s; within
+    the protocol's warmth-bias band). persist stays the DEFAULT because
     ``localCheckpoint`` truncates lineage: a lost executor makes its
     blocks unrecoverable and fails the query, while persist recomputes
     from lineage — on a large cluster with preemption/decommissioning

@@ -8,6 +8,13 @@ at sf0.1 with N repetitions each, fresh SparkSession per strategy, and
 prints a per-(strategy, query) min/median table so the default in
 ``operators/dedup._reuse`` is a measurement, not a guess.
 
+Protocol caveat (r04 review): SparkSession.stop() + getOrCreate() in
+one process REUSES the py4j gateway JVM, so JIT warmth carries across
+strategies — checkpoint (first) pays the codegen warmup the later
+strategies skip, biasing the comparison AGAINST checkpoint; min-of-reps
+discards most but not all of it. Treat small (<~15%) deltas as noise;
+the persist-vs-none gap this script decides on is far larger.
+
 Usage: python scripts/ab_reuse.py [sf_dir] [reps]
 """
 
@@ -17,7 +24,7 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
     "q36_minhash_dedup",
@@ -50,9 +57,15 @@ def bench_strategy(mode: str, sf_dir: str, reps: int) -> dict:
             if not matches:
                 continue
             name, fn = matches[0], qs[matches[0]]
+        from citibike_analysis_spark.cache import release_all
+
         times = []
         for _ in range(reps):
             spark.catalog.clearCache()
+            # clearCache cannot free localCheckpoint blocks — without
+            # this the checkpoint strategy leaks blocks across reps and
+            # the A/B is biased against it (r04 review)
+            release_all()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
@@ -71,8 +84,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     results = {}
-    # interleave-by-strategy (fresh JVM each) rather than interleave-by-rep:
-    # JVM warmup is per-strategy constant, min-of-reps discards it.
+    # interleave-by-strategy (fresh SparkSession each; the JVM is shared
+    # — see the module docstring's warmth caveat) rather than
+    # interleave-by-rep: per-strategy warmup is roughly constant and
+    # min-of-reps discards most of it.
     for mode in ("checkpoint", "persist", "none"):
         print(f"== strategy: {mode}", flush=True)
         results[mode] = bench_strategy(mode, sf_dir, reps)

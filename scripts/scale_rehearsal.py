@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VOCAB = 20_000
 ZIPF_A = 1.1
@@ -107,9 +107,19 @@ def main() -> int:
     for name, (nd, ne) in scales.items():
         d = os.path.join(work, name)
         os.makedirs(d, exist_ok=True)
-        if not os.path.exists(os.path.join(d, "documents.parquet")):
-            pq.write_table(gen_documents(nd, seed=7), os.path.join(d, "documents.parquet"))
-            pq.write_table(gen_embeddings(ne, seed=7), os.path.join(d, "embeddings.parquet"))
+        # regenerate unless BOTH tables exist (a run killed between the
+        # two writes would otherwise skip forever on the half-written
+        # fixture — r04 review); writes go via a temp name + rename so a
+        # mid-write kill never leaves a truncated .parquet behind
+        if not all(
+            os.path.exists(os.path.join(d, f"{t}.parquet"))
+            for t in ("documents", "embeddings")
+        ):
+            for t, gen in (("documents", gen_documents(nd, seed=7)),
+                           ("embeddings", gen_embeddings(ne, seed=7))):
+                tmp = os.path.join(d, f".{t}.parquet.tmp")
+                pq.write_table(gen, tmp)
+                os.replace(tmp, os.path.join(d, f"{t}.parquet"))
 
     from pyspark.sql import functions as F
 
@@ -127,7 +137,11 @@ def main() -> int:
         d = os.path.join(work, name)
         docs = load_table(spark, d, "documents")
         # analytic candidate-pair counts for the inverted-index join,
-        # uncapped vs df-capped at the q61 default (max_doc_freq=100)
+        # uncapped vs df-capped at the REGISTERED q61/q46/q62 cap
+        # (plans.llm._Q61_MAX_DF — imported, not restated, so the
+        # economics always describe the plans actually executed below;
+        # the r03 table's "(=100)" label modeled a 4x looser cap than
+        # any registered query ran — r04 review)
         # explode over a NAMED token projection — inlining tokens() into
         # shingles_of makes interpreted eval re-run the regex split per
         # array element (O(words^2) per doc; observed as a 20-minute
@@ -139,9 +153,11 @@ def main() -> int:
             tk.select("doc_id", F.explode(shingles_of(F.col("_tk"), 3)).alias("s"))
             .groupBy(F.xxhash64("s").alias("h")).count()
         )
+        from citibike_analysis_spark.plans.llm import _Q61_MAX_DF
+
         pairs = inv.select(
             F.sum(F.expr("count * (count - 1) / 2")).alias("uncapped"),
-            F.sum(F.expr("CASE WHEN count <= 100 THEN count * (count - 1) / 2 ELSE 0 END")).alias("capped"),
+            F.sum(F.expr(f"CASE WHEN count <= {_Q61_MAX_DF} THEN count * (count - 1) / 2 ELSE 0 END")).alias("capped"),
         ).collect()[0]
         row: dict = {
             "n_docs": scales[name][0],
@@ -175,9 +191,19 @@ def main() -> int:
         else:
             row["q103_incremental_embedding_dedup"] = {"skipped": "SF-proportional fixture (batch grows with corpus); contract rehearsed as q103_fixed_batch_*"}
             row["q105_neardup_calibration"] = {"skipped": "calibration-scale by design (bits=2 → candidates ~n²/4; production form is q39 auto-bits)"}
+        from citibike_analysis_spark.cache import release_all
+
         for q in qnames:
             runs, rows_out = [], None
             for _ in range(2):
+                # per-rep isolation (r04 review): without it, rep 2
+                # plan-matches rep 1's persisted intermediates (reports
+                # a cache-hit, not steady-state compute) and earlier
+                # queries' persisted/checkpoint blocks bleed GC pressure
+                # into later growth ratios — the very numbers this
+                # script exists to measure
+                spark.catalog.clearCache()
+                release_all()
                 t0 = time.perf_counter()
                 out = specs[q].fn(spark, d)
                 rows_out = out.count()
@@ -204,6 +230,8 @@ def main() -> int:
         ]:
             runs, rows_out = [], None
             for _ in range(2):
+                spark.catalog.clearCache()
+                release_all()
                 t0 = time.perf_counter()
                 rows_out = incremental_embedding_dedup(
                     fixed_batch, rest, "vec_id", "embedding", **kw
@@ -222,7 +250,8 @@ def main() -> int:
     def g(a, b):
         return f"x{b / a:.1f}" if a else "-"
     print(f"| uncapped index candidate pairs | {x1['uncapped_pairs']:,} | {x10['uncapped_pairs']:,} | {g(x1['uncapped_pairs'], x10['uncapped_pairs'])} |")
-    print(f"| df-capped (=100) candidate pairs | {x1['df_capped_pairs']:,} | {x10['df_capped_pairs']:,} | {g(x1['df_capped_pairs'], x10['df_capped_pairs'])} |")
+    from citibike_analysis_spark.plans.llm import _Q61_MAX_DF
+    print(f"| df-capped (={_Q61_MAX_DF}, the registered cap) candidate pairs | {x1['df_capped_pairs']:,} | {x10['df_capped_pairs']:,} | {g(x1['df_capped_pairs'], x10['df_capped_pairs'])} |")
     for q in ["q34_ngram_jaccard", "q61_capped_jaccard", "q36_minhash_dedup",
               "q46_dedup_clusters", "q62_dedup_clusters_star",
               "q39_embedding_near_dup", "q103_incremental_embedding_dedup",

@@ -8,11 +8,13 @@ Usage: python scripts/sweep.py [sf_dir] [query ...]
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from pyspark.sql import SparkSession
 
@@ -46,7 +48,11 @@ def main() -> int:
                 status = "; ".join(problems) if problems else "hash_match"
             else:
                 n = df.count()
-                status = f"rows_only({n})"
+                # 0 rows is a FAILURE for a rows-only query: the driver
+                # gates on rows>0, and every registered rows-only query
+                # is non-empty at sf0.01 by design — an empty result is
+                # a degenerate-filter regression, not a pass (r04 review)
+                status = f"rows_only({n})" if n > 0 else f"EMPTY rows_only({n})"
         except Exception as exc:  # noqa: BLE001 - sweep must report, not die
             status = f"ERROR {type(exc).__name__}: {exc}"[:250]
         dt = time.time() - t0
