@@ -79,7 +79,12 @@ def asof_join(
     # by the keys, so without this a NULL-key left row would inherit the
     # payload of NULL-key right rows sharing its partition; drop those
     # right rows so NULL-key left rows keep null values (as the LATERAL
-    # form would produce).
+    # form would produce). A NULL right TIMESTAMP must go the same way
+    # (r04 review): `ts_r <= ts_l` is NULL-never-true in the LATERAL
+    # form, but ascending order sorts NULLs FIRST, so a NULL-ts right
+    # row would otherwise become a carry-in payload for every left row
+    # with no earlier real match.
+    r = r.filter(F.col("__ts").isNotNull())
     for _k in on:
         r = r.filter(F.col(_k).isNotNull())
     l = left.select(
@@ -169,7 +174,10 @@ def asof_join_bucketed(
             if c not in on
         ],
     ).withColumn("__b", _bucket_of(F.col("__ts"), bucket_seconds))
-    # NULL keys never match (same rationale as in asof_join)
+    # NULL keys / NULL right timestamps never match (same rationale as
+    # in asof_join — here a NULL ts would additionally poison the NULL
+    # bucket's prefix-max carry chain)
+    r = r.filter(F.col("__ts").isNotNull())
     for _k in on:
         r = r.filter(F.col(_k).isNotNull())
 

@@ -54,9 +54,14 @@ def connected_components(
         .distinct()
         .select("id", F.col("id").alias("component"))
     )
-    # Convergence detector: labels only ever decrease, so the label sum is
-    # strictly monotone until fixpoint — one cheap aggregate on the freshly
-    # checkpointed result replaces a join-against-previous + count job.
+    # Convergence detector: one cheap aggregate on the freshly
+    # checkpointed result — (count, xor of per-row hashes) is a set
+    # signature of the (id → component) map, equal iff no label changed
+    # (labels only ever decrease, so no ABA). NOT sum(component): under
+    # ANSI mode (the default) sum overflows long for hash-derived vertex
+    # ids (xxhash64 values ~9e18 — the natural id scheme for the dedup
+    # pairs this operator closes) and throws on the second vertex; the
+    # star variant always used the xor form for this reason (r04 review).
     # Block hygiene: once round N's checkpoint is materialized (by that
     # same aggregate), round N-1's blocks are garbage — free them NOW so
     # peak storage is one label table, not one per round (at corpus
@@ -65,7 +70,7 @@ def connected_components(
     # cache.track for scope-level release, like the operator persists.
     from citibike_analysis_spark.cache import free_checkpoint, track
 
-    prev_sum = None
+    prev_sig = None
     prev_frame = None
     converged = False
     for _ in range(max_iter):
@@ -79,14 +84,18 @@ def connected_components(
             .localCheckpoint(eager=False)  # the agg below materializes it —
             # one job per round instead of checkpoint-job + agg-job
         )
-        label_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        sig = tuple(
+            new_labels.agg(
+                F.count("*"), F.bit_xor(F.xxhash64("id", "component"))
+            ).collect()[0]
+        )
         if prev_frame is not None and prev_frame is not new_labels:
             free_checkpoint(prev_frame)
         labels, prev_frame = new_labels, new_labels
-        if label_sum == prev_sum:
+        if sig == prev_sig:
             converged = True
             break
-        prev_sum = label_sum
+        prev_sig = sig
     # the fixpoint no longer references the edge list — free it too
     free_checkpoint(sym)
     track(labels)
@@ -245,12 +254,18 @@ def dedup_clusters(
         cc = connected_components_star(pairs, pair_a, pair_b)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # alias the CC output before joining: a caller whose id_col is
+    # literally "id" would otherwise hit AMBIGUOUS_REFERENCE on the
+    # post-join select (r04 review)
+    cc = cc.select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_comp")
+    )
     labeled = (
         docs.select(F.col(id_col))
-        .join(cc, docs[id_col] == cc["id"], "left")
+        .join(cc, F.col(id_col) == F.col("__cc_id"), "left")
         .select(
             F.col(id_col),
-            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+            F.coalesce("__cc_comp", F.col(id_col)).alias("canonical_id"),
         )
     )
     sizes = labeled.groupBy("canonical_id").agg(

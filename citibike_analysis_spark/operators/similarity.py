@@ -43,7 +43,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with the zero-vector convention every caller
+    needs: a zero-norm side scores 0.0, never NaN. Unguarded 0/0 = NaN
+    would SORT ABOVE every real similarity in the descending top-k
+    windows (Spark orders NaN greatest), making a single zero vector the
+    rank-1 neighbor of every query (r04 review). The 1e-300 floor is the
+    same guard _assign_nearest documents; for any nonzero vector the
+    floored product is bit-identical to the raw one."""
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-300))
 
 
 def brute_force_topk(
@@ -97,32 +104,12 @@ def _sign_bits(vec: Column, planes: Column) -> Column:
     )
 
 
-def _planes_expr(planes: list[list[float]]) -> Column:
-    """Plane matrix as ONE SQL-parsed literal expression.
-
-    For joining DataFrames prefer :func:`_planes_frame` — this literal
-    parses to thousands of AST nodes that every subsequent DataFrame op
-    re-walks during analysis (measured ~0.14 s per op at 48×64 planes).
-    Fine for one-shot column helpers over short plans.
-    """
-    body = ",".join(
-        "array(" + ",".join(f"{float(w)!r}D".upper() for w in p) + ")"
-        for p in planes
-    )
-    return F.expr(f"array({body})")
-
-
 def _pack_bits(bits_arr: Column) -> Column:
     """Fold an array of 0/1 longs into a single long key (acc*2 + bit —
     no per-bit shift constants, so the fold stays a tiny lambda)."""
     return F.aggregate(
         bits_arr, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
     )
-
-
-def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Pack sign(plane·vec) bits into a long bucket key."""
-    return _pack_bits(_sign_bits(vec, _planes_expr(planes)))
 
 
 def _planes_frame(spark, bits: int, tables: int, dim: int, seed: int) -> DataFrame:
@@ -172,10 +159,25 @@ def _bucketize(
     dots (measured 4× slowdown). CollapseProject keeps the boundary
     because __bits is non-cheap and referenced ``tables`` times.
     """
+    # dim guard (r04 review): a vector/plane width mismatch makes
+    # zip_with NULL-pad, the dot fold NULL, every sign bit 0 — the whole
+    # corpus lands in bucket 0 of every table and the bucket join
+    # silently degenerates to all-pairs. Fail loudly instead (codegen
+    # column check, no extra pass).
+    dim_ok = F.assert_true(
+        F.size(F.col(vecname)) == F.size(F.element_at(F.col("__planes"), 1)),
+        F.lit(
+            "embedding width does not match the LSH plane dimension — "
+            "pass dim=<vector length> to the operator"
+        ),
+    )
     with_bits = df.crossJoin(F.broadcast(planes_df)).select(
         idname,
         vecname,
-        _sign_bits(F.col(vecname), F.col("__planes")).alias("__bits"),
+        F.when(
+            dim_ok.isNull(),
+            _sign_bits(F.col(vecname), F.col("__planes")),
+        ).alias("__bits"),
     )
     buckets = F.transform(
         F.sequence(F.lit(0), F.lit(tables - 1)),

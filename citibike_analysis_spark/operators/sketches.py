@@ -87,6 +87,13 @@ def frequent_tokens(
             "pass 1 could prune a true heavy hitter"
         )
     stream = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    # the token stream feeds three branches (MG candidate fold, total
+    # count, recount semi-join) — materialize once so tokenize+explode
+    # doesn't run three full corpus passes (the same multi-branch rule
+    # as the dedup inverted indexes; r04 review)
+    from citibike_analysis_spark.cache import reuse
+
+    stream = reuse(stream)
     candidates = (
         stream.mapInPandas(_mg_candidates(capacity), "token string")
         .distinct()

@@ -47,8 +47,25 @@ def salted_collect_list(
     key. With ``sort_result`` the final array is sorted, making the
     result deterministic (plain collect_list order is partition-order
     dependent anyway, so sorting loses nothing).
+
+    The salt mixes a per-row id into the hash (r04 review): a value-only
+    salt sends ALL rows of a hot key's low-cardinality value to one
+    bucket — a key with 10^8 rows over 3 distinct values would still
+    funnel ~n/3 rows through one reducer, the exact skew this operator
+    exists to bound. The row-id component is nondeterministic across
+    retries, which is safe here because the OUTPUT is salt-assignment
+    invariant (a multiset union, sorted or declared unordered); Spark
+    marks the expression nondeterministic and re-runs whole stages on
+    retry accordingly. Contrast :func:`salted_count_distinct`, whose
+    correctness REQUIRES the value-only salt.
     """
-    salted = df.withColumn("__salt", salt_column([value_col], buckets))
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.col(value_col), F.monotonically_increasing_id()),
+            F.lit(buckets),
+        ).cast("int"),
+    )
     partial = salted.groupBy(*key_cols, "__salt").agg(
         F.collect_list(value_col).alias("__part")
     )

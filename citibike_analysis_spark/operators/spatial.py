@@ -46,7 +46,18 @@ def with_grid_cell(
     max_abs_lat_deg: float = 60.0,
 ) -> DataFrame:
     """Add integer grid-cell coordinates sized so cell side ≥ radius_km
-    under either distance metric (see ``CELL_SLACK``)."""
+    under either distance metric (see ``CELL_SLACK``).
+
+    The longitude cell width is sized for ``max_abs_lat_deg``; a point
+    BEYOND that latitude would get cells narrower than the radius and
+    the 3×3 replication join would silently miss qualifying pairs (r04
+    review) — so the latitude domain is ENFORCED per row via
+    ``assert_true`` (a codegen column check, no extra pass): data at
+    higher latitudes fails loudly with instructions to raise the bound.
+    Longitude ±180° wraparound pairs are likewise not covered — this
+    grid targets city/continent extents, not antimeridian-spanning
+    corpora.
+    """
     cell_lat_deg = radius_km * CELL_SLACK / KM_PER_DEG_LAT
     # Longitude degrees shrink with latitude; size cells for the worst
     # (highest) latitude in the domain so the 3x3 cover property holds.
@@ -55,9 +66,20 @@ def with_grid_cell(
         * CELL_SLACK
         / (KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat_deg)))
     )
+    lat_ok = F.assert_true(
+        F.abs(F.col(lat_col)) <= F.lit(max_abs_lat_deg),
+        F.lit(
+            f"latitude outside ±{max_abs_lat_deg}°: longitude cells are "
+            "sized for that bound and would silently miss pairs — pass a "
+            "larger max_abs_lat_deg"
+        ),
+    )
     return df.withColumns(
         {
-            "_cell_x": F.floor(F.col(lon_col) / F.lit(cell_lon_deg)).cast("long"),
+            "_cell_x": F.when(
+                lat_ok.isNull(),
+                F.floor(F.col(lon_col) / F.lit(cell_lon_deg)),
+            ).cast("long"),
             "_cell_y": F.floor(F.col(lat_col) / F.lit(cell_lat_deg)).cast("long"),
         }
     )

@@ -1,0 +1,110 @@
+"""Regression tests for the r04 operator-hardening review findings:
+edge inputs that previously produced silently wrong output or crashes.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    # a NULL-ts right row sorts FIRST ascending and used to become the
+    # carry-in payload for left rows with no earlier real match — the
+    # LATERAL form (ts_r <= ts_l is NULL-never-true) returns NULL values
+    from citibike_analysis_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, datetime(2024, 1, 1, 12), 7.0)],
+        "k int, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10)), (1, datetime(2024, 1, 1, 13))],
+        "k int, ts timestamp",
+    )
+    def bucketed(*args):
+        return asof_join_bucketed(*args, bucket_seconds=3600)
+
+    for fn in (asof_join, bucketed):
+        out = {
+            r["ts"]: (r["v_asof"], r["ts_asof"])
+            for r in fn(left, right, ["k"], "ts", "ts", ["v"]).collect()
+        }
+        assert out[datetime(2024, 1, 1, 10)] == (None, None), fn.__name__
+        assert out[datetime(2024, 1, 1, 13)] == (
+            7.0,
+            datetime(2024, 1, 1, 12),
+        ), fn.__name__
+
+
+def test_zero_vector_never_wins_topk(spark):
+    # cosine(q, 0-vector) used to be 0/0 = NaN, which sorts ABOVE every
+    # real similarity in the descending rank window → the zero vector
+    # was rank-1 for every query
+    from citibike_analysis_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=1).collect()
+    assert len(out) == 1
+    assert out[0]["neighbor_id"] == 1
+    assert out[0]["cosine_sim"] > 0.9
+
+
+def test_dedup_clusters_accepts_id_named_id(spark):
+    # a caller whose id column is literally "id" used to hit
+    # AMBIGUOUS_REFERENCE on the post-join select
+    from citibike_analysis_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {
+        r["id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup_clusters(docs, "id", pairs).collect()
+    }
+    assert got == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
+
+
+def test_connected_components_survives_hash_scale_ids(spark):
+    # sum(component) as the convergence detector overflowed long under
+    # ANSI mode for xxhash64-derived vertex ids (~9e18); the xor
+    # signature must handle them
+    from citibike_analysis_spark.operators.graph import connected_components
+
+    big = 9_200_000_000_000_000_000
+    pairs = spark.createDataFrame(
+        [(big, big - 1), (big - 1, big - 2), (5, 6)],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got[big] == got[big - 1] == got[big - 2] == big - 2
+    assert got[5] == got[6] == 5
+
+
+def test_lsh_rejects_dim_mismatch(spark):
+    # a 128-dim corpus against default 64-dim planes used to zero every
+    # sign bit (single bucket, silent all-pairs); now it fails loudly
+    import pytest
+
+    from citibike_analysis_spark.operators.similarity import (
+        near_duplicate_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 128), (1, [1.0] * 128)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="plane dimension"):
+        near_duplicate_embeddings(
+            emb, "vec_id", "embedding", threshold=0.9, bits=4, tables=2
+        ).count()
