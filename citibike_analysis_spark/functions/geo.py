@@ -169,22 +169,32 @@ def geodesic_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     def _geodesic(
         la1: pd.Series, lo1: pd.Series, la2: pd.Series, lo2: pd.Series
     ) -> pd.Series:
-        try:
-            from geopy.distance import geodesic as _g
+        # NULL coordinates arrive as NaN through Arrow; computing on
+        # them emits NaN, which Spark ORDERS ABOVE every real distance
+        # (a `dist > x` filter is TRUE for NaN) while the built-in
+        # haversine path emits NULL for the same rows — phantom pairs
+        # in geodesic mode only (r04 review). Mask them out, compute on
+        # the clean subset, and return NULL for masked rows (the masked
+        # assignment below round-trips to Arrow null, not NaN).
+        bad = (
+            la1.isna() | lo1.isna() | la2.isna() | lo2.isna()
+        ).to_numpy()
+        out = pd.Series([None] * len(la1), dtype="object")
+        if (~bad).any():
+            a1, o1 = la1.to_numpy()[~bad], lo1.to_numpy()[~bad]
+            a2, o2 = la2.to_numpy()[~bad], lo2.to_numpy()[~bad]
+            try:
+                from geopy.distance import geodesic as _g
 
-            return pd.Series(
-                [
-                    _g((a, b), (c, d)).km
-                    for a, b, c, d in zip(la1, lo1, la2, lo2)
-                ],
-                dtype="float64",
-            )
-        except ImportError:
-            return pd.Series(
-                _vincenty_km_numpy(
-                    la1.to_numpy(), lo1.to_numpy(), la2.to_numpy(), lo2.to_numpy()
-                ),
-                dtype="float64",
-            )
+                vals = [
+                    _g((a, b), (c, d)).km for a, b, c, d in zip(a1, o1, a2, o2)
+                ]
+            except ImportError:
+                vals = list(_vincenty_km_numpy(a1, o1, a2, o2))
+            out[~bad] = vals
+        return out
 
-    return _geodesic(lat1, lon1, lat2, lon2)
+    return _geodesic(
+        lat1.cast("double"), lon1.cast("double"),
+        lat2.cast("double"), lon2.cast("double"),
+    )

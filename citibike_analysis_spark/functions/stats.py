@@ -85,7 +85,7 @@ def _split_sum(c: Column, in_scale: int, over=None, split: bool = True):
     return sh.cast("decimal(38,0)") * F.lit(_SPLIT) + sl.cast("decimal(38,0)")
 
 
-def _exact_parts(col: Column | str, in_scale: int, out_scale: int):
+def _exact_parts(col: Column | str, in_scale: int):
     c = F.col(col) if isinstance(col, str) else col
     s = _split_sum(c, in_scale)
     n = F.count(c).cast("decimal(38,0)")
@@ -253,7 +253,7 @@ def round_avg_exact(
     aggregate, for columns whose values are exact decimals of scale
     ``in_scale``. See module docstring for why plain float avg+round is
     a coin flip on midpoint cells."""
-    s, n = _exact_parts(col, in_scale, out_scale)
+    s, n = _exact_parts(col, in_scale)
     return _exact_round(s, n, in_scale, out_scale)
 
 

@@ -111,11 +111,20 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     ).cast("long")
 
 
-def stopword_hits(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
-    """Count of tokens that are stopwords."""
-    toks = tokens(text)
+def stopword_hits_tokens(
+    toks: Column, words: tuple[str, ...] = STOPWORDS
+) -> Column:
+    """Count of tokens that are stopwords — over an already-projected
+    token-array column (the shingles_of expression-shape rule: a token
+    COLUMN is referenced for free; an inlined tokens(text) expression
+    re-tokenizes per referencing site)."""
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Count of tokens that are stopwords."""
+    return stopword_hits_tokens(tokens(text), words)
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -130,18 +139,31 @@ def lang_score(text: Column | str, lang: str) -> Column:
     return stopword_hits(text, LANG_MARKERS[lang])
 
 
-def lang_id(text: Column | str) -> Column:
-    """Heuristic language ID: argmax of marker-list hit counts.
-
-    Ties break by the fixed ordering of ``LANG_MARKERS`` keys ('unk' when
-    nothing matches) — fully deterministic, oracle-expressible.
-    """
-    scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+def lang_id_tokens(toks: Column) -> Column:
+    """Heuristic language ID over a PROJECTED token-array column: argmax
+    of marker-list hit counts. Ties break by the fixed ordering of
+    ``LANG_MARKERS`` keys ('unk' when nothing matches) — fully
+    deterministic, oracle-expressible. The scores reference the token
+    column ~2× per language; as a column reference that is free, which
+    is why callers should project tokens first (see :func:`lang_id`)."""
+    scores = {
+        lang: stopword_hits_tokens(toks, LANG_MARKERS[lang])
+        for lang in LANG_MARKERS
+    }
     best = F.greatest(*scores.values())
     out = F.lit("unk")
     for lang in reversed(list(LANG_MARKERS)):  # earlier keys win ties
         out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
     return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID from raw text. Convenience form: this
+    EMBEDS the tokenization once per marker-list reference (~10×
+    re-tokenization per row — the inlining trap shingles_of documents;
+    r04 review). Hot paths should project ``tokens(text)`` into a named
+    column and call :func:`lang_id_tokens` (as q33 does)."""
+    return lang_id_tokens(tokens(text))
 
 
 def kgram_hashes_of(toks: Column, k: int = 3) -> Column:

@@ -132,10 +132,15 @@ FROM base
 # --------------------------------------------------------------------------
 
 def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citibike_analysis_spark.functions.text import lang_id
+    from citibike_analysis_spark.functions.text import lang_id_tokens, tokens
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+    # tokenize ONCE behind a projection; the inline lang_id(text) form
+    # re-tokenizes per marker-list reference (~10× per row)
+    tk = d.select("doc_id", "lang", tokens(F.col("text")).alias("_tk"))
+    return tk.select(
+        "doc_id", "lang", lang_id_tokens(F.col("_tk")).alias("lang_pred")
+    )
 
 
 def _lang_sql() -> str:

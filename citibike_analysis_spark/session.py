@@ -34,6 +34,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # epoch_to_local produces LTZ timestamps whose field extraction and
+    # rendering depend on the SESSION timezone; get_spark always pinned
+    # UTC but tune() (externally-owned sessions — the driver's) did not,
+    # so a non-UTC host would double-shift every hourly weather key
+    # (r04 review). Runtime-settable, so tune() can pin it too.
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

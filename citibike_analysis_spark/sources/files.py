@@ -101,7 +101,13 @@ def write_sharded(
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
 
-    files = spark.read.parquet(path).inputFiles()
+    # a PARTITIONED write of zero rows commits only _SUCCESS — no data
+    # files — and a plain read of that directory raises
+    # UNABLE_TO_INFER_SCHEMA; an empty input is a legitimate incremental
+    # build outcome, not a post-write crash (r04 review), so it yields an
+    # empty manifest
+    written = read_parquet_if_exists(spark, path)
+    files = written.inputFiles() if written is not None else []
     paths_df = spark.createDataFrame(
         [(f,) for f in files], "shard: string"
     ).repartition(max(1, min(len(files), 32)))
@@ -117,8 +123,12 @@ def write_sharded(
             yield pd.DataFrame({"shard": pdf["shard"], "n_rows": counts})
 
     manifest = paths_df.mapInPandas(_footer_counts, "shard string, n_rows long")
-    manifest.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "_manifest")
-    return manifest
+    manifest_path = path.rstrip("/") + "_manifest"
+    manifest.coalesce(1).write.mode("overwrite").json(manifest_path)
+    # hand back the WRITTEN manifest, not the lazy footer plan: the
+    # caller's every action would otherwise re-open every shard footer
+    # a second time (remote I/O at corpus scale — r04 review)
+    return spark.read.schema("shard string, n_rows long").json(manifest_path)
 
 
 def _parquet_footer_rows(uri: str) -> int:
@@ -251,10 +261,14 @@ def read_json_strict(
     bad = text.filter(~_is_single_doc(F.col("value"))).limit(1).collect()
     if bad:
         raise ValueError(
-            f"corrupt JSON in {path}: line holds multiple/partial documents "
-            f"(first offender: {bad[0]['value'][:120]!r}). This is the "
-            "append-mode corruption pattern; regenerate the file with an "
-            "overwrite-mode writer."
+            f"rejected JSON in {path}: a line is not exactly one complete "
+            f"document (first offender: {bad[0]['value'][:120]!r}). Two "
+            "causes look identical here: (a) append-mode corruption — "
+            "concatenated documents on one line; regenerate with an "
+            "overwrite-mode writer — or (b) a PRETTY-PRINTED (multi-line) "
+            "file: this strict path validates JSONL only; re-serialize "
+            "one document per line (r04 review: the old message "
+            "misdiagnosed (b) as corruption)."
         )
     reader = spark.read.option("mode", "FAILFAST")
     if schema is not None:

@@ -154,19 +154,49 @@ def fetch_raw(
                 }
             )
 
-    return keys.mapInPandas(run, schema=RAW_SCHEMA)
+    fetched = keys.mapInPandas(run, schema=RAW_SCHEMA)
+    # Materialize the payloads NOW (eager checkpoint): the lazy frame
+    # would re-invoke the transport on EVERY downstream action or plan
+    # branch, so real quota spend would be calls × actions — exactly the
+    # mid-backfill exhaustion the count guard exists to prevent (r04
+    # review). One fetch pass per fetch_raw call; blocks are reused by
+    # all downstream reads and released via cache.release_all/scope.
+    from citibike_analysis_spark.cache import track
+
+    return track(fetched.localCheckpoint(eager=True))
 
 
 def normalize(raw: DataFrame, tz: str = "America/New_York") -> DataFrame:
     """(zip, time_day, payload) → one row per (zip, hour): U4's
-    table-returning normalization as explode + column expressions."""
+    table-returning normalization as explode + column expressions.
+
+    A non-NULL payload that fails to parse — or parses but carries no
+    ``hourly.data`` (an HTML error page, a rate-limit JSON body) — FAILS
+    the job rather than silently dropping that (zip, day)'s 24 hours
+    from the patch table (r04 review: ``explode`` of the NULL array
+    removed the rows with no signal).
+    """
     parsed = raw.select(
         "zip",
         "time_day",
         F.from_json("payload", RESPONSE_SCHEMA).alias("_r"),
+        F.col("payload").alias("__raw"),
+    )
+    payload_ok = F.assert_true(
+        F.col("__raw").isNull() | F.col("_r.hourly.data").isNotNull(),
+        F.concat(
+            F.lit("weather payload for zip="),
+            F.col("zip"),
+            F.lit(" is not a parseable hourly response — transport "
+                  "returned an error body?"),
+        ),
     )
     hourly = parsed.select(
-        "zip", "time_day", F.explode("_r.hourly.data").alias("_h")
+        "zip",
+        "time_day",
+        F.explode(
+            F.when(payload_ok.isNull(), F.col("_r.hourly.data"))
+        ).alias("_h"),
     ).select("zip", "time_day", "_h.*")
     out = hourly.withColumnsRenamed(RENAMES)
     return (

@@ -108,3 +108,17 @@ def test_lsh_rejects_dim_mismatch(spark):
         near_duplicate_embeddings(
             emb, "vec_id", "embedding", threshold=0.9, bits=4, tables=2
         ).count()
+
+
+def test_write_sharded_empty_partitioned_returns_empty_manifest(spark, tmp_path):
+    # a PARTITIONED write of zero rows commits only _SUCCESS; the
+    # manifest step used to crash on UNABLE_TO_INFER_SCHEMA after the
+    # successful write
+    from citibike_analysis_spark.sources.files import write_sharded
+
+    df = spark.createDataFrame([], "doc_id long, day string, text string")
+    m = write_sharded(
+        df, str(tmp_path / "out"), 1000, partition_cols=["day"]
+    )
+    assert m.count() == 0
+    assert m.columns == ["shard", "n_rows"]
