@@ -156,15 +156,25 @@ def clean_weather_single_pass(availability: DataFrame, weather_fix: DataFrame) -
             "time_hour", "zip", *[F.col(c).alias(f"_fix_{c}") for c in WEATHER_COLS]
         )
     )
-    needs_fix = F.col("weather_status").isNull() | (
-        F.col("weather_status") == "predicted"
-    )
     out = with_hour.join(fix, ["time_hour", "zip"], "left")
+    # materialize the predicate BEFORE the patch loop: it reads
+    # weather_status, which the loop itself replaces — evaluating it
+    # lazily per column is only correct while weather_status happens to
+    # sort last in WEATHER_COLS (reordering that shared constant would
+    # silently leave later columns unpatched — r04 review)
+    out = out.withColumn(
+        "__needs_fix",
+        F.col("weather_status").isNull()
+        | (F.col("weather_status") == "predicted"),
+    )
     for c in WEATHER_COLS:
         out = out.withColumn(
-            c, F.when(needs_fix, F.col(f"_fix_{c}")).otherwise(F.col(c))
+            c,
+            F.when(F.col("__needs_fix"), F.col(f"_fix_{c}")).otherwise(F.col(c)),
         )
-    return out.drop(*[f"_fix_{c}" for c in WEATHER_COLS]).dropDuplicates()
+    return out.drop(
+        "__needs_fix", *[f"_fix_{c}" for c in WEATHER_COLS]
+    ).dropDuplicates()
 
 
 def build_refetch_keys(availability: DataFrame) -> DataFrame:

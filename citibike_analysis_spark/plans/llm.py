@@ -792,8 +792,18 @@ FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
 # --------------------------------------------------------------------------
 
 def q40_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.cache import track
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
+    # per_supp feeds three plan branches (the exact cume-dist window,
+    # percentile_approx's cutoff pass, the bucket-assignment join) —
+    # persist so the lineitem scan + groupBy shuffle runs once, not
+    # three times (r04 review); tracked for scope-level release
+    per_supp = track(
+        li.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .persist()
+    )
     n = F.count("*").over(Window.partitionBy())
     hi = F.count("*").over(
         Window.orderBy("total_qty").rangeBetween(

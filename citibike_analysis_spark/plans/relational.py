@@ -639,6 +639,24 @@ GROUP BY 1, 2
 # (station, hood) to (supplier, nation).
 # --------------------------------------------------------------------------
 
+def _supplier_variability(li: DataFrame) -> DataFrame:
+    """Per-supplier variability metrics — the flagship's first aggregate.
+    ONE definition shared by q20 (both percentile strategies, hence the
+    q104 scalable form) and the q56 audit, so the gating inputs cannot
+    drift between the plan and the audit that cross-checks it (r04
+    review: this block existed in three hand-maintained copies). q02
+    keeps its own variant (it adds n_lines — a different surface)."""
+    return li.groupBy("l_suppkey").agg(
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("times_no_discount"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("times_no_tax"),
+    )
+
+
 def q20_interesting_suppliers(
     spark: SparkSession,
     sf_dir: str,
@@ -649,18 +667,7 @@ def q20_interesting_suppliers(
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
 
-    variability = (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.max("l_quantity").alias("max_qty"),
-            F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("times_no_discount"),
-            F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("times_no_tax"),
-        )
-    )
+    variability = _supplier_variability(li)
     if percentile_strategy == "approx":
         # the 100 TB plan (SURVEY.md §7 "scale redesign of global
         # windows"): three approx-quantile bucketings — no global sort,
@@ -1463,15 +1470,7 @@ def q56_interesting_suppliers_scalable(
     from citibike_analysis_spark.operators.windows import approx_ntile
 
     li = _t(spark, sf_dir, "lineitem")
-    v = li.groupBy("l_suppkey").agg(
-        F.max("l_quantity").alias("max_qty"),
-        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("times_no_discount"),
-        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("times_no_tax"),
-    )
+    v = _supplier_variability(li)
     metrics = [("max_qty", 40), ("times_no_discount", 30), ("times_no_tax", 30)]
     p = v.withColumn("_n", F.count("*").over(Window.partitionBy()))
     for m, _ in metrics:

@@ -28,7 +28,16 @@ def availability_rollup(
     watermark: str = "30 minutes",
     interval: str = "15 minutes",
 ) -> DataFrame:
-    """3-minute samples → per-station 15-minute min/max availability."""
+    """3-minute samples → per-station 15-minute MINIMUM availability.
+
+    Both measures roll up as min (r04 review — was max on docks): the
+    reference documents min for bikes (README.md:200) and its flagship
+    counts intervals with ``available_docks = 0`` ("times_replenished"
+    — the station was FULL at some sample); only min preserves that
+    event at the 15-minute grain (max(docks)=0 would require the
+    station full for the entire interval, silently undercounting the
+    replenishment signal the reduction query gates on).
+    """
     return (
         samples.withWatermark(ts_col, watermark)
         .groupBy(
@@ -37,7 +46,7 @@ def availability_rollup(
         )
         .agg(
             F.min("available_bikes").alias("available_bikes"),
-            F.max("available_docks").alias("available_docks"),
+            F.min("available_docks").alias("available_docks"),
             F.count("*").alias("n_samples"),
         )
         .select(
@@ -109,6 +118,11 @@ def upsert_station_dimension(
     """
     from pyspark.sql import Window
 
+    if batch.isEmpty():
+        # idle micro-batches otherwise rewrite the ENTIRE snapshot
+        # (full read + staging write + rename swap) for nothing — same
+        # guard as write_rollup's sink (r04 review)
+        return
     spark = batch.sparkSession
     # Tiebreak among rows tied on the event time: the feed can repeat a
     # station's stale last_communication_time while poll-time fields

@@ -62,10 +62,13 @@ def dirs():
 
 
 def test_rollup_min_over_interval_and_resume(spark, dirs):
-    # batch 1: two samples in the 08:00 interval for station 72
+    # batch 1: two samples in the 08:00 interval for station 72 —
+    # docks differ too, pinning the min-on-both-measures contract
+    # (r04 review: docks briefly rolled up as max, silently
+    # undercounting the docks=0 replenishment signal)
     with open(f"{dirs['in']}/b1.json", "w") as f:
-        f.write(_feed_line(72, BASE + timedelta(minutes=1), 7) + "\n")
-        f.write(_feed_line(72, BASE + timedelta(minutes=4), 3) + "\n")
+        f.write(_feed_line(72, BASE + timedelta(minutes=1), 7, docks=0) + "\n")
+        f.write(_feed_line(72, BASE + timedelta(minutes=4), 3, docks=27) + "\n")
 
     stream = read_feed_stream(spark, dirs["in"])
     q = write_rollup(availability_rollup(stream), dirs["ckpt"], dirs["out"], "r1")
@@ -77,6 +80,7 @@ def test_rollup_min_over_interval_and_resume(spark, dirs):
     row = state.filter("station_id = 72").collect()[0]
     assert row["time_interval"] == BASE
     assert row["available_bikes"] == 3  # min over the 3-min samples
+    assert row["available_docks"] == 0  # min: the replenishment signal survives
     assert row["n_samples"] == 2
 
     # restart from the same checkpoint with one more (lower) sample:
