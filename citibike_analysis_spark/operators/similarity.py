@@ -1,7 +1,10 @@
 """Similarity search over embedding columns (north-star, SURVEY.md §7 stage 7).
 
-Vectors are plain ``array<float>`` columns; all math is built-in
-``zip_with``/``aggregate`` expressions (JVM-side, codegen) — no UDFs.
+Vectors are plain ``array<float>`` columns. Per-pair scoring (dot/norm/
+cosine) is built-in ``zip_with``/``aggregate`` expressions; the one
+declared Arrow seam is the LSH signature matmul in :func:`_bucketize`
+(dense linear algebra — measured ~5× over the interpreted
+higher-order-function fold; see its docstring).
 
 Two tiers:
 
@@ -18,6 +21,7 @@ Two tiers:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,25 +97,6 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def _sign_bits(vec: Column, planes: Column) -> Column:
-    """array<long> of sign(plane·vec) bits for every plane in ``planes``
-    (a Column of array<array<double>>)."""
-    return F.transform(
-        planes,
-        lambda p: F.when(dot(vec, p) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-
-
-def _pack_bits(bits_arr: Column) -> Column:
-    """Fold an array of 0/1 longs into a single long key (acc*2 + bit —
-    no per-bit shift constants, so the fold stays a tiny lambda)."""
-    return F.aggregate(
-        bits_arr, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
-    )
-
-
 def _planes_frame(spark, bits: int, tables: int, dim: int, seed: int) -> DataFrame:
     """All tables' planes flattened into one (tables*bits) × dim matrix,
     shipped as a 1-row broadcast DataFrame rather than a literal: a
@@ -152,45 +137,51 @@ def _bucketize(
 ) -> DataFrame:
     """(id, vec) → (id, vec, tbl, bkt): one row per LSH table.
 
-    Materialize the sign bits in their OWN projection: the per-table
-    lambda below slices them ``tables``×, and codegen subexpression
-    elimination cannot see through higher-order-function lambdas —
-    without the projection boundary every table re-ran all plane·vec
-    dots (measured 4× slowdown). CollapseProject keeps the boundary
-    because __bits is non-cheap and referenced ``tables`` times.
+    The per-table bucket keys are computed by ONE Arrow-batched pandas
+    UDF doing a dense numpy matmul (X @ Pᵀ > 0, pack bits per table).
+    This replaced the zip_with/aggregate sign-fold form: higher-order
+    functions evaluate INTERPRETED (CodegenFallback), so bits·tables·dim
+    multiply-adds per vector ran as expression-tree walks — measured
+    1.9 s for 4k vectors × 144 planes at sf0.1 vs ~0.4 s through Arrow
+    + BLAS (the same built-ins-first exception as the PCA moment fold:
+    dense linear algebra is where a declared Arrow seam beats
+    interpreted column expressions). Sign convention is dot(plane, v) >
+    0 on float64 either way; summation order differs at most in the
+    last ulp, which can flip a sign only for vectors ~orthogonal to a
+    plane — that moves a CANDIDATE between tables, never a result
+    (candidates are verified with exact cosine).
+
+    A vector/plane width mismatch raises (numpy shape check inside the
+    UDF) — the silent failure mode was every sign bit collapsing to 0,
+    one bucket, an all-pairs join (r04 review).
     """
-    # dim guard (r04 review): a vector/plane width mismatch makes
-    # zip_with NULL-pad, the dot fold NULL, every sign bit 0 — the whole
-    # corpus lands in bucket 0 of every table and the bucket join
-    # silently degenerates to all-pairs. Fail loudly instead (codegen
-    # column check, no extra pass).
-    dim_ok = F.assert_true(
-        F.size(F.col(vecname)) == F.size(F.element_at(F.col("__planes"), 1)),
-        F.lit(
-            "embedding width does not match the LSH plane dimension — "
-            "pass dim=<vector length> to the operator"
-        ),
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    flat = planes_df.collect()[0]["__planes"]
+    P = np.asarray(flat, dtype=np.float64)  # (tables*bits, dim)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+    n_tables, n_bits = tables, bits
+
+    @pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        if X.shape[1] != P.shape[1]:
+            raise ValueError(
+                f"embedding width {X.shape[1]} does not match the LSH "
+                f"plane dimension {P.shape[1]} — pass dim=<vector "
+                "length> to the operator"
+            )
+        S = (X @ P.T > 0).reshape(len(X), n_tables, n_bits)
+        K = (S * weights).sum(axis=2, dtype=np.int64)
+        return pd.Series([row.tolist() for row in K])
+
+    return (
+        df.withColumn("__keys", _keys(F.col(vecname)))
+        .select(idname, vecname, F.posexplode("__keys").alias("tbl", "bkt"))
     )
-    with_bits = df.crossJoin(F.broadcast(planes_df)).select(
-        idname,
-        vecname,
-        F.when(
-            dim_ok.isNull(),
-            _sign_bits(F.col(vecname), F.col("__planes")),
-        ).alias("__bits"),
-    )
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(tables - 1)),
-        lambda t: F.struct(
-            t.cast("int").alias("tbl"),
-            _pack_bits(
-                F.slice(F.col("__bits"), t * F.lit(bits) + 1, bits)
-            ).alias("bkt"),
-        ),
-    )
-    return with_bits.select(
-        idname, vecname, F.explode(buckets).alias("_b")
-    ).select(idname, vecname, "_b.tbl", "_b.bkt")
 
 
 def lsh_topk(
