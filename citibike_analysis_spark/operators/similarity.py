@@ -151,9 +151,15 @@ def _bucketize(
     plane — that moves a CANDIDATE between tables, never a result
     (candidates are verified with exact cosine).
 
-    A vector/plane width mismatch raises (numpy shape check inside the
-    UDF) — the silent failure mode was every sign bit collapsing to 0,
-    one bucket, an all-pairs join (r04 review).
+    A vector/plane width mismatch raises (explicit per-row length check
+    inside the UDF) — the silent failure mode was every sign bit
+    collapsing to 0, one bucket, an all-pairs join (r04 review). NULL
+    embeddings get a NULL key array (r04 ADVICE — the convention the
+    pre-Arrow zip_with form had): posexplode then drops the row, so a
+    NULL vector is simply never a candidate instead of blowing up the
+    whole batch with an opaque numpy inhomogeneous-shape error; ragged
+    (mixed-width) batches raise the documented width error rather than
+    whatever np.array(object) happens to do.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -165,18 +171,28 @@ def _bucketize(
 
     @pandas_udf("array<long>")
     def _keys(v: pd.Series) -> pd.Series:
-        X = np.array(v.tolist(), dtype=np.float64)
-        if X.size == 0:
-            return pd.Series([], dtype=object)
-        if X.shape[1] != P.shape[1]:
+        vals = v.tolist()
+        live = [
+            (i, np.asarray(x, dtype=np.float64))
+            for i, x in enumerate(vals)
+            if x is not None
+        ]
+        out: list[list[int] | None] = [None] * len(vals)
+        if not live:
+            return pd.Series(out, dtype=object)
+        widths = {x.shape[0] if x.ndim else 0 for _, x in live}
+        if widths != {P.shape[1]}:
             raise ValueError(
-                f"embedding width {X.shape[1]} does not match the LSH "
-                f"plane dimension {P.shape[1]} — pass dim=<vector "
-                "length> to the operator"
+                f"embedding width(s) {sorted(widths)} do not match the "
+                f"LSH plane dimension {P.shape[1]} — pass dim=<vector "
+                "length> to the operator (and fix ragged vectors)"
             )
+        X = np.stack([x for _, x in live])
         S = (X @ P.T > 0).reshape(len(X), n_tables, n_bits)
         K = (S * weights).sum(axis=2, dtype=np.int64)
-        return pd.Series([row.tolist() for row in K])
+        for (i, _), row in zip(live, K):
+            out[i] = row.tolist()
+        return pd.Series(out, dtype=object)
 
     return (
         df.withColumn("__keys", _keys(F.col(vecname)))
@@ -248,6 +264,25 @@ def lsh_topk(
     )
 
 
+#: Sign-bit computation convention of :func:`_bucketize`. Bumped when
+#: the summation path changes (r04: interpreted fold-order → numpy/BLAS
+#: matmul): vectors near-orthogonal to a plane can flip a sign bit
+#: across conventions, so an index built under one convention probed
+#: under another silently loses candidates (r04 ADVICE). The stamp
+#: rides the persisted index and is verified at probe time.
+_SIG_CONVENTION = "arrow-matmul-v2"
+
+
+def _index_stamp(bits: int, tables: int, dim: int, seed: int) -> str:
+    """Stable fingerprint of everything that determines bucket keys:
+    the sign convention plus the full plane parameterization."""
+    import hashlib
+
+    return hashlib.md5(
+        f"{_SIG_CONVENTION}:{bits}:{tables}:{dim}:{seed}".encode()
+    ).hexdigest()[:16]
+
+
 def build_lsh_index(
     corpus: DataFrame,
     table: str,
@@ -281,7 +316,7 @@ def build_lsh_index(
         _planes_frame(corpus.sparkSession, bits, tables, dim, seed),
         bits,
         tables,
-    )
+    ).withColumn("_stamp", F.lit(_index_stamp(bits, tables, dim, seed)))
     from citibike_analysis_spark.sources.bucketed import write_bucketed
 
     write_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
@@ -302,8 +337,31 @@ def lsh_index_topk(
     """Approximate top-k against a persisted :func:`build_lsh_index`
     table. Identical output to :func:`lsh_topk` at the same parameters
     (pytest-pinned); only the probe set pays the sign-bit computation.
+
+    The index's sign-convention/parameter stamp is verified before
+    probing (one limit-1 scan of the bucketed table): an index built
+    under a different convention or (bits, tables, dim, seed) would
+    silently lose candidates (sign bits differ → probes land in the
+    wrong buckets), so a mismatch — or a pre-stamp index — raises with
+    a rebuild instruction instead (r04 ADVICE).
     """
     idx = spark.table(table)
+    expect = _index_stamp(bits, tables, dim, seed)
+    if "_stamp" not in idx.columns:
+        raise ValueError(
+            f"LSH index table {table!r} has no signature stamp — it was "
+            "built before the sign-convention versioning (or not by "
+            "build_lsh_index); rebuild it with build_lsh_index"
+        )
+    first = idx.select("_stamp").first()
+    if first is not None and first["_stamp"] != expect:
+        raise ValueError(
+            f"LSH index table {table!r} was built under stamp "
+            f"{first['_stamp']} but this probe computes {expect} "
+            "(different sign convention or bits/tables/dim/seed) — "
+            "rebuild the index with build_lsh_index at these parameters"
+        )
+    idx = idx.drop("_stamp")
     q = _bucketize(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")

@@ -54,6 +54,12 @@ def with_grid_cell(
     review) — so the latitude domain is ENFORCED per row via
     ``assert_true`` (a codegen column check, no extra pass): data at
     higher latitudes fails loudly with instructions to raise the bound.
+    NULL coordinates are NOT an error (r04 ADVICE): ``abs(NULL) <=
+    bound`` is NULL, which ``assert_true`` would treat as a failure, so
+    the guard admits NULL explicitly — a NULL lat/lon row keeps NULL
+    cells and simply never matches the equi-join, the same NULL
+    propagation convention as asof_join and geodesic_km; the loud
+    failure is reserved for genuinely out-of-range latitudes.
     Longitude ±180° wraparound pairs are likewise not covered — this
     grid targets city/continent extents, not antimeridian-spanning
     corpora.
@@ -67,7 +73,8 @@ def with_grid_cell(
         / (KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat_deg)))
     )
     lat_ok = F.assert_true(
-        F.abs(F.col(lat_col)) <= F.lit(max_abs_lat_deg),
+        F.col(lat_col).isNull()
+        | (F.abs(F.col(lat_col)) <= F.lit(max_abs_lat_deg)),
         F.lit(
             f"latitude outside ±{max_abs_lat_deg}°: longitude cells are "
             "sized for that bound and would silently miss pairs — pass a "

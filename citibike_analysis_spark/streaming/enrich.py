@@ -200,7 +200,15 @@ def start_admission(
     Once any batch has observed a corpus, a subsequent absent/unreadable
     read (e.g. mid-rewrite of the sidecar by a compaction job) RAISES —
     failing the micro-batch so Spark retries it — rather than silently
-    re-admitting known duplicates batch after batch.
+    re-admitting known duplicates batch after batch. The "was a corpus
+    ever seen" fact is DURABLE when a checkpoint is configured (r04
+    ADVICE): it is recorded as a marker under ``checkpoint_dir`` (via
+    Hadoop FS, so any checkpoint scheme works), because an in-process
+    flag resets on crash-restart — exactly when a concurrent compaction
+    outage would otherwise silently re-admit known duplicates. Without
+    a checkpoint the query has no durable identity at all (it restarts
+    from the stream's beginning), so the in-memory flag is the honest
+    best effort there.
 
     Returns the started ``StreamingQuery``.
     """
@@ -210,6 +218,33 @@ def start_admission(
         .dropDuplicatesWithinWatermark(["_content_hash"])
     )
     corpus_seen = {"flag": False}
+    marker = (
+        f"{checkpoint_dir.rstrip('/')}/_corpus_seen"
+        if checkpoint_dir is not None
+        else None
+    )
+
+    def _hadoop_path(spark, p: str):
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return fs, path
+
+    def _seen(spark) -> bool:
+        if corpus_seen["flag"]:
+            return True
+        if marker is None:
+            return False
+        fs, path = _hadoop_path(spark, marker)
+        return bool(fs.exists(path))
+
+    def _mark(spark) -> None:
+        corpus_seen["flag"] = True
+        if marker is None:
+            return
+        fs, path = _hadoop_path(spark, marker)
+        if not fs.exists(path):
+            fs.create(path, True).close()
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -219,17 +254,19 @@ def start_admission(
             return
         existing = _corpus_hashes(batch.sparkSession, corpus_path)
         if existing is None:
-            if corpus_seen["flag"]:
+            if _seen(batch.sparkSession):
                 raise RuntimeError(
                     f"corpus at {corpus_path!r} was readable in an "
-                    "earlier micro-batch but is now absent/empty — "
-                    "failing the batch (retry) instead of silently "
-                    "admitting known duplicates; if the corpus was "
-                    "intentionally removed, restart the query"
+                    "earlier micro-batch (possibly before a restart) "
+                    "but is now absent/empty — failing the batch "
+                    "(retry) instead of silently admitting known "
+                    "duplicates; if the corpus was intentionally "
+                    "removed, delete the _corpus_seen marker in the "
+                    "checkpoint dir and restart the query"
                 )
             out = batch
         else:
-            corpus_seen["flag"] = True
+            _mark(batch.sparkSession)
             out = batch.join(existing, "_content_hash", "left_anti")
         sink(out.drop("_content_hash"), epoch_id)
 

@@ -122,3 +122,115 @@ def test_write_sharded_empty_partitioned_returns_empty_manifest(spark, tmp_path)
     )
     assert m.count() == 0
     assert m.columns == ["shard", "n_rows"]
+
+
+# --------------------------------------------------------------------------
+# r04 ADVICE regressions (fixed r05)
+# --------------------------------------------------------------------------
+
+
+def test_grid_cell_null_coordinates_do_not_crash(spark):
+    # assert_true(abs(NULL) <= bound) is NULL → the whole job used to
+    # fail with a misleading 'latitude outside ±60°'; NULL coordinates
+    # must keep NULL cells and simply never pair (the asof/geodesic
+    # NULL-propagation convention), while out-of-range still raises
+    import pytest
+
+    from citibike_analysis_spark.operators.spatial import within_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, 40.7, -74.0),
+            (2, 40.7001, -74.0001),
+            (3, None, -74.0),
+            (4, 40.7, None),
+        ],
+        "sid int, lat double, lon double",
+    )
+    pairs = {
+        (r["a_sid"], r["b_sid"])
+        for r in within_distance_pairs(df, "sid", "lat", "lon", 0.5, 41.0).collect()
+    }
+    assert pairs == {(1, 2), (2, 1)}  # NULL rows silently excluded
+
+    polar = spark.createDataFrame(
+        [(1, 80.0, 10.0), (2, 80.0, 10.1)], "sid int, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="latitude outside"):
+        within_distance_pairs(polar, "sid", "lat", "lon", 0.5, 41.0).count()
+
+
+def test_lsh_null_embedding_gets_null_bucket(spark):
+    # a NULL embedding in the Arrow matmul batch used to raise an opaque
+    # numpy inhomogeneous-shape error; it must behave like the old
+    # zip_with form — no bucket, never a candidate, everyone else joins
+    from citibike_analysis_spark.operators.similarity import (
+        near_duplicate_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = near_duplicate_embeddings(
+        emb, "vec_id", "embedding", threshold=0.9, bits=2, tables=2, dim=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+
+
+def test_lsh_ragged_widths_raise_width_error(spark):
+    # mixed vector widths used to surface as numpy shape garbage (or an
+    # IndexError); the documented width error must fire instead
+    import pytest
+
+    from citibike_analysis_spark.operators.similarity import (
+        near_duplicate_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="plane dimension"):
+        near_duplicate_embeddings(
+            emb, "vec_id", "embedding", threshold=0.9, bits=2, tables=2, dim=4
+        ).count()
+
+
+def test_lsh_index_probe_rejects_stamp_mismatch(spark):
+    # the sign-bit convention changed in r04 (fold-order sum → BLAS
+    # matmul): an index built under other parameters/conventions probed
+    # blindly silently loses candidates — the stamp must catch it
+    import pytest
+
+    from citibike_analysis_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.limit(2)
+    build_lsh_index(emb, "lsh_stamp_test", bits=4, tables=2, dim=4, seed=1)
+    try:
+        # matching parameters probe fine
+        lsh_index_topk(
+            spark, "lsh_stamp_test", q, k=2, bits=4, tables=2, dim=4, seed=1
+        ).collect()
+        with pytest.raises(ValueError, match="rebuild"):
+            lsh_index_topk(
+                spark, "lsh_stamp_test", q, k=2, bits=4, tables=2, dim=4, seed=2
+            )
+        # a pre-stamp index (no _stamp column) is also rejected loudly
+        spark.table("lsh_stamp_test").drop("_stamp").write.mode(
+            "overwrite"
+        ).saveAsTable("lsh_prestamp_test")
+        with pytest.raises(ValueError, match="no signature stamp"):
+            lsh_index_topk(
+                spark, "lsh_prestamp_test", q, k=2, bits=4, tables=2, dim=4, seed=1
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_stamp_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_prestamp_test")

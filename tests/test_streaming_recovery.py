@@ -466,3 +466,61 @@ def test_start_admission_fails_batch_when_seen_corpus_vanishes(spark, dirs):
         q.stop()
     rows = spark.read.option("basePath", land).parquet(land).collect()
     assert sorted(r["doc_id"] for r in rows) == [1]  # doc 2 never landed
+
+
+def test_start_admission_seen_posture_survives_restart(spark, dirs):
+    """r04 ADVICE: the 'corpus was seen → absent read must fail' posture
+    used to live in driver memory only, so a crash-restart during a
+    corpus outage silently re-admitted known duplicates. With a
+    checkpoint configured, the fact is durable (a marker in the
+    checkpoint dir): the RESTARTED query must still fail the batch."""
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.streaming.enrich import start_admission
+
+    corpus_path = os.path.join(dirs["snap2"], "corpus_r")
+    land = os.path.join(dirs["land"], "restart")
+    spark.createDataFrame([(LONG,)], "text string").select(
+        F.md5("text").alias("content_hash")
+    ).write.parquet(corpus_path)
+    with open(f"{dirs['in2']}/d1.json", "w") as f:
+        f.write(_doc_line(1, BASE, LONG + " novel") + "\n")
+
+    def mk_docs():
+        return (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(dirs["in2"])
+        )
+
+    def sink(batch, epoch_id):
+        if not batch.isEmpty():
+            batch.write.mode("overwrite").parquet(
+                os.path.join(land, f"epoch={epoch_id}")
+            )
+
+    q = start_admission(
+        mk_docs(), corpus_path, sink, ts_col="ts", checkpoint_dir=dirs["ckpt2"]
+    )
+    try:
+        q.processAllAvailable()  # corpus observed; marker persisted
+    finally:
+        q.stop()
+
+    shutil.rmtree(corpus_path)  # outage while the query is DOWN
+    with open(f"{dirs['in2']}/d2.json", "w") as f:
+        f.write(_doc_line(2, BASE + timedelta(minutes=1), LONG) + "\n")
+    q2 = start_admission(
+        mk_docs(), corpus_path, sink, ts_col="ts", checkpoint_dir=dirs["ckpt2"]
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="absent/empty"):
+            q2.processAllAvailable()
+            q2.awaitTermination(30)
+    finally:
+        q2.stop()
+    rows = spark.read.option("basePath", land).parquet(land).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1]  # the known dup never landed
