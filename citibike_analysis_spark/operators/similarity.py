@@ -796,9 +796,9 @@ def incremental_embedding_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.45,
-    bits: int | str = 2,
-    tables: int = 24,
+    threshold: float = 0.9,
+    bits: int | str = "auto",
+    tables: int = 16,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -821,14 +821,20 @@ def incremental_embedding_dedup(
     across ingests via :func:`build_lsh_index`'s save path.
 
     Scale contract: per-ingest work is candidates ≈ |batch| × per-bucket
-    corpus occupancy × tables. The default loose parameterization
-    (θ=0.45, bits=2 → 4 buckets/table) keeps occupancy ~corpus/4, so
-    each ingest pays one corpus-linear pass — acceptable for recall
-    calibration, not for a 100 TB steady state. Production admission at
-    a TIGHT threshold should pass ``bits="auto"`` (sized from the
-    corpus count exactly like :func:`near_duplicate_embeddings` — the
-    rehearsal-measured flat-occupancy form); loose-θ admission at scale
-    belongs to the centroid-bounded SemDeDup/IVF route (q77/q49).
+    corpus occupancy × tables. The DEFAULTS are the production
+    parameterization (r04 VERDICT #1): tight θ=0.9 with ``bits="auto"``
+    — banding sized from one corpus count exactly like
+    :func:`near_duplicate_embeddings`, so per-bucket occupancy stays ~8
+    and per-ingest work is ~|batch| × tables × 8 candidate pairs plus
+    the corpus-side signature pass, FLAT in corpus size (rehearsal-
+    measured: a fixed 500-vector batch costs ~×1 wall at ×10 corpus; at
+    steady state persist the corpus signatures via
+    :func:`build_lsh_index` to amortize that pass too). A LOOSE
+    threshold with fixed small ``bits`` (e.g. θ=0.45, bits=2 → 4
+    buckets/table, occupancy ~corpus/4) makes every ingest a
+    corpus-linear scan — that parameterization is recall CALIBRATION
+    (the q113 registration), and loose-θ admission at scale belongs to
+    the centroid-bounded SemDeDup/IVF route (q77/q49).
 
     Output: the admitted batch rows (original batch columns).
     """

@@ -65,6 +65,10 @@ _EPOCH = {
     # r04: re-registered as the production θ=0.9 auto-bits re-ingest
     # form; r01-r03 greens verified the θ=0.45 form (now q105)
     "q39_embedding_near_dup": 4,
+    # r05: re-registered as the production fixed-batch θ=0.9 auto-bits
+    # admission form; earlier greens verified the SF-proportional
+    # loose-banding form (now q113)
+    "q103_incremental_embedding_dedup": 5,
 }
 
 

@@ -2574,18 +2574,86 @@ FROM ranked WHERE rn <= {_Q99_K}
 
 
 # --------------------------------------------------------------------------
-# q103 — incremental EMBEDDING dedup: admit only the batch vectors with
-# no near-duplicate in the existing corpus — the per-ingest admission
-# filter of a growing training set (embedding dual of q85's text form).
-# Batch = vec_id % 10 == 0, corpus = the rest (deterministic split of
-# the embeddings table). The oracle is the exact NOT-EXISTS over all
-# batch×corpus pairs; the LSH plan's per-pair miss probability at
-# bits=2/tables=24 is ~(1-p²)²⁴ ≲ 1e-6 for cosine ≥ 0.45, so the
-# bucketed plan hash-matches the exact oracle (same recall argument,
-# and the same parameters, as the q105 calibration form).
+# q103 — incremental EMBEDDING dedup under its PRODUCTION contract (r04
+# VERDICT #1): admit only the batch vectors with no near-duplicate in
+# the existing corpus — the per-ingest admission filter of a growing
+# training set (embedding dual of q85's text form). The fixture honors
+# the operator's own scale contract: a FIXED-size ingest batch against
+# a corpus that grows with SF. Corpus = vec_id ≥ 150; batch = the 100
+# novel vectors vec_id < 100 PLUS re-ingested copies of the 50 corpus
+# vectors vec_id ∈ [150, 200) under offset ids — 150 rows at every SF.
+# Parameters are the production defaults (θ=0.9, bits="auto",
+# tables=16 — the q39 parameterization): the planted copies are EXACT
+# duplicates (every sign bucket matches with probability 1, so they are
+# rejected deterministically), and any accidental cross pair at this
+# tight θ is in the cos→1 regime where auto-bits recall ≈ 1 (the q39
+# hash-green argument) — so the bucketed plan hash-matches the exact
+# NOT-EXISTS oracle. The old SF-proportional loose-banding fixture is
+# q113, an explicitly-named calibration query.
 # --------------------------------------------------------------------------
 
+_Q103_NOVEL = 100     # batch part 1: vec_id < 100 (novel candidates)
+_Q103_CORPUS_MIN = 150  # corpus = vec_id >= 150
+_Q103_PLANTED = 50    # batch part 2: copies of vec_id in [150, 200)
+
+
 def q103_incremental_embedding_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from citibike_analysis_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") >= _Q103_CORPUS_MIN)
+    planted = e.filter(
+        (F.col("vec_id") >= _Q103_CORPUS_MIN)
+        & (F.col("vec_id") < _Q103_CORPUS_MIN + _Q103_PLANTED)
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(_REINGEST_OFFSET))
+    batch = e.filter(F.col("vec_id") < _Q103_NOVEL).unionByName(planted)
+    out = incremental_embedding_dedup(
+        batch, corpus, "vec_id", "embedding", threshold=0.9, bits="auto", tables=16
+    )
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"))
+
+
+Q103_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT * FROM e WHERE vec_id >= {_Q103_CORPUS_MIN}
+), b AS (
+  SELECT vec_id, v FROM e WHERE vec_id < {_Q103_NOVEL}
+  UNION ALL
+  SELECT vec_id + {_REINGEST_OFFSET} AS vec_id, v FROM e
+  WHERE vec_id >= {_Q103_CORPUS_MIN}
+    AND vec_id < {_Q103_CORPUS_MIN + _Q103_PLANTED}
+)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id
+FROM b
+WHERE NOT EXISTS (
+  SELECT 1 FROM c
+  WHERE list_dot_product(b.v, c.v)
+        / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v)))
+        >= 0.9
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q113 — loose-banding RECALL CALIBRATION of the incremental embedding
+# dedup (the pre-r05 q103 fixture, demoted per r04 VERDICT #1 exactly
+# as q105 was split from q39): θ=0.45 with bits=2/tables=24 — per-pair
+# miss probability ~(1-p²)²⁴ ≲ 1e-6 at cosine 0.45, so the bucketed
+# plan matches the exact NOT-EXISTS oracle bit-for-bit, which is the
+# evidence the banding math is right. bits=2 → 4 buckets/table means
+# per-ingest candidates ~|batch|·(corpus/4)·tables — a corpus-linear
+# scan per ingest, and the batch here GROWS with SF (vec_id % 10): an
+# audit-scale query by design, never the production plan (that is q103;
+# loose-θ admission at scale is the SemDeDup/IVF route, q77/q49).
+# --------------------------------------------------------------------------
+
+def q113_incremental_dedup_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from citibike_analysis_spark.operators.similarity import (
@@ -2601,7 +2669,7 @@ def q103_incremental_embedding_dedup(
     return out.select(F.col("vec_id").cast("long").alias("vec_id"))
 
 
-Q103_SQL = """
+Q113_SQL = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), b AS (
@@ -2703,6 +2771,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q105_neardup_calibration": QuerySpec(
         q105_neardup_calibration, Q105_SQL, "§7 dedup-embedding-calibration"
+    ),
+    "q113_incremental_dedup_calibration": QuerySpec(
+        q113_incremental_dedup_calibration, Q113_SQL, "§7 dedup-incremental-calibration"
     ),
     "q106_ann_lsh_recall_audit": QuerySpec(
         q106_ann_lsh_recall_audit, Q106_SQL, "§7 similarity-lsh-audit"

@@ -174,23 +174,21 @@ def main() -> int:
             qnames.insert(0, "q34_ngram_jaccard")
         else:
             row["q34_ngram_jaccard"] = {"skipped": "uncapped candidate count prohibitive (by design)"}
-        # q105 is the loose-θ (0.45) bits=2 RECALL CALIBRATION — its
-        # 4-buckets/table candidate set is ~n²/4 by construction (the
-        # r03-measured ×44: textbook LSH recall/cost extreme, registered
-        # as an audit-scale query; the production plan is q39's auto
-        # bits). The registered q103 fixture splits batch/corpus by
-        # vec_id % 10, so its BATCH grows with the corpus — right for an
-        # SF-proportional driver fixture, wrong as a scale model (r04
-        # rehearsal measured ×30 at ×10 that way): the operator's
-        # contract is a BOUNDED per-ingest batch against a growing
-        # corpus, rehearsed below as q103_fixed_batch_*. Both
-        # SF-proportional forms execute at 1x only, for the record.
+        # q105/q113 are the loose-banding RECALL CALIBRATIONS (bits=2 →
+        # candidates ~n²/4 per table / a corpus-linear scan per ingest —
+        # the r03-measured ×44 and r04-measured ×30: textbook LSH
+        # recall/cost extremes, registered as audit-scale queries; the
+        # production plans are q39/q103 auto-bits). They execute at 1x
+        # only, for the record. The REGISTERED q103 (r05: fixed
+        # 150-vector batch, θ=0.9, auto bits — the production contract)
+        # runs at every scale like any other production query.
+        qnames.append("q103_incremental_embedding_dedup")
         if name == "x1":
-            qnames.append("q103_incremental_embedding_dedup")
             qnames.append("q105_neardup_calibration")
+            qnames.append("q113_incremental_dedup_calibration")
         else:
-            row["q103_incremental_embedding_dedup"] = {"skipped": "SF-proportional fixture (batch grows with corpus); contract rehearsed as q103_fixed_batch_*"}
             row["q105_neardup_calibration"] = {"skipped": "calibration-scale by design (bits=2 → candidates ~n²/4; production form is q39 auto-bits)"}
+            row["q113_incremental_dedup_calibration"] = {"skipped": "calibration-scale by design (corpus-linear scan per ingest + SF-proportional batch; production form is q103 auto-bits)"}
         from citibike_analysis_spark.cache import release_all
 
         for q in qnames:
@@ -256,7 +254,7 @@ def main() -> int:
               "q46_dedup_clusters", "q62_dedup_clusters_star",
               "q39_embedding_near_dup", "q103_incremental_embedding_dedup",
               "q103_fixed_batch_loose", "q103_fixed_batch_auto",
-              "q105_neardup_calibration"]:
+              "q105_neardup_calibration", "q113_incremental_dedup_calibration"]:
         a, b = x1.get(q, {}), x10.get(q, {})
         if "skipped" in b:
             print(f"| {q} | {a.get('sec')}s / {a.get('rows')} rows | SKIPPED ({b['skipped']}) | - |")
