@@ -437,7 +437,12 @@ def _assign_nearest(df: DataFrame, idname: str, vec: str, cents) -> DataFrame:
 
 
 def _train_centroids(
-    c: DataFrame, idname: str, vec: str, k: int, train_iters: int
+    c: DataFrame,
+    idname: str,
+    vec: str,
+    k: int,
+    train_iters: int,
+    objective_out: list | None = None,
 ):
     """Lloyd iterations with driver-held centroids (k × dim doubles — the
     same scale contract as Spark MLlib KMeans centers). Determinism: init
@@ -453,7 +458,13 @@ def _train_centroids(
     source — at corpus scale that turns train_iters+1 full input passes
     into one (MLlib KMeans persists its norm-augmented input for exactly
     this reason). Unpersisted before return; the caller's final emit
-    pass re-reads the source once."""
+    pass re-reads the source once.
+
+    ``objective_out`` (audit hook, q114): when a list is passed, the
+    spherical objective Σ cos(v, c_assigned) of each iteration's
+    assignment is appended to it — one extra k-way-score aggregation
+    per iteration, so it is OFF for the production paths (q76/q77/q49)
+    and on only for the audit query."""
     c = c.persist()
     try:
         centroids = [
@@ -461,6 +472,10 @@ def _train_centroids(
         ]
         for _ in range(train_iters):
             assigned = _assign_nearest(c, idname, vec, centroids)
+            if objective_out is not None:
+                objective_out.append(
+                    assigned.agg(F.sum("_cos")).collect()[0][0]
+                )
             # per-cluster means via posexplode + (cid, pos) agg: measured
             # FASTER than the tempting one-groupBy 64-wide element-wise
             # avg form (2.6 s vs 4.2 s for q76 at sf0.1, same-host A/B —
@@ -515,6 +530,81 @@ def kmeans_clusters(
         F.col("_id").cast("long").alias("vec_id"),
         F.col("cid").cast("long").alias("cid"),
         F.round("_cos", 6).alias("cosine_to_centroid"),
+    )
+
+
+def kmeans_audit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    train_iters: int = 4,
+) -> DataFrame:
+    """Driver-verifiable correctness audit of :func:`kmeans_clusters`
+    (r04 VERDICT #2 — the last rows-only operator family without a
+    hash-green bound audit). One row:
+
+    - ``n_vectors`` — the assignment's row count, which the oracle
+      states exactly as ``count(*)`` of the corpus: every vector is
+      assigned exactly once (a dropped or duplicated row breaks it);
+    - ``assignments_are_argmax`` — each vector's assigned-centroid
+      cosine is within 1e-6 of the max cosine over ALL trained
+      centroids, recomputed here with the plain :func:`cosine` formula
+      against the raw centroid vectors (an independent path from
+      ``_assign_nearest``'s projected-norm argmax trick — so a bug in
+      that optimization breaks the boolean). The 1e-6 slack covers the
+      two formulas' float noise, not a semantic gap;
+    - ``cosine_matches_recompute`` — the emitted per-vector
+      ``cosine_to_centroid`` equals the recomputed cosine to the
+      assigned centroid within 1e-6 (the emitted value is rounded to
+      6 decimals);
+    - ``objective_nondecreasing`` — the spherical objective
+      Σ cos(v, c) after each Lloyd assignment never drops by more than
+      1e-6 across training iterations. For mean-update spherical
+      k-means this is the expected Lloyd behavior (measured to hold at
+      sf0.001/0.01/0.1 with the deterministic seed/init), pinned like
+      the q106-q109 recall bounds rather than claimed as a theorem —
+      the update step uses the RAW-vector mean (MLlib convention),
+      which maximizes the objective only approximately when member
+      norms differ.
+
+    Cost shape: one training run (identical to the operator) plus one
+    per-iteration scalar aggregation and one k-way rescoring pass —
+    audit-scale, like q106-q112.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    history: list = []
+    cents = _train_centroids(c, "_id", "_v", k, train_iters, objective_out=history)
+    assigned = _assign_nearest(c, "_id", "_v", cents)
+    cent_frame = _cent_df(c.sparkSession, cents).withColumnsRenamed(
+        {"cid": "_cid2"}
+    )
+    rescored = (
+        assigned.crossJoin(F.broadcast(cent_frame))
+        .withColumn("_d2", cosine(F.col("_v"), F.col("_cvec")))
+        .groupBy("_id")
+        .agg(
+            F.any_value("_cos").alias("_cos"),
+            F.max("_d2").alias("_best"),
+            F.max(F.when(F.col("cid") == F.col("_cid2"), F.col("_d2"))).alias(
+                "_at_assigned"
+            ),
+        )
+    )
+    nondec = all(
+        b >= a - 1e-6 for a, b in zip(history, history[1:])
+    )
+    return rescored.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.bool_and(F.col("_cos") >= F.col("_best") - F.lit(1e-6)).alias(
+            "assignments_are_argmax"
+        ),
+        F.bool_and(
+            F.abs(F.col("_cos") - F.col("_at_assigned")) <= F.lit(1e-6)
+        ).alias("cosine_matches_recompute"),
+        F.lit(nondec).alias("objective_nondecreasing"),
     )
 
 

@@ -768,6 +768,35 @@ FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
 
 
 # --------------------------------------------------------------------------
+# q114 — k-means correctness audit (r04 VERDICT #2): the one remaining
+# rows-only operator family (q76) gains a driver-hash-green bound audit
+# like q106-q112. Emits the exact assignment row count (the oracle
+# states count(*) — every vector assigned exactly once) plus three
+# booleans: assignment-is-argmax vs an independent plain-cosine
+# recompute over all trained centroids, emitted-cosine-matches-
+# recompute, and per-iteration objective monotonicity (measured stable
+# at every SF with the deterministic init; see kmeans_audit's
+# docstring for why it is pinned-measured, not claimed as a theorem).
+# Parameters match the q76 registration (k=8, 3 Lloyd iterations).
+# --------------------------------------------------------------------------
+
+def q114_kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.similarity import kmeans_audit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_audit(e, "vec_id", "embedding", k=8, train_iters=3)
+
+
+Q114_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       true AS assignments_are_argmax,
+       true AS cosine_matches_recompute,
+       true AS objective_nondecreasing
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
 # q40 — scalable ntile (approx-quantile bucketing; SURVEY.md §7 "scale
 # redesign of global windows"), registered as its DIVERGENCE AUDIT so
 # the driver can hash-verify it (r03 VERDICT #3): per exact TIES-HIGH
@@ -2774,6 +2803,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q113_incremental_dedup_calibration": QuerySpec(
         q113_incremental_dedup_calibration, Q113_SQL, "§7 dedup-incremental-calibration"
+    ),
+    "q114_kmeans_audit": QuerySpec(
+        q114_kmeans_audit, Q114_SQL, "§7 embedding-clustering-audit"
     ),
     "q106_ann_lsh_recall_audit": QuerySpec(
         q106_ann_lsh_recall_audit, Q106_SQL, "§7 similarity-lsh-audit"

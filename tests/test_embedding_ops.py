@@ -189,3 +189,35 @@ class TestIncrementalEmbeddingDedup:
         )
         out = incremental_embedding_dedup(batch, corpus, dim=8)
         assert out.count() == 2
+
+
+class TestKMeansAudit:
+    def test_audit_booleans_hold(self, spark, emb):
+        # the q114 driver audit: assignment is argmax vs an independent
+        # plain-cosine recompute, emitted cosine matches, objective
+        # non-decreasing across Lloyd iterations, every vector assigned
+        from citibike_analysis_spark.operators.similarity import kmeans_audit
+
+        row = kmeans_audit(emb, k=4, train_iters=3).collect()[0]
+        assert row["n_vectors"] == emb.count()
+        assert row["assignments_are_argmax"]
+        assert row["cosine_matches_recompute"]
+        assert row["objective_nondecreasing"]
+
+    def test_objective_history_is_recorded(self, spark, emb):
+        from citibike_analysis_spark.operators.similarity import (
+            _train_centroids,
+            as_double,
+        )
+
+        c = emb.select(
+            F.col("vec_id").alias("_id"), as_double(F.col("embedding")).alias("_v")
+        )
+        hist: list = []
+        _train_centroids(c, "_id", "_v", 4, train_iters=3, objective_out=hist)
+        assert 1 <= len(hist) <= 3  # fixpoint early-stop may shorten it
+        assert all(isinstance(x, float) for x in hist)
+        # production path records nothing extra
+        hist2: list = []
+        _train_centroids(c, "_id", "_v", 4, train_iters=1, objective_out=hist2)
+        assert len(hist2) == 1
