@@ -1929,3 +1929,69 @@ QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# q115 — partition-pruned date-range scan (r04 VERDICT #6): the §4
+# "partition pruning — free once the layout exists" claim, previously
+# pytest-only, exercised by a REGISTERED query. The events fact is
+# written date-partitioned (write_parquet_partitioned — the layout a
+# 100 TB deployment maintains once), then a 3-day range query reads it
+# back: the date predicate is a partition filter, so the scan lists and
+# reads exactly 3 day-directories regardless of table size
+# (tests/test_plans.py asserts the pushed PartitionFilters and the
+# pruned file count in the physical plan). The oracle states the same
+# aggregation over the UNPARTITIONED events view with the equivalent
+# date predicate — a full layout round-trip check: a partitioning bug
+# that drops, duplicates, or mis-buckets rows breaks the hash. The
+# layout is rebuilt per call into a deterministic temp dir (overwrite
+# mode) so repeated runs don't accumulate files.
+# --------------------------------------------------------------------------
+
+_Q115_LO, _Q115_HI = "2024-01-10", "2024-01-12"
+
+
+def q115_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/q115_events_by_day_{tag}"
+
+
+def q115_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.sources.files import write_parquet_partitioned
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    path = q115_layout_path(sf_dir)
+    write_parquet_partitioned(e, path, ["event_date"])
+    back = spark.read.parquet(path).filter(
+        (F.col("event_date") >= F.lit(_Q115_LO))
+        & (F.col("event_date") <= F.lit(_Q115_HI))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+Q115_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_Q115_LO}' AND DATE '{_Q115_HI}'
+GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "q115_partition_pruned_events": QuerySpec(
+            q115_partition_pruned_events, Q115_SQL, "§4 partition-pruning S-ext"
+        ),
+    }
+)

@@ -231,3 +231,36 @@ def test_sampling_and_budget_queries_have_scale_shapes(spark):
     plan = _plan(SPECS["q63_decontaminate"].fn(spark, SF001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q115_partition_filter_prunes_the_scan(spark):
+    # r04 VERDICT #6: the date predicate must reach the FileSourceScan
+    # as a PartitionFilter (directory-listing-level pruning), and the
+    # scan must touch only the 3 matching day-directories — not the
+    # whole 30-day layout
+    from citibike_analysis_spark.plans.relational import (
+        _Q115_HI,
+        _Q115_LO,
+        q115_layout_path,
+        q115_partition_pruned_events,
+    )
+
+    df = q115_partition_pruned_events(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_date" in pf
+
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(q115_layout_path("/root/testdata/sf0.001")).filter(
+        (F.col("event_date") >= F.lit(_Q115_LO))
+        & (F.col("event_date") <= F.lit(_Q115_HI))
+    )
+    # inputFiles() reflects the PRE-pruning file index; input_file_name()
+    # reflects what the pruned scan actually reads
+    read_files = [
+        r[0] for r in back.select(F.input_file_name()).distinct().collect()
+    ]
+    days = {f.split("event_date=")[1].split("/")[0] for f in read_files}
+    assert days == {"2024-01-10", "2024-01-11", "2024-01-12"}
