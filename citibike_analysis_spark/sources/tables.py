@@ -5,13 +5,17 @@ Design rules (SURVEY.md §1.3): explicit, centralized schema knowledge; no
 (TIMESTAMP_NTZ) so results are independent of the session timezone and
 bit-compatible with the DuckDB oracle.
 
-The one real wrinkle: ``events.parquet`` stores ``ts`` as parquet
-TIMESTAMP(NANOS,false), which Spark's vectorized reader rejects
-([PARQUET_TYPE_ILLEGAL]). With ``spark.sql.legacy.parquet.nanosAsLong``
-we read the raw int64 nanoseconds and convert to TIMESTAMP_NTZ with exact
-integer arithmetic (no double round-trips: a double cannot represent
-~1.7e18 exactly, so ``floor(ns/1e9)`` computed in doubles can mis-bucket).
-DuckDB truncates ns → µs on read; ``ns div 1000`` truncates identically.
+The one real wrinkle: ``events.parquet``'s timestamp storage has varied
+across testdata generations — parquet TIMESTAMP(NANOS,false) (which
+Spark's vectorized reader rejects with [PARQUET_TYPE_ILLEGAL] unless
+``spark.sql.legacy.parquet.nanosAsLong`` degrades it to int64) and plain
+timestamp[us] (read natively as TIMESTAMP_NTZ). ``_read_events``
+dispatches on the RESOLVED dtype and materializes the same two columns
+either way: ``ts`` (TIMESTAMP_NTZ wall-clock) and ``ts_ns`` (exact int64
+epoch-nanoseconds, integer arithmetic only — a double cannot represent
+~1.7e18 exactly, so ``floor(ns/1e9)`` computed in doubles can
+mis-bucket). DuckDB truncates ns → µs on read; ``ns div 1000``
+truncates identically, so oracle parity holds under both conventions.
 """
 
 from __future__ import annotations
@@ -58,38 +62,52 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     Keeps ``ts_ns`` (int64 nanoseconds since epoch) alongside the converted
     ``ts``: bucket arithmetic (15-min rollups etc.) on the integer column
     is exact and shuffles 8 bytes instead of a timestamp.
+
+    Dispatch is on the RESOLVED Spark dtype of ``ts``, not try/except:
+    earlier testdata stored parquet TIMESTAMP(NANOS,false) (readable only
+    as int64 via ``nanosAsLong``), current testdata stores timestamp[us]
+    (read natively as TIMESTAMP_NTZ). The old try/except shape silently
+    routed the native-NTZ case through a pyarrow DRIVER-side decode on
+    every load — unbounded driver memory at real scale, and its
+    ``astype("int64")`` produced µs mislabeled as ns when pandas kept a
+    datetime64[us] dtype. Unknown dtypes now raise instead of limping.
     """
     try:
         spark.conf.set(_NANOS_CONF, "true")
     except Exception:
         pass
-    try:
-        raw = spark.read.parquet(path)
-        raw.schema  # force schema resolution to surface PARQUET_TYPE_ILLEGAL
-        return raw.select(
-            "event_id",
-            F.col("ts").alias("ts_ns"),
-            ns_long_to_ntz("ts").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+    raw = spark.read.parquet(path)
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        # nanosAsLong applied: raw int64 ns; exact integer conversion
+        ts_ns = F.col("ts")
+        ts = ns_long_to_ntz("ts")
+    elif ts_type in ("timestamp_ntz", "timestamp"):
+        # native µs read; epoch-micros via NTZ-to-NTZ diff is exact and
+        # independent of the session timezone
+        ts = F.col("ts").cast("timestamp_ntz")
+        ts_ns = (
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+                "cast(ts as timestamp_ntz))"
+            )
+            * F.lit(1000)
+        ).cast("long")
+    else:
+        raise TypeError(
+            f"events.ts resolved as {ts_type}; expected bigint (nanosAsLong) "
+            "or timestamp[_ntz] — refusing to guess the epoch unit"
         )
-    except Exception:
-        # Fallback when the conf is static on this build: decode via Arrow
-        # on the driver. Only viable at test scale; the native path above is
-        # the production one.
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(path)
-        pdf = tbl.to_pandas()
-        pdf["ts_ns"] = pdf["ts"].astype("int64")
-        pdf["ts"] = pdf["ts"].dt.floor("us")
-        df = spark.createDataFrame(pdf)
-        return df.select(
-            "event_id", "ts_ns", F.col("ts").cast("timestamp_ntz").alias("ts"),
-            "user_id", "event_type", "value", "props",
-        )
+    return raw.select(
+        "event_id",
+        ts_ns.alias("ts_ns"),
+        ts.alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -195,3 +195,60 @@ def test_sharded_writer_bounds_and_manifest(spark, tmp):
     assert persisted.count() == len(rows)
     # round-trip intact
     assert spark.read.parquet(f"{tmp}/shards").count() == 1000
+
+
+def test_events_reader_native_dispatch(spark, tmp):
+    """events loads through the JVM scan (no driver-side pyarrow decode)
+    for both storage conventions, with ts_ns exact epoch units.
+
+    Regression: the old try/except reader routed timestamp[us] parquet —
+    the current testdata layout — through a pyarrow DRIVER decode on
+    every load, and its pandas astype("int64") emitted µs mislabeled as
+    ns when pandas preserved a datetime64[us] dtype.
+    """
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from citibike_analysis_spark.sources.tables import load_table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0, 250_000)
+    rows = {
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array(
+            [base, base + datetime.timedelta(seconds=90)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    pq.write_table(pa.table(rows), os.path.join(tmp, "events.parquet"))
+
+    df = load_table(spark, tmp, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(df.dtypes)["ts_ns"] == "bigint"
+    # the plan must be a parquet scan, not a parallelized local collection
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan, plan
+    got = {r.event_id: r for r in df.collect()}
+    # wall-clock preserved; ts_ns is exact integer nanoseconds since epoch
+    assert got[0].ts == base
+    expected_ns = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) * 1_000_000
+    assert got[0].ts_ns == expected_ns
+    assert got[1].ts_ns - got[0].ts_ns == 90 * 1_000_000_000
+
+    # int64-nanos convention (legacy TIMESTAMP(NANOS) via nanosAsLong):
+    # same contract when ts resolves as bigint
+    ns_dir = os.path.join(tmp, "ns")
+    os.makedirs(ns_dir)
+    ns_rows = dict(rows)
+    ns_rows["ts"] = pa.array([expected_ns, expected_ns + 90 * 10**9], pa.int64())
+    pq.write_table(pa.table(ns_rows), os.path.join(ns_dir, "events.parquet"))
+    df2 = load_table(spark, ns_dir, "events")
+    got2 = {r.event_id: r for r in df2.collect()}
+    assert got2[0].ts == base and got2[0].ts_ns == expected_ns
+    assert dict(df2.dtypes)["ts"] == "timestamp_ntz"
