@@ -199,17 +199,26 @@ def default_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
         img.save(out, format="PNG")
         return out.getvalue()
     if payload.startswith(b"P6"):
-        import numpy as np
-
-        pix, w, h = ppm_decode(payload)
-        # nearest-neighbor index map — deterministic, codec-free
-        rows = (np.arange(height) * h // height).astype(np.int64)
-        cols = (np.arange(width) * w // width).astype(np.int64)
-        return ppm_encode(pix[rows][:, cols])
+        return ppm_resize(payload, width, height)
     raise NotImplementedError(
         "no PIL in this environment and the payload is not binary PPM; "
         "inject resize=... with a real codec"
     )
+
+
+def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Pure-numpy nearest-neighbor resize for binary-PPM payloads — the
+    codec-free branch of :func:`default_resize_kernel`, callable directly
+    when deterministic pixel mapping is required regardless of whether
+    PIL is importable (PIL's default resample is not nearest-neighbor).
+    """
+    import numpy as np
+
+    pix, w, h = ppm_decode(payload)
+    # nearest-neighbor index map — deterministic, codec-free
+    rows = (np.arange(height) * h // height).astype(np.int64)
+    cols = (np.arange(width) * w // width).astype(np.int64)
+    return ppm_encode(pix[rows][:, cols])
 
 
 def resize_images(

@@ -272,6 +272,9 @@ def lsh_topk(
 #: rides the persisted index and is verified at probe time.
 _SIG_CONVENTION = "arrow-matmul-v2"
 
+#: catalog property carrying the stamp on persisted LSH index tables
+_STAMP_PROP = "cbs.lsh.stamp"
+
 
 def _index_stamp(bits: int, tables: int, dim: int, seed: int) -> str:
     """Stable fingerprint of everything that determines bucket keys:
@@ -316,10 +319,19 @@ def build_lsh_index(
         _planes_frame(corpus.sparkSession, bits, tables, dim, seed),
         bits,
         tables,
-    ).withColumn("_stamp", F.lit(_index_stamp(bits, tables, dim, seed)))
+    )
     from citibike_analysis_spark.sources.bucketed import write_bucketed
 
     write_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
+    # stamp at TABLE altitude, not per row: a constant column costs index
+    # bytes per (vector × table) row and a limit-1 Spark job per probe,
+    # and an EMPTY index would vacuously pass a row-level check (review
+    # finding); a catalog property is one metadata write, probe-verified
+    # with a pure catalog read
+    corpus.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{_STAMP_PROP}' = '{_index_stamp(bits, tables, dim, seed)}')"
+    )
 
 
 def lsh_index_topk(
@@ -339,29 +351,41 @@ def lsh_index_topk(
     (pytest-pinned); only the probe set pays the sign-bit computation.
 
     The index's sign-convention/parameter stamp is verified before
-    probing (one limit-1 scan of the bucketed table): an index built
-    under a different convention or (bits, tables, dim, seed) would
-    silently lose candidates (sign bits differ → probes land in the
-    wrong buckets), so a mismatch — or a pre-stamp index — raises with
-    a rebuild instruction instead (r04 ADVICE).
+    probing (a pure catalog read — no Spark job): an index built under
+    a different convention or (bits, tables, dim, seed) would silently
+    lose candidates (sign bits differ → probes land in the wrong
+    buckets), so a mismatch — or an unstamped index, including an EMPTY
+    one — raises with a rebuild instruction instead (r04 ADVICE; moved
+    from a per-row column to a table property in r05).
     """
     idx = spark.table(table)
     expect = _index_stamp(bits, tables, dim, seed)
-    if "_stamp" not in idx.columns:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    got = props.get(_STAMP_PROP)
+    if got is None and "_stamp" in idx.columns:
+        # r04-built index: stamp rode as a per-row column; honor it (an
+        # empty legacy index has no row to vouch for its convention and
+        # falls through to the rebuild error below)
+        first = idx.select("_stamp").first()
+        got = first["_stamp"] if first is not None else None
+    if got is None:
         raise ValueError(
             f"LSH index table {table!r} has no signature stamp — it was "
             "built before the sign-convention versioning (or not by "
             "build_lsh_index); rebuild it with build_lsh_index"
         )
-    first = idx.select("_stamp").first()
-    if first is not None and first["_stamp"] != expect:
+    if got != expect:
         raise ValueError(
             f"LSH index table {table!r} was built under stamp "
-            f"{first['_stamp']} but this probe computes {expect} "
+            f"{got} but this probe computes {expect} "
             "(different sign convention or bits/tables/dim/seed) — "
             "rebuild the index with build_lsh_index at these parameters"
         )
-    idx = idx.drop("_stamp")
+    if "_stamp" in idx.columns:
+        idx = idx.drop("_stamp")
     q = _bucketize(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")

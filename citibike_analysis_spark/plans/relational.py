@@ -1950,13 +1950,23 @@ QUERIES.update(
 
 _Q115_LO, _Q115_HI = "2024-01-10", "2024-01-12"
 
+# per-PROCESS uniquifier: the layout dir is internal to the query (the
+# oracle reads the unpartitioned view), but a world-shared fixed path
+# raced when two processes (driver sweep + bench/pytest) rebuilt it with
+# mode("overwrite") concurrently — one side's scan could list day
+# directories the other side was deleting (review finding). Within a
+# process repeated calls still reuse one dir, so runs don't accumulate.
+import uuid as _uuid
+
+_Q115_RUN_TAG = _uuid.uuid4().hex[:8]
+
 
 def q115_layout_path(sf_dir: str) -> str:
     import hashlib
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return f"{tempfile.gettempdir()}/q115_events_by_day_{tag}"
+    return f"{tempfile.gettempdir()}/q115_events_by_day_{tag}_{_Q115_RUN_TAG}"
 
 
 def q115_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:

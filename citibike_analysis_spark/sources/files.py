@@ -175,6 +175,21 @@ def _parquet_footer_rows(uri: str) -> int:
     return pq.ParquetFile(uri).metadata.num_rows
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """``(FileSystem, Path, PathClass)`` for ``path`` via the session's
+    Hadoop configuration — the one py4j Hadoop-FS construction, shared by
+    the streaming snapshot swap/recovery and the admission marker so an
+    FS-behavior fix (scheme resolution, credentials) lands once (review
+    finding: three inline copies had grown in the streaming package).
+    ``PathClass`` lets callers build sibling paths (staging/old) against
+    the same filesystem."""
+    jvm = spark.sparkContext._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    jpath = path_cls(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath, path_cls
+
+
 def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """``spark.read.parquet(path)``, or ``None`` when the path does not
     exist yet / holds no files — and ONLY then. Any other analysis

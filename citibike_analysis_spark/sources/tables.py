@@ -82,18 +82,28 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         # nanosAsLong applied: raw int64 ns; exact integer conversion
         ts_ns = F.col("ts")
         ts = ns_long_to_ntz("ts")
-    elif ts_type in ("timestamp_ntz", "timestamp"):
+    elif ts_type == "timestamp_ntz":
         # native µs read; epoch-micros via NTZ-to-NTZ diff is exact and
         # independent of the session timezone
-        ts = F.col("ts").cast("timestamp_ntz")
+        ts = F.col("ts")
         ts_ns = (
             F.expr(
                 "timestampdiff(MICROSECOND, "
-                "TIMESTAMP_NTZ'1970-01-01 00:00:00', "
-                "cast(ts as timestamp_ntz))"
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
             )
             * F.lit(1000)
         ).cast("long")
+    elif ts_type == "timestamp":
+        # LTZ (isAdjustedToUTC parquet, or inferTimestampNTZ off):
+        # unix_micros extracts the exact UTC epoch instant with NO session
+        # timezone dependence, and the NTZ wall-clock is rebuilt from it —
+        # a cast(LTZ as timestamp_ntz) would instead render the SESSION
+        # zone's wall clock and silently shift every downstream bucket
+        ts = F.expr(
+            "timestampadd(MICROSECOND, unix_micros(ts), "
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        )
+        ts_ns = (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
     else:
         raise TypeError(
             f"events.ts resolved as {ts_type}; expected bigint (nanosAsLong) "

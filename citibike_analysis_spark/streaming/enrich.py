@@ -212,39 +212,41 @@ def start_admission(
 
     Returns the started ``StreamingQuery``.
     """
+    from citibike_analysis_spark.sources.files import hadoop_fs
+
     hashed = (
         docs.withColumn("_content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_hash"])
     )
     corpus_seen = {"flag": False}
+    marker_durable = {"flag": False}
     marker = (
         f"{checkpoint_dir.rstrip('/')}/_corpus_seen"
         if checkpoint_dir is not None
         else None
     )
 
-    def _hadoop_path(spark, p: str):
-        jvm = spark.sparkContext._jvm
-        path = jvm.org.apache.hadoop.fs.Path(p)
-        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        return fs, path
-
     def _seen(spark) -> bool:
         if corpus_seen["flag"]:
             return True
         if marker is None:
             return False
-        fs, path = _hadoop_path(spark, marker)
+        fs, path, _ = hadoop_fs(spark, marker)
         return bool(fs.exists(path))
 
     def _mark(spark) -> None:
         corpus_seen["flag"] = True
-        if marker is None:
+        if marker is None or marker_durable["flag"]:
+            # short-circuit once the marker is known written: without it
+            # every corpus-readable micro-batch — the hot path — paid a
+            # NameNode/object-store existence RPC for a file created in
+            # batch 1 and never changed (review finding)
             return
-        fs, path = _hadoop_path(spark, marker)
+        fs, path, _ = hadoop_fs(spark, marker)
         if not fs.exists(path):
             fs.create(path, True).close()
+        marker_durable["flag"] = True
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():

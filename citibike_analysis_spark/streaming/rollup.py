@@ -144,7 +144,10 @@ def upsert_station_dimension(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    from citibike_analysis_spark.sources.files import read_parquet_if_exists
+    from citibike_analysis_spark.sources.files import (
+        hadoop_fs,
+        read_parquet_if_exists,
+    )
 
     _recover_snapshot(spark, snapshot_path)
     existing = read_parquet_if_exists(spark, snapshot_path)
@@ -171,10 +174,7 @@ def upsert_station_dimension(
     staging = snapshot_path.rstrip("/") + "__staging"
     old = snapshot_path.rstrip("/") + "__old"
     merged.write.mode("overwrite").parquet(staging)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(snapshot_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    dst = hpath(snapshot_path)
+    fs, dst, hpath = hadoop_fs(spark, snapshot_path)
     if fs.exists(hpath(old)):
         fs.delete(hpath(old), True)
     if fs.exists(dst) and not fs.rename(dst, hpath(old)):
@@ -194,10 +194,9 @@ def _recover_snapshot(spark, snapshot_path: str) -> None:
     the renamed-aside previous snapshot. If the live path exists, any
     leftover ``__old`` is stale and is removed.
     """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(snapshot_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    dst = hpath(snapshot_path)
+    from citibike_analysis_spark.sources.files import hadoop_fs
+
+    fs, dst, hpath = hadoop_fs(spark, snapshot_path)
     staging = hpath(snapshot_path.rstrip("/") + "__staging")
     old = hpath(snapshot_path.rstrip("/") + "__old")
     if fs.exists(dst):

@@ -200,20 +200,32 @@ def main() -> int:
 
         for q in qnames:
             runs, rows_out = [], None
-            for _ in range(2):
-                # per-rep isolation (r04 review): without it, rep 2
-                # plan-matches rep 1's persisted intermediates (reports
-                # a cache-hit, not steady-state compute) and earlier
-                # queries' persisted/checkpoint blocks bleed GC pressure
-                # into later growth ratios — the very numbers this
-                # script exists to measure
-                spark.catalog.clearCache()
-                release_all()
-                t0 = time.perf_counter()
-                out = specs[q].fn(spark, d)
-                rows_out = out.count()
-                runs.append(round(time.perf_counter() - t0, 2))
-            row[q] = {"sec": min(runs), "rows": rows_out}
+            try:
+                for _ in range(2):
+                    # per-rep isolation (r04 review): without it, rep 2
+                    # plan-matches rep 1's persisted intermediates (reports
+                    # a cache-hit, not steady-state compute) and earlier
+                    # queries' persisted/checkpoint blocks bleed GC pressure
+                    # into later growth ratios — the very numbers this
+                    # script exists to measure
+                    spark.catalog.clearCache()
+                    release_all()
+                    t0 = time.perf_counter()
+                    out = specs[q].fn(spark, d)
+                    rows_out = out.count()
+                    runs.append(round(time.perf_counter() - t0, 2))
+                row[q] = {"sec": min(runs), "rows": rows_out}
+            except Exception as exc:  # noqa: BLE001 - record, keep measuring
+                # one query blowing the heap must not discard the decade's
+                # remaining measurements (r05: q62 OOMed the x100 run);
+                # cleanup itself may fail on a dead gateway — ignore, the
+                # next query's attempt will surface a truly dead JVM
+                row[q] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+                try:
+                    spark.catalog.clearCache()
+                    release_all()
+                except Exception:
+                    pass
             print(json.dumps({"scale": name, "query": q, **row[q]}), flush=True)
 
         # incremental admission under its actual contract: a FIXED
@@ -242,15 +254,23 @@ def main() -> int:
                 row[label] = {"skipped": "loose banding is corpus-linear per ingest (calibration-only); economics pinned at x1/x10"}
                 continue
             runs, rows_out = [], None
-            for _ in range(2):
-                spark.catalog.clearCache()
-                release_all()
-                t0 = time.perf_counter()
-                rows_out = incremental_embedding_dedup(
-                    fixed_batch, rest, "vec_id", "embedding", **kw
-                ).count()
-                runs.append(round(time.perf_counter() - t0, 2))
-            row[label] = {"sec": min(runs), "rows": rows_out}
+            try:
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    release_all()
+                    t0 = time.perf_counter()
+                    rows_out = incremental_embedding_dedup(
+                        fixed_batch, rest, "vec_id", "embedding", **kw
+                    ).count()
+                    runs.append(round(time.perf_counter() - t0, 2))
+                row[label] = {"sec": min(runs), "rows": rows_out}
+            except Exception as exc:  # noqa: BLE001 - record, keep measuring
+                row[label] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+                try:
+                    spark.catalog.clearCache()
+                    release_all()
+                except Exception:
+                    pass
             print(json.dumps({"scale": name, "query": label, **row[label]}), flush=True)
         results[name] = row
         print(json.dumps({"scale": name, "pair_economics": {
@@ -273,6 +293,8 @@ def main() -> int:
     def cell(d):
         if "skipped" in d:
             return f"SKIPPED ({d['skipped']})"
+        if "error" in d:
+            return f"ERROR ({d['error']})"
         if not d:
             return "-"
         return f"{d.get('sec')}s / {d.get('rows')} rows"

@@ -71,9 +71,13 @@ def test_frame_sampling_counts_and_cap(spark):
 
 def test_resize_default_kernel_runs_end_to_end_on_ppm(spark):
     # r04 VERDICT #9: the default kernel must run with NO injected code —
-    # PIL when importable, else the pure-numpy binary-PPM path. The
-    # fixture is a 4x2 P6 image with distinct pixel values; nearest-
-    # neighbor downscale to 2x1 must pick rows/cols deterministically.
+    # PIL when importable (PNG out, PIL's own resample), else the
+    # pure-numpy binary-PPM path. This test must stay green in BOTH
+    # environments (review finding: the original version asserted PPM
+    # bytes and exact nearest-neighbor pixels, so merely installing
+    # Pillow would have turned it red), so it branches on importability
+    # and asserts only the per-branch contract; the deterministic pixel
+    # map is pinned by test_ppm_resize_nearest_neighbor_deterministic.
     import numpy as np
 
     from citibike_analysis_spark.operators.multimodal import (
@@ -90,9 +94,37 @@ def test_resize_default_kernel_runs_end_to_end_on_ppm(spark):
     df = _media(spark, [_img("a", payload, w=4, h=2)])
     out = resize_images(df, 2, 1).collect()[0]
     assert (out["meta"]["width"], out["meta"]["height"]) == (2, 1)
-    rp, rw, rh = ppm_decode(bytes(out["payload"]))
+    raw = bytes(out["payload"])
+    try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        img = Image.open(io.BytesIO(raw))
+        assert img.size == (2, 1)
+    else:
+        rp, rw, rh = ppm_decode(raw)
+        assert (rw, rh) == (2, 1)
+        # nearest-neighbor with integer map: rows [0], cols [0, 2]
+        assert (rp == pix[[0]][:, [0, 2]]).all()
+
+
+def test_ppm_resize_nearest_neighbor_deterministic():
+    # the codec-free branch, exercised directly so its exact pixel map
+    # stays pinned even in environments where PIL takes the default path
+    import numpy as np
+
+    from citibike_analysis_spark.operators.multimodal import (
+        ppm_decode,
+        ppm_encode,
+        ppm_resize,
+    )
+
+    pix = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    rp, rw, rh = ppm_decode(ppm_resize(ppm_encode(pix), 2, 1))
     assert (rw, rh) == (2, 1)
-    # nearest-neighbor with integer map: rows [0], cols [0, 2]
     assert (rp == pix[[0]][:, [0, 2]]).all()
 
 

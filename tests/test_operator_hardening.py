@@ -223,14 +223,41 @@ def test_lsh_index_probe_rejects_stamp_mismatch(spark):
             lsh_index_topk(
                 spark, "lsh_stamp_test", q, k=2, bits=4, tables=2, dim=4, seed=2
             )
-        # a pre-stamp index (no _stamp column) is also rejected loudly
-        spark.table("lsh_stamp_test").drop("_stamp").write.mode(
-            "overwrite"
-        ).saveAsTable("lsh_prestamp_test")
+        # an unstamped index (no table property, no legacy column — e.g.
+        # written by something other than build_lsh_index) is rejected
+        # loudly; a plain DataFrame rewrite drops table properties
+        spark.table("lsh_stamp_test").write.mode("overwrite").saveAsTable(
+            "lsh_prestamp_test"
+        )
         with pytest.raises(ValueError, match="no signature stamp"):
             lsh_index_topk(
                 spark, "lsh_prestamp_test", q, k=2, bits=4, tables=2, dim=4, seed=1
             )
+        # r04-era index with the stamp as a per-row column still probes
+        # (legacy path), and mismatched parameters are still caught
+        from citibike_analysis_spark.operators.similarity import _index_stamp
+
+        spark.table("lsh_stamp_test").withColumn(
+            "_stamp", F.lit(_index_stamp(4, 2, 4, 1))
+        ).write.mode("overwrite").saveAsTable("lsh_legacy_test")
+        lsh_index_topk(
+            spark, "lsh_legacy_test", q, k=2, bits=4, tables=2, dim=4, seed=1
+        ).collect()
+        with pytest.raises(ValueError, match="rebuild"):
+            lsh_index_topk(
+                spark, "lsh_legacy_test", q, k=2, bits=4, tables=2, dim=4, seed=2
+            )
+        # an EMPTY index cannot vouch for its convention: the r04 row-level
+        # check vacuously passed it (review finding); both forms now raise
+        spark.table("lsh_legacy_test").limit(0).write.mode(
+            "overwrite"
+        ).saveAsTable("lsh_empty_legacy_test")
+        with pytest.raises(ValueError, match="no signature stamp"):
+            lsh_index_topk(
+                spark, "lsh_empty_legacy_test", q, k=2, bits=4, tables=2, dim=4, seed=1
+            )
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_stamp_test")
         spark.sql("DROP TABLE IF EXISTS lsh_prestamp_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_legacy_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_empty_legacy_test")
