@@ -56,6 +56,78 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS — the unigram-feature instantiation): score each RAW-pool
+    document by how much likelier its tokens are under the TARGET
+    domain's language model than under the pool's own,
+
+        ``logratio = mean over occurrences of
+        ln p̂_target(t) − ln p̂_raw(t)``,
+
+    with add-one smoothing over the UNION vocabulary (V = distinct
+    tokens across both sides), so pool-only tokens get a finite target
+    probability. High scores = "looks like the target domain"; the
+    selection step gates on a score percentile (see q116).
+
+    ``target_col`` is a boolean column marking the target-domain sample
+    rows; only pool rows (``NOT target``) are scored and returned.
+    Output: (doc_id, n_tokens, logratio); logratio null for empty pool
+    documents, which the caller's gate drops.
+
+    Scale shape: ONE token explode serves both language models — the
+    per-token aggregation computes target and pool counts as conditional
+    sums in the same map-side partial pass, so the shuffle carries one
+    row per distinct token with two counters, not two token streams.
+    Corpus scalars (N_target, N_raw, V) ride a 1-row broadcast. The
+    re-score join is token-keyed like :func:`unigram_logprob`; nothing
+    collects to the driver.
+    """
+    tk = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(target_col).cast("boolean").alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    freq = tk.groupBy("_t").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_cr"),
+    )
+    totals = freq.agg(
+        F.sum("_ct").alias("_nt"),
+        F.sum("_cr").alias("_nr"),
+        F.count("*").alias("_v"),
+    )  # 1 row: target tokens, raw-pool tokens, union vocabulary size
+    scored = (
+        tk.filter(~F.col("_tgt"))
+        .join(freq, "_t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(
+                F.log((F.col("_ct") + 1) / (F.col("_nt") + F.col("_v")))
+                - F.log((F.col("_cr") + 1) / (F.col("_nr") + F.col("_v")))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        df.filter(~F.col(target_col).cast("boolean"))
+        .select(F.col(id_col).alias("doc_id"))
+        .join(scored, F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round("_lr", 6).alias("logratio"),
+        )
+    )
+
+
 def build_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """Tokenizer vocabulary: every distinct token with its corpus count
     and a dense frequency-rank id (0 = most frequent; ties break on

@@ -219,6 +219,85 @@ def weighted_sample_without_replacement(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    total_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled source mixture: per-stratum keep-fractions
+    computed FROM the data as ``p_s ∝ n_s^alpha`` — the multilingual /
+    multi-source sampling scheme (exponent-smoothed multinomial, the
+    ``alpha``≈0.3–0.7 rule of mBERT/XLM-R-style pretraining mixes) that
+    flattens dominant sources and boosts the tail, totalling
+    ~``total_fraction`` of the corpus. Differs from
+    :func:`weighted_mixture` in that the weights are a corpus STATISTIC,
+    not caller-supplied constants.
+
+    Contract (all integer-derived, so the SQL oracle replays it
+    exactly): ``quota_s = least(n_s, ceil(total_sel · p_s))`` with
+    ``total_sel = ceil(total_fraction · N)``; per-row selection is the
+    same deterministic md5-threshold predicate as
+    :func:`weighted_mixture` at ``fraction = quota_s / n_s`` — a pure
+    narrow filter, so the expected kept count tracks the quota without
+    any per-stratum rank window (no per-group sort, no skew hazard from
+    a giant stratum; the binomial deviation from the exact quota is the
+    price of the scale-clean plan, and callers needing exact counts
+    compose :func:`stratified_fixed_sample` with the quota frame).
+
+    Plan: one tiny per-stratum count aggregation (rows = #strata) +
+    1-row total, broadcast back, narrow filter. The stratum count frame
+    is returned alongside for audit via the second element.
+    """
+    if not 0.0 < total_fraction <= 1.0:
+        raise ValueError(f"total_fraction must be in (0, 1], got {total_fraction}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count("*").alias("_n")
+    )
+    tot = counts.agg(
+        F.sum("_n").alias("_total"), F.sum(F.pow("_n", alpha)).alias("_z")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_quota",
+            F.least(
+                F.col("_n"),
+                F.ceil(
+                    F.ceil(F.lit(total_fraction) * F.col("_total"))
+                    * F.pow("_n", alpha)
+                    / F.col("_z")
+                ),
+            ),
+        )
+        .withColumn(
+            "_thr",
+            F.when(F.col("_quota") >= F.col("_n"), F.lit("g")).otherwise(
+                F.format_string(
+                    "%04x",
+                    F.round(F.col("_quota") / F.col("_n") * 0x10000).cast("int"),
+                )
+            ),
+        )
+        .select("_s", "_quota", "_thr")
+    )
+    key = F.concat_ws(
+        "|", F.col(strata_col).cast("string"), F.col(id_col).cast("string")
+    )
+    full_key = key if not salt else F.concat_ws("|", F.lit(salt), key)
+    return (
+        df.join(
+            F.broadcast(quotas), F.col(strata_col) == F.col("_s"), "inner"
+        )
+        .filter(F.substring(F.md5(full_key), 1, 4) < F.col("_thr"))
+        .drop("_s", "_quota", "_thr")
+    )
+
+
 def weighted_mixture(
     df: DataFrame,
     id_col: str,

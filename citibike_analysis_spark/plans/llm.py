@@ -2717,6 +2717,113 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# q116 — DSIR-style importance resampling (Xie et al. 2023, unigram
+# instantiation): score each raw-pool document by the mean target-vs-pool
+# unigram log-likelihood ratio (add-one smoothing over the union
+# vocabulary), then keep the pool's top decile by score — the
+# "select web data that looks like the target domain" step of
+# pretraining-corpus construction. The cut point is an exact corpus
+# percentile broadcast as one row (the q71 convention); the gate runs
+# on the ROUNDED score on both sides so the boundary cannot drift
+# between engines.
+# --------------------------------------------------------------------------
+
+_Q116_TARGET_SOURCE = "src0"
+
+
+def q116_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.corpus_stats import importance_weights
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_is_target", F.col("source") == _Q116_TARGET_SOURCE
+    )
+    scored = importance_weights(d, "doc_id", "text", "_is_target").filter(
+        F.col("logratio").isNotNull()
+    )
+    cut = scored.agg(F.expr("percentile(logratio, 0.9)").alias("_cut"))
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("logratio") > F.col("_cut"))
+        .select("doc_id", "n_tokens", "logratio")
+    )
+
+
+Q116_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, (source = '{_Q116_TARGET_SOURCE}') AS tgt FROM documents
+), toks AS (
+  SELECT doc_id, tgt, {_DUCK_TOKENS} AS tk FROM docs
+), tkx AS (
+  SELECT doc_id, tgt, unnest(tk) AS t FROM toks
+), freq AS (
+  SELECT t,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+  FROM tkx GROUP BY 1
+), tot AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM freq
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(ln((ct + 1) / CAST(nt + v AS DOUBLE))
+                   - ln((cr + 1) / CAST(nr + v AS DOUBLE))), 6) AS lr
+  FROM tkx JOIN freq USING (t) CROSS JOIN tot
+  WHERE NOT tgt
+  GROUP BY doc_id
+), cut AS (
+  SELECT quantile_cont(lr, 0.9) AS c FROM scored
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       s.lr AS logratio
+FROM scored s CROSS JOIN cut
+WHERE s.lr > cut.c
+"""
+
+
+# --------------------------------------------------------------------------
+# q117 — temperature-scaled source mixture: per-source keep-fractions
+# derived FROM the corpus as n_s^alpha (exponent-smoothed multinomial —
+# the multilingual/multi-source pretraining mix that flattens dominant
+# sources and boosts the tail), realized as the deterministic
+# md5-threshold filter. alpha=0.5 so the power term is an IEEE-exact
+# sqrt on both engines; every other quota input is integer-derived.
+# --------------------------------------------------------------------------
+
+
+def q117_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import temperature_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        d, "doc_id", "source", alpha=0.5, total_fraction=0.5
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "lang"
+    )
+
+
+Q117_SQL = """
+WITH counts AS (
+  SELECT source AS s, count(*) AS n FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS total, sum(pow(n, 0.5)) AS z FROM counts
+), quotas AS (
+  SELECT s, n,
+         least(n, CAST(ceil(ceil(0.5 * total) * pow(n, 0.5) / z) AS BIGINT)) AS quota
+  FROM counts CROSS JOIN tot
+), thr AS (
+  SELECT s,
+         CASE WHEN quota >= n THEN 'g'
+              ELSE printf('%04x', CAST(round(quota / CAST(n AS DOUBLE) * 65536) AS INT))
+         END AS t
+  FROM quotas
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang
+FROM documents d JOIN thr ON d.source = thr.s
+WHERE substr(md5(concat_ws('|', d.source, d.doc_id)), 1, 4) < thr.t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -2827,5 +2934,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q112_simhash_identity_audit": QuerySpec(
         q112_simhash_identity_audit, Q112_SQL, "§7 dedup-simhash-audit"
+    ),
+    "q116_importance_resample": QuerySpec(
+        q116_importance_resample, Q116_SQL, "§7 sampling-importance"
+    ),
+    "q117_temperature_mixture": QuerySpec(
+        q117_temperature_mixture, Q117_SQL, "§7 sampling-temperature"
     ),
 }

@@ -987,3 +987,100 @@ class TestWeightedSample:
             ).collect()
         }
         assert a == b == {0, 4}
+
+
+class TestImportanceWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        # target domain speaks "alpha beta"; pool doc 1 mimics it, pool
+        # doc 2 speaks unrelated tokens — the DSIR logratio must rank
+        # doc 1 above doc 2, and only POOL docs come back
+        from citibike_analysis_spark.operators.corpus_stats import (
+            importance_weights,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta alpha beta alpha", True),
+                (1, "alpha beta alpha", False),
+                (2, "zeta eta theta iota", False),
+                (3, "", False),
+            ],
+            "doc_id: long, text: string, is_target: boolean",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in importance_weights(df, "doc_id", "text", "is_target").collect()
+        }
+        assert set(out) == {1, 2, 3}  # target row 0 is never scored
+        assert out[1]["logratio"] > out[2]["logratio"]
+        # empty pool doc: zero tokens, null score (gate-droppable)
+        assert out[3]["n_tokens"] == 0 and out[3]["logratio"] is None
+
+    def test_smoothing_matches_hand_computation(self, spark):
+        # one-token corpus keeps the closed form checkable by hand:
+        # target = "a", pool doc = "b". V=2, N_t=1, N_r=1.
+        # p_t(b) = (0+1)/(1+2) = 1/3; p_r(b) = (1+1)/(1+2) = 2/3;
+        # logratio = ln(1/3) - ln(2/3) = -ln 2
+        import math
+
+        from citibike_analysis_spark.operators.corpus_stats import (
+            importance_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a", True), (1, "b", False)],
+            "doc_id: long, text: string, is_target: boolean",
+        )
+        row = importance_weights(df, "doc_id", "text", "is_target").collect()[0]
+        assert row["doc_id"] == 1
+        assert row["logratio"] == pytest.approx(-math.log(2), abs=1e-6)
+
+
+class TestTemperatureMixture:
+    def test_tail_boosted_head_flattened(self, spark):
+        # 400 docs of src "big", 16 of "small"; alpha=0.5 gives the
+        # small source a keep-fraction ~sqrt-proportionally LARGER than
+        # the big one — the whole point of temperature sampling
+        from citibike_analysis_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        rows = [(i, "big") for i in range(400)] + [
+            (1000 + i, "small") for i in range(16)
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, source: string")
+        kept = temperature_mixture(
+            df, "doc_id", "source", alpha=0.5, total_fraction=0.5
+        )
+        frac = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        big_frac = frac.get("big", 0) / 400
+        small_frac = frac.get("small", 0) / 16
+        # quotas: total_sel=208, z=sqrt(400)+sqrt(16)=24 → big 174/400
+        # (~0.43), small capped at 16/16 (=1.0, kept whole)
+        assert small_frac == 1.0
+        assert 0.3 < big_frac < 0.6
+        assert small_frac > big_frac
+
+    def test_deterministic_and_validates(self, spark):
+        from citibike_analysis_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(90)], "doc_id: long, source: string"
+        )
+        a = {r["doc_id"] for r in
+             temperature_mixture(df, "doc_id", "source").collect()}
+        b = {r["doc_id"] for r in
+             temperature_mixture(df.repartition(7), "doc_id", "source").collect()}
+        assert a == b  # pure function of row identity
+        c = {r["doc_id"] for r in
+             temperature_mixture(df, "doc_id", "source", salt="x").collect()}
+        assert c != a  # independent draw per salt
+        with pytest.raises(ValueError, match="total_fraction"):
+            temperature_mixture(df, "doc_id", "source", total_fraction=0.0)
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mixture(df, "doc_id", "source", alpha=0.0)
