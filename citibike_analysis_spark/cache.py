@@ -154,12 +154,20 @@ def cache_scope():
     try:
         yield
     finally:
-        stack.remove(mine)
+        # pop by IDENTITY, never list.remove(): remove() matches by VALUE
+        # equality, and two empty scope lists compare equal — a nested
+        # empty scope would remove the OUTER scope's list, stranding its
+        # later track() frames in a dead list and raising ValueError at
+        # the outer exit (review finding)
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] is mine:
+                del stack[i]
+                break
         with _lock:
             for df in mine:
-                try:
-                    _LIVE.remove(df)
-                except ValueError:
-                    pass  # already drained by release_all
+                for j in range(len(_LIVE) - 1, -1, -1):
+                    if _LIVE[j] is df:  # identity, same reasoning
+                        del _LIVE[j]
+                        break
         for df in mine:
             _release(df)

@@ -107,8 +107,12 @@ def asof_join(
 
     if tolerance_seconds is not None:
         # interval comparison (not epoch math): works for TIMESTAMP_NTZ and
-        # is immune to session-timezone/DST reinterpretation
-        tol_iv = F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+        # is immune to session-timezone/DST reinterpretation. Microsecond
+        # granularity — int(tolerance) SECOND silently truncated
+        # fractional tolerances to 0 (review finding)
+        tol_iv = F.expr(
+            f"INTERVAL {int(round(tolerance_seconds * 1_000_000))} MICROSECOND"
+        )
         in_tol = F.col("__ts") <= F.col(_PAYLOAD)[right_ts] + tol_iv
         matched = matched.withColumn(
             _PAYLOAD, F.when(in_tol, F.col(_PAYLOAD))
@@ -125,12 +129,24 @@ def asof_join(
     )
 
 
-def _bucket_of(ts: F.Column, width_seconds: int) -> F.Column:
-    """Integer time bucket: floor(seconds-since-epoch / width). Computed
-    via interval arithmetic so it works for TIMESTAMP_NTZ (which cannot
-    cast to numeric) without any session-timezone dependence."""
-    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    secs = (ts.cast("timestamp_ntz") - epoch).cast("long")
+def _bucket_of(
+    ts: F.Column, width_seconds: int, ts_type: str = "timestamp_ntz"
+) -> F.Column:
+    """Integer time bucket: floor(seconds-since-epoch / width).
+
+    TIMESTAMP_NTZ buckets via NTZ interval arithmetic (NTZ cannot cast
+    to numeric). TIMESTAMP (LTZ) buckets via ``unix_micros`` on the
+    instant: casting LTZ to NTZ would render the SESSION zone's wall
+    clock, which is DST-non-monotonic — around a fall-back hour bucket
+    order could invert relative to the instant order the as-of window
+    sorts by, silently dropping valid backward matches (review
+    finding). Callers pass the resolved dtype of the timestamp column.
+    """
+    if ts_type == "timestamp":
+        secs = F.floor(F.unix_micros(ts) / F.lit(1_000_000))
+    else:
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        secs = (ts.cast("timestamp_ntz") - epoch).cast("long")
     return F.floor(secs / F.lit(int(width_seconds))).cast("long")
 
 
@@ -173,7 +189,10 @@ def asof_join_bucketed(
             for c in left_cols
             if c not in on
         ],
-    ).withColumn("__b", _bucket_of(F.col("__ts"), bucket_seconds))
+    ).withColumn(
+        "__b",
+        _bucket_of(F.col("__ts"), bucket_seconds, dict(right.dtypes)[right_ts]),
+    )
     # NULL keys / NULL right timestamps never match (same rationale as
     # in asof_join — here a NULL ts would additionally poison the NULL
     # bucket's prefix-max carry chain)
@@ -187,7 +206,10 @@ def asof_join_bucketed(
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
         *[F.col(c) for c in left_cols if c not in on],
-    ).withColumn("__b", _bucket_of(F.col("__ts"), bucket_seconds))
+    ).withColumn(
+        "__b",
+        _bucket_of(F.col("__ts"), bucket_seconds, dict(left.dtypes)[left_ts]),
+    )
 
     # r feeds three plan branches (bucket universe, closings, the final
     # union) and l two — persist both so the source scan+projection runs
@@ -241,7 +263,10 @@ def asof_join_bucketed(
     ).filter(F.col(_SIDE) == 1)
 
     if tolerance_seconds is not None:
-        tol_iv = F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+        # microsecond granularity, same as asof_join (review finding)
+        tol_iv = F.expr(
+            f"INTERVAL {int(round(tolerance_seconds * 1_000_000))} MICROSECOND"
+        )
         in_tol = F.col("__ts") <= F.col(_PAYLOAD)[right_ts] + tol_iv
         matched = matched.withColumn(_PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)))
 

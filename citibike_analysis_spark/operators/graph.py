@@ -73,7 +73,13 @@ def connected_components(
     prev_sig = None
     prev_frame = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: labels stabilizing on round max_iter can only be
+    # CONFIRMED by the signature check one round later, so without the
+    # extra round a component whose propagation depth equals max_iter
+    # raised "diameter > max_iter" despite fully correct labels (review
+    # finding — the budget bounds propagation rounds; the confirmation
+    # round is bookkeeping)
+    for _ in range(max_iter + 1):
         msgs = sym.join(
             labels, sym["a"] == labels["id"]
         ).select(F.col("b").alias("id"), "component")
@@ -89,7 +95,7 @@ def connected_components(
                 F.count("*"), F.bit_xor(F.xxhash64("id", "component"))
             ).collect()[0]
         )
-        if prev_frame is not None and prev_frame is not new_labels:
+        if prev_frame is not None:
             free_checkpoint(prev_frame)
         labels, prev_frame = new_labels, new_labels
         if sig == prev_sig:
@@ -163,9 +169,10 @@ def connected_components_star(
     propagation, O(diameter) rounds) for chain-shaped graphs. Same
     declarative building blocks: each half-round is a groupBy-min plus an
     equi-join on the vertex key; ``localCheckpoint`` truncates per-round
-    lineage. Convergence detector: the edge multiset signature
-    (count + sum of per-edge hashes) is compared across rounds — one
-    cheap aggregate, no join-against-previous.
+    lineage. Convergence detector: the edge-set signature
+    (count + XOR of per-edge hashes — NOT sum, which overflows long
+    under ANSI mode for xxhash64-scale ids) is compared across rounds —
+    one cheap aggregate, no join-against-previous.
 
     Output matches :func:`connected_components` exactly (component = min
     vertex id; vertices = every endpoint of the input edge list);
@@ -195,7 +202,10 @@ def connected_components_star(
     prev_sig = None
     prev_frame = e  # the input checkpoint: garbage once round 0 lands
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1 for the same reason as connected_components: the
+    # signature can only confirm round-max_iter stabilization one round
+    # later (review finding)
+    for _ in range(max_iter + 1):
         sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         e = _small_star(_large_star(sym)).localCheckpoint(eager=False)
         # xor of per-edge hashes: order-insensitive and overflow-free
@@ -268,9 +278,17 @@ def dedup_clusters(
             F.coalesce("__cc_comp", F.col(id_col)).alias("canonical_id"),
         )
     )
-    sizes = labeled.groupBy("canonical_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return labeled.join(sizes, "canonical_id").select(
-        id_col, "canonical_id", "cluster_size"
+    # LEFT join + fill, not inner: an inner equi-join on canonical_id
+    # silently DROPPED documents whose id is NULL (NULL never equals
+    # NULL), violating "assign every document" (review finding). A
+    # NULL-id document cannot join any pair, so it rides through as a
+    # size-1 row with canonical_id NULL — callers keeping canonicals
+    # via ``id == canonical_id`` must de-NULL ids upstream.
+    sizes = labeled.filter(F.col("canonical_id").isNotNull()).groupBy(
+        "canonical_id"
+    ).agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "canonical_id", "left").select(
+        id_col,
+        "canonical_id",
+        F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
     )

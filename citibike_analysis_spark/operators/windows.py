@@ -44,14 +44,20 @@ def approx_ntile(
     a gate, never split arbitrarily.
     """
     qs = [i / n for i in range(1, n)]
+    # dunder-prefixed internal name: a bare "cuts" collided with any
+    # input that already carries a cuts column — AMBIGUOUS_REFERENCE on
+    # the bucket expression, or worse, drop() deleting the user's column
+    # (review finding; same convention as asof.py's __asof_* internals)
     cuts = df.select(
-        F.percentile_approx(value_col, qs, int(1.0 / relative_error)).alias("cuts")
+        F.percentile_approx(value_col, qs, int(1.0 / relative_error)).alias(
+            "__ntile_cuts"
+        )
     )
     with_cuts = df.join(F.broadcast(cuts))
     bucket = F.lit(1) + F.size(
-        F.filter(F.col("cuts"), lambda c: c <= F.col(value_col))
+        F.filter(F.col("__ntile_cuts"), lambda c: c <= F.col(value_col))
     )
-    return with_cuts.withColumn(out, bucket.cast("long")).drop("cuts")
+    return with_cuts.withColumn(out, bucket.cast("long")).drop("__ntile_cuts")
 
 
 def sessionize(

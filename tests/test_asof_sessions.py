@@ -139,3 +139,91 @@ class TestSessionize:
         )
         # each key starts at session 1; b's lone event is its own session
         assert got == {1: 1, 2: 1, 3: 2}
+
+
+class TestAsofHardening:
+    def test_fractional_tolerance_is_not_truncated(self, spark):
+        # review finding: int(tolerance) SECOND rounded 0.5s down to an
+        # INTERVAL 0, nulling matches the caller asked to keep
+        left = spark.createDataFrame(
+            [("k", _ts(0, 10), 1), ("k", _ts(0, 20), 2)], LEFT_SCHEMA
+        )
+        right = spark.createDataFrame(
+            [
+                ("k", _ts(0, 9) + dt.timedelta(milliseconds=600), 100, 1.0),
+                ("k", _ts(0, 19), 200, 2.0),
+            ],
+            RIGHT_SCHEMA,
+        )
+        out = {
+            r["lid"]: r["rid_asof"]
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="ts",
+                value_cols=["rid", "v"], tolerance_seconds=0.5,
+            ).collect()
+        }
+        # lid 1: right row 0.4s earlier — inside 0.5s, must match
+        assert out[1] == 100
+        # lid 2: right row 1.0s earlier — outside 0.5s, must null
+        assert out[2] is None
+
+    def test_bucketed_ltz_across_dst_fallback_matches_plain(self, spark):
+        # review finding: bucketing LTZ via cast-to-NTZ used the SESSION
+        # zone's wall clock, which repeats an hour at DST fall-back —
+        # bucket order inverted relative to instant order and the
+        # bucketed variant silently dropped valid backward matches
+        from citibike_analysis_spark.operators.asof import asof_join_bucketed
+
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            ltz = T.StructType(
+                [
+                    T.StructField("k", T.StringType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("lid", T.LongType()),
+                ]
+            )
+            rtz = T.StructType(
+                [
+                    T.StructField("k", T.StringType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("rid", T.LongType()),
+                    T.StructField("v", T.DoubleType()),
+                ]
+            )
+            utc = dt.timezone.utc
+            # 2025-11-02: America/New_York falls back at 06:00Z.
+            # right row at 05:30Z (wall 01:30 EDT), left row at 06:15Z
+            # (wall 01:15 EST) — instant-later but WALL-earlier
+            left = spark.createDataFrame(
+                [("k", dt.datetime(2025, 11, 2, 6, 15, tzinfo=utc), 1)], ltz
+            )
+            right = spark.createDataFrame(
+                [("k", dt.datetime(2025, 11, 2, 5, 30, tzinfo=utc), 100, 1.0)],
+                rtz,
+            )
+            kw = dict(
+                on=["k"], left_ts="ts", right_ts="ts", value_cols=["rid", "v"]
+            )
+            plain = asof_join(left, right, **kw).collect()
+            bucketed = asof_join_bucketed(
+                left, right, bucket_seconds=900, **kw
+            ).collect()
+            assert plain[0]["rid_asof"] == 100
+            assert bucketed[0]["rid_asof"] == 100  # was None pre-fix
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    def test_approx_ntile_tolerates_existing_cuts_column(self, spark):
+        # review finding: the internal cutoff array was named bare
+        # "cuts", colliding with same-named input columns
+        from citibike_analysis_spark.operators.windows import approx_ntile
+
+        df = spark.createDataFrame(
+            [(i, f"c{i}") for i in range(40)], "v: long, cuts: string"
+        )
+        out = approx_ntile(df, "v", 4, out="bucket")
+        assert set(out.columns) == {"v", "cuts", "bucket"}
+        got = {r["v"]: r["bucket"] for r in out.collect()}
+        assert got[0] == 1 and got[39] == 4

@@ -106,3 +106,35 @@ def test_star_components_and_singletons(spark):
     got = _cc_star(spark, [(1, 2), (10, 11), (11, 12), (5, 5)])
     # self-loop 5-5 still registers vertex 5 as its own component
     assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 5: 5}
+
+
+def test_depth_equals_max_iter_converges(spark):
+    # review finding: labels stabilizing exactly at round max_iter could
+    # only be CONFIRMED one round later, so the budget boundary raised
+    # "diameter > max_iter" on a fully-correct result; the confirmation
+    # round is now internal bookkeeping
+    from citibike_analysis_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(5)]  # propagation depth 5
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iter=5).collect()
+    }
+    assert set(out.values()) == {0}
+
+
+def test_dedup_clusters_null_id_rides_through_as_singleton(spark):
+    # review finding: the inner size-join on canonical_id silently
+    # DROPPED NULL-id documents (NULL never equals NULL)
+    from citibike_analysis_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id: long"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, "doc_id", pairs).collect()}
+    assert set(rows) == {1, 2, None}
+    assert rows[1]["canonical_id"] == 1 and rows[1]["cluster_size"] == 2
+    assert rows[None]["canonical_id"] is None
+    assert rows[None]["cluster_size"] == 1
