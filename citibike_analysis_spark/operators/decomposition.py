@@ -39,9 +39,20 @@ def _moment_fold(dim: int):
         s = np.zeros(dim)
         g = np.zeros((dim, dim))
         for batch in batches:
-            x = np.array(batch["_v"].tolist(), dtype=np.float64)
-            if x.size == 0:
+            # NULL vectors are skipped (the repo-wide NULL-propagation
+            # convention: NULL rows never contribute); ragged widths get
+            # the documented contract error instead of numpy's opaque
+            # inhomogeneous-shape failure (review finding — the same
+            # hardening similarity._keys received in r04)
+            rows = [v for v in batch["_v"].tolist() if v is not None]
+            if not rows:
                 continue
+            bad = next((len(v) for v in rows if len(v) != dim), None)
+            if bad is not None:
+                raise ValueError(
+                    f"embedding width mismatch: expected {dim}, got {bad}"
+                )
+            x = np.array(rows, dtype=np.float64)
             n += x.shape[0]
             s += x.sum(axis=0)
             g += x.T @ x
@@ -61,7 +72,12 @@ def pca_components(
     """(mean [dim], components [k × dim]) of the corpus — driver-side
     arrays, kilobytes, computed from one distributed moment pass."""
     c = corpus.select(as_double(F.col(vec_col)).alias("_v"))
-    dim = len(c.first()["_v"])
+    first = c.filter(F.col("_v").isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            "pca_components: corpus has no non-NULL vectors — nothing to fit"
+        )
+    dim = len(first["_v"])
     parts = c.mapInPandas(
         _moment_fold(dim), "n long, s array<double>, g array<double>"
     ).collect()

@@ -80,6 +80,51 @@ def _df_capped(index: DataFrame, key: str, max_doc_freq: int | None) -> DataFram
     )
 
 
+def _shingle_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+):
+    """Shared inverted-index core of the shingle near-dup family —
+    previously copy-pasted line-for-line between
+    :func:`ngram_jaccard_pairs` and :func:`ngram_containment_pairs`
+    (review finding). Returns ``(sizes, inter)``: per-doc distinct
+    shingle counts from the FULL index, and intersection counts
+    ``(_ida < _idb, _common)`` over the df-capped join side.
+
+    The inverted index carries ONLY (doc id, 64-bit shingle hash):
+    16-byte rows through the join shuffle. Two expression-shape traps,
+    both measured ~10x at sf0.1:
+    - the shingle expression must be exploded *directly* over the named
+      token projection (a named array column gets an inferred
+      size(...)>0 filter that re-evaluates the whole array per row);
+    - |shingle set| must NOT ride through the explode (a projected
+      size(array-expr) column is re-evaluated per exploded row) — set
+      sizes are re-aggregated from the index and joined onto the far
+      smaller pair table instead.
+    A 64-bit hash collision would conflate two shingles — negligible at
+    any realistic shingle cardinality (birthday bound ≈ n²/2⁶⁵).
+    """
+    tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+    inv = tk.select(
+        "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
+    ).select("_id", F.xxhash64("_s").alias("_h"))
+    # the index feeds three plan branches (sizes + both join sides);
+    # materialize once so tokenize+shingle+explode doesn't run three times
+    inv = _reuse(inv)
+    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
+    joinable = _df_capped(inv, "_h", max_doc_freq)
+    a, b = joinable.alias("a"), joinable.alias("b")
+    inter = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+        .agg(F.count("*").alias("_common"))
+    )
+    return sizes, inter
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -102,33 +147,8 @@ def ngram_jaccard_pairs(
     never admit false positives. ``None`` (default) disables the cap and
     the result is exact.
     """
-    # The inverted index carries ONLY (doc id, 64-bit shingle hash):
-    # 16-byte rows through the join shuffle. Two expression-shape traps,
-    # both measured ~10x at sf0.1:
-    # - the shingle expression must be exploded *directly* over the named
-    #   token projection (a named array column gets an inferred
-    #   size(...)>0 filter that re-evaluates the whole array per row);
-    # - |shingle set| must NOT ride through the explode (a projected
-    #   size(array-expr) column is re-evaluated per exploded row) — set
-    #   sizes are re-aggregated from the index and joined onto the far
-    #   smaller pair table instead.
-    # A 64-bit hash collision would conflate two shingles — negligible at
-    # any realistic shingle cardinality (birthday bound ≈ n²/2⁶⁵).
-    tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
-    inv = tk.select(
-        "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
-    ).select("_id", F.xxhash64("_s").alias("_h"))
-    # the index feeds three plan branches (sizes + both join sides);
-    # materialize once so tokenize+shingle+explode doesn't run three times
-    inv = _reuse(inv)
-    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
-    joinable = _df_capped(inv, "_h", max_doc_freq)
-    a, b = joinable.alias("a"), joinable.alias("b")
-    inter = (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("_common"))
-    )
+    sizes, inter = _shingle_intersections(df, id_col, text_col, n, max_doc_freq)
+    inter = inter.withColumnsRenamed({"_ida": "id_a", "_idb": "id_b"})
     return (
         inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
         .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
@@ -169,20 +189,14 @@ def ngram_containment_pairs(
     scored in both directions), including the ``max_doc_freq`` join-side
     cap — capped scores can only shrink (conservative).
     """
-    tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
-    inv = tk.select(
-        "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
-    ).select("_id", F.xxhash64("_s").alias("_h"))
-    inv = _reuse(inv)  # sizes + both join sides
-    sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))
-    joinable = _df_capped(inv, "_h", max_doc_freq)
-    a, b = joinable.alias("a"), joinable.alias("b")
-    inter = (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("_x"), F.col("b._id").alias("_y"))
-        .agg(F.count("*").alias("_common"))
-    )
-    # score the unordered intersection in both directions
+    sizes, inter = _shingle_intersections(df, id_col, text_col, n, max_doc_freq)
+    inter = inter.withColumnsRenamed({"_ida": "_x", "_idb": "_y"})
+    # score the unordered intersection in both directions; materialize it
+    # first — it feeds BOTH union branches, and without _reuse the
+    # dominant-cost shingle self-join subtree appears twice in the plan
+    # (executes twice under SPARK_GRAFT_DEDUP_REUSE=none or with exchange
+    # reuse disabled — review finding; same rule as inv/cand/sh)
+    inter = _reuse(inter)
     directed = inter.select("_x", "_y", "_common").union(
         inter.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"), "_common")
     )
@@ -249,7 +263,18 @@ def minhash_lsh_candidates(
     two docs are candidates iff some band hashes identically. Candidate
     generation is groupBy(band, band_hash) + within-bucket pairing — an
     equi-join, not a cross product. Pair probability ≈ 1-(1-J^r)^b.
+
+    ``bands`` must divide ``num_hashes``: bands > num_hashes would make
+    every band hash the empty string (ALL docs bucket together — the
+    exact O(n²) blowup LSH exists to avoid), and a non-divisor silently
+    ignored the trailing hashes, weakening the advertised guarantee
+    (review finding).
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_structs = F.array(

@@ -248,8 +248,9 @@ def temperature_mixture(
     compose :func:`stratified_fixed_sample` with the quota frame).
 
     Plan: one tiny per-stratum count aggregation (rows = #strata) +
-    1-row total, broadcast back, narrow filter. The stratum count frame
-    is returned alongside for audit via the second element.
+    1-row total, broadcast back, narrow filter. A NULL stratum is a
+    stratum like any other (null-safe join; the md5 key's concat_ws
+    simply skips the NULL part).
     """
     if not 0.0 < total_fraction <= 1.0:
         raise ValueError(f"total_fraction must be in (0, 1], got {total_fraction}")
@@ -261,6 +262,13 @@ def temperature_mixture(
     tot = counts.agg(
         F.sum("_n").alias("_total"), F.sum(F.pow("_n", alpha)).alias("_z")
     )
+    # threshold guard mirrors weighted_mixture's thr(): both quota >= n
+    # AND a rounded integer >= 0x10000 map to the keep-all sentinel 'g'.
+    # Without the second clause, round(quota/n * 65536) == 65536 for a
+    # nearly-whole stratum formats as the 5-char '10000', and the
+    # lexicographic compare keeps only hashes starting '0' — ~6% of a
+    # stratum meant to be kept whole (review finding).
+    scaled = F.round(F.col("_quota") / F.col("_n") * 0x10000).cast("int")
     quotas = (
         counts.crossJoin(F.broadcast(tot))
         .withColumn(
@@ -276,12 +284,10 @@ def temperature_mixture(
         )
         .withColumn(
             "_thr",
-            F.when(F.col("_quota") >= F.col("_n"), F.lit("g")).otherwise(
-                F.format_string(
-                    "%04x",
-                    F.round(F.col("_quota") / F.col("_n") * 0x10000).cast("int"),
-                )
-            ),
+            F.when(
+                (F.col("_quota") >= F.col("_n")) | (scaled >= F.lit(0x10000)),
+                F.lit("g"),
+            ).otherwise(F.format_string("%04x", scaled)),
         )
         .select("_s", "_quota", "_thr")
     )
@@ -290,8 +296,11 @@ def temperature_mixture(
     )
     full_key = key if not salt else F.concat_ws("|", F.lit(salt), key)
     return (
+        # eqNullSafe: a plain equi-join drops NULL-stratum rows while
+        # their count still inflates _total/_z, deflating every other
+        # stratum's realized fraction (review finding)
         df.join(
-            F.broadcast(quotas), F.col(strata_col) == F.col("_s"), "inner"
+            F.broadcast(quotas), F.col(strata_col).eqNullSafe(F.col("_s")), "inner"
         )
         .filter(F.substring(F.md5(full_key), 1, 4) < F.col("_thr"))
         .drop("_s", "_quota", "_thr")

@@ -104,7 +104,16 @@ def frequent_tokens(
         .groupBy("token")
         .agg(F.count("*").alias("n_occurrences"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("n_occurrences") >= F.lit(min_fraction) * F.col("_n"))
+        # integer-exact gate at parts-per-million precision: the float
+        # form `n >= min_fraction * _n` excluded a token sitting EXACTLY
+        # at the threshold whenever the double product rounded up 1 ulp
+        # (e.g. 0.07 * 100 = 7.000000000000001 — review finding). decimal
+        # cross-multiplication cannot overflow long at corpus scale.
+        .filter(
+            F.col("n_occurrences").cast("decimal(38,0)") * F.lit(1_000_000)
+            >= F.col("_n").cast("decimal(38,0)")
+            * F.lit(int(round(min_fraction * 1_000_000)))
+        )
         .select(
             "token",
             "n_occurrences",

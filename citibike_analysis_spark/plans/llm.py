@@ -1621,7 +1621,9 @@ SELECT token, count(*) AS n_occurrences,
        round(count(*) / CAST(n AS DOUBLE), 6) AS frequency
 FROM tkx CROSS JOIN tot
 GROUP BY token, n
-HAVING count(*) >= {_Q72_MIN_FRACTION} * n
+-- integer-exact ppm gate, mirroring the operator (float `>= f*n` can
+-- exclude a token sitting exactly at the threshold via 1-ulp rounding)
+HAVING count(*) * 1000000 >= {int(round(_Q72_MIN_FRACTION * 1_000_000))} * n
 """
 
 
@@ -2812,14 +2814,19 @@ WITH counts AS (
          least(n, CAST(ceil(ceil(0.5 * total) * pow(n, 0.5) / z) AS BIGINT)) AS quota
   FROM counts CROSS JOIN tot
 ), thr AS (
+  -- quota >= n OR scaled >= 65536 both mean keep-all: printf('%04x',
+  -- 65536) is the 5-char '10000', which lexicographically keeps only
+  -- '0'-prefixed hashes (the operator guards identically)
   SELECT s,
-         CASE WHEN quota >= n THEN 'g'
+         CASE WHEN quota >= n
+                   OR CAST(round(quota / CAST(n AS DOUBLE) * 65536) AS INT) >= 65536
+              THEN 'g'
               ELSE printf('%04x', CAST(round(quota / CAST(n AS DOUBLE) * 65536) AS INT))
          END AS t
   FROM quotas
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang
-FROM documents d JOIN thr ON d.source = thr.s
+FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.s
 WHERE substr(md5(concat_ws('|', d.source, d.doc_id)), 1, 4) < thr.t
 """
 

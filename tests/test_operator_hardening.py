@@ -261,3 +261,95 @@ def test_lsh_index_probe_rejects_stamp_mismatch(spark):
         spark.sql("DROP TABLE IF EXISTS lsh_prestamp_test")
         spark.sql("DROP TABLE IF EXISTS lsh_legacy_test")
         spark.sql("DROP TABLE IF EXISTS lsh_empty_legacy_test")
+
+
+def test_temperature_mixture_near_whole_stratum_keeps_whole(spark):
+    # review finding: round(quota/n * 65536) == 65536 formatted as the
+    # 5-char '10000', lexicographically keeping only '0'-prefixed hashes
+    # (~6%) of a stratum meant to be kept whole
+    from citibike_analysis_spark.operators.sampling import temperature_mixture
+
+    n = 131073  # quota/n rounds to exactly 0x10000 when quota = n - 1
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    kept = temperature_mixture(
+        df, "doc_id", "source", alpha=0.5, total_fraction=0.999992
+    ).count()
+    # quota = ceil(0.999992 * n) = 131072 < n; scaled rounds to 65536 →
+    # keep-all sentinel. Pre-fix this kept ~8k rows.
+    assert kept == n
+
+
+def test_temperature_mixture_null_stratum_is_sampled(spark):
+    # review finding: the plain equi-join dropped NULL-stratum rows
+    # while their count still deflated every other stratum's quota
+    from citibike_analysis_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else None) for i in range(100)],
+        "doc_id: long, source: string",
+    )
+    kept = temperature_mixture(
+        df, "doc_id", "source", alpha=0.5, total_fraction=1.0
+    )
+    by = {r["source"]: r["n"] for r in
+          kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # total_fraction=1.0 → every stratum kept whole, including NULL
+    assert by.get("a") == 50 and by.get(None) == 50
+
+
+def test_pca_skips_null_vectors_and_rejects_ragged_and_empty(spark):
+    import numpy as np
+    import pytest
+
+    from citibike_analysis_spark.operators.decomposition import pca_components
+
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0]), (3, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comps = pca_components(ok, n_components=1)
+    # NULL row skipped: mean over the three non-null vectors
+    assert np.allclose(mean, [1.0, 1 / 3])
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="width mismatch"):
+        pca_components(ragged, n_components=1)
+
+    empty = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-NULL"):
+        pca_components(empty, n_components=1)
+
+
+def test_minhash_lsh_rejects_bad_band_counts(spark):
+    import pytest
+
+    from citibike_analysis_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    # bands > num_hashes: every band would hash '' and ALL docs collide
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(df, "doc_id", "text", num_hashes=32, bands=64)
+    # non-divisor silently ignored trailing hashes pre-fix
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(df, "doc_id", "text", num_hashes=32, bands=12)
+
+
+def test_frequent_tokens_exact_threshold_boundary_included(spark):
+    # review finding: `n >= 0.07 * total` evaluated 7 >= 7.000000000000001
+    # and excluded a token sitting exactly at the advertised threshold
+    from citibike_analysis_spark.operators.sketches import frequent_tokens
+
+    fillers = " ".join(f"w{i}" for i in range(93))
+    df = spark.createDataFrame(
+        [(0, ("x " * 7) + fillers)], "doc_id long, text string"
+    )  # 100 token occurrences; 'x' has frequency exactly 0.07
+    toks = {r["token"] for r in
+            frequent_tokens(df, "text", min_fraction=0.07).collect()}
+    assert "x" in toks
