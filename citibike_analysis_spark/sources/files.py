@@ -114,7 +114,6 @@ def write_sharded(
 
     def _footer_counts(batches):
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for pdf in batches:
             counts = []

@@ -126,6 +126,17 @@ def fetch_raw(
     exactly the counted one (no recompute drift between ``count()`` and
     ``mapInPandas``).
     """
+    # normalize DATE-typed day keys (schemas.WEATHER_NA — the registry
+    # schema for the reference's re-fetch key list — declares time_day
+    # as DateType) to TIMESTAMP_NTZ before the Arrow boundary: a
+    # datetime.date cannot convert to RAW_SCHEMA's TimestampNTZ output
+    # column, so date keys crashed mapInPandas AFTER transport calls had
+    # already spent quota (review finding). The cast is a no-op for
+    # already-timestamp keys, so the transport's day argument format is
+    # unchanged for existing callers.
+    keys = keys.withColumn(
+        "time_day", F.col("time_day").cast("timestamp_ntz")
+    )
     keys = keys.localCheckpoint(eager=True)
     n = keys.count()
     if n > max_calls:

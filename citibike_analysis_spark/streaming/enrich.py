@@ -68,10 +68,10 @@ def dedup_documents(
     the deduped landing table, not per-record streaming state.
     """
     return (
-        docs.withColumn("_content_hash", F.md5(F.col(text_col)))
+        docs.withColumn("__stream_content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_content_hash"])
-        .drop("_content_hash")
+        .dropDuplicatesWithinWatermark(["__stream_content_hash"])
+        .drop("__stream_content_hash")
     )
 
 
@@ -108,7 +108,7 @@ def _corpus_hashes(spark, corpus_path: str) -> DataFrame | None:
     df = read_parquet_if_exists(spark, corpus_path)
     if df is None:
         return None
-    return df.select(F.col("content_hash").alias("_content_hash"))
+    return df.select(F.col("content_hash").alias("__stream_content_hash"))
 
 
 def admit_novel_documents(
@@ -143,17 +143,17 @@ def admit_novel_documents(
     corpus read). Compose AFTER :func:`scrub_documents`: admission must
     hash the redacted form, like the batch path.
     """
-    hashed = docs.withColumn("_content_hash", F.md5(F.col(text_col)))
+    hashed = docs.withColumn("__stream_content_hash", F.md5(F.col(text_col)))
     existing = _corpus_hashes(docs.sparkSession, corpus_path)
     novel = (
         hashed
         if existing is None
-        else hashed.join(existing, "_content_hash", "left_anti")
+        else hashed.join(existing, "__stream_content_hash", "left_anti")
     )
     return (
         novel.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_content_hash"])
-        .drop("_content_hash")
+        .dropDuplicatesWithinWatermark(["__stream_content_hash"])
+        .drop("__stream_content_hash")
     )
 
 
@@ -215,9 +215,9 @@ def start_admission(
     from citibike_analysis_spark.sources.files import hadoop_fs
 
     hashed = (
-        docs.withColumn("_content_hash", F.md5(F.col(text_col)))
+        docs.withColumn("__stream_content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .dropDuplicatesWithinWatermark(["__stream_content_hash"])
     )
     corpus_seen = {"flag": False}
     marker_durable = {"flag": False}
@@ -252,7 +252,7 @@ def start_admission(
         if batch.isEmpty():
             # watermark-advancement batches: skip the corpus listing +
             # schema inference entirely (same guard as write_rollup)
-            sink(batch.drop("_content_hash"), epoch_id)
+            sink(batch.drop("__stream_content_hash"), epoch_id)
             return
         existing = _corpus_hashes(batch.sparkSession, corpus_path)
         if existing is None:
@@ -269,8 +269,8 @@ def start_admission(
             out = batch
         else:
             _mark(batch.sparkSession)
-            out = batch.join(existing, "_content_hash", "left_anti")
-        sink(out.drop("_content_hash"), epoch_id)
+            out = batch.join(existing, "__stream_content_hash", "left_anti")
+        sink(out.drop("__stream_content_hash"), epoch_id)
 
     writer = hashed.writeStream.outputMode("append").foreachBatch(_admit)
     if checkpoint_dir is not None:
@@ -302,6 +302,15 @@ def join_weather_streams(
     O(hours in the watermark window × zips), never O(stream).
     ``weather_watermark`` should cover the weather feed's worst lateness
     relative to samples (weather for hour H arrives during H or later).
+
+    LEFT OUTER, not inner (review finding): an inner join silently
+    dropped every sample in an hour whose weather row was missing or
+    later than the watermark — whole hours of station data vanishing
+    during a weather-provider outage, exactly the gap the reference's
+    re-fetch cycle exists to patch. With the outer join those samples
+    emit null-padded once both watermarks pass the hour (the
+    stream-static dual :func:`join_weather` is a left join for the same
+    reason), so downstream patching can see and fill them.
     """
     s = samples.withWatermark(sample_ts, sample_watermark)
     w = weather.withWatermark(weather_ts, weather_watermark).select(
@@ -313,7 +322,7 @@ def join_weather_streams(
         & (s[sample_ts] >= w[weather_ts])
         & (s[sample_ts] < w[weather_ts] + F.expr("INTERVAL 1 HOUR"))
     )
-    return s.join(w, cond, "inner").drop("__wzip")
+    return s.join(w, cond, "leftOuter").drop("__wzip")
 
 
 def join_weather(
@@ -359,7 +368,7 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(gap_seconds: int):
+def _session_fn(gap_seconds: int, session_tz: str = "UTC"):
     gap = pd.Timedelta(seconds=gap_seconds)
 
     def fn(
@@ -393,12 +402,20 @@ def _session_fn(gap_seconds: int):
         # event that would have joined it (legal while watermark > gap)
         # starts a new session instead — single-open-session state
         # cannot reopen history; keep watermark ≤ gap to rule it out.
-        ts = pd.concat([b["ts"] for b in batches]).sort_values()
+        # NaT guard (review finding): a null event time reaches the fn
+        # when the late-data predicate evaluates NULL (treated false),
+        # and one NaT interval would poison the merge and crash the
+        # timeout epoch math — a crash-LOOP, since restart replays the
+        # same offsets. Null timestamps carry no session information;
+        # drop them (track_sessions also filters upstream).
+        ts = pd.concat([b["ts"] for b in batches]).dropna().sort_values()
         ivs: list[list[Any]] = [[t, t, 1] for t in ts]
         if state.exists:
             s0, l0, n0 = state.get
             ivs.append([pd.Timestamp(s0), pd.Timestamp(l0), int(n0)])
         ivs.sort(key=lambda iv: (iv[0], iv[1]))
+        if not ivs:
+            return  # an all-NaT batch with no open session: nothing to do
         merged: list[list[Any]] = [ivs[0]]
         for iv in ivs[1:]:
             if iv[0] - merged[-1][1] <= gap:
@@ -414,7 +431,18 @@ def _session_fn(gap_seconds: int):
         # event-time timeout: close the open session once the watermark
         # passes its end + gap (clamped above the current watermark, which
         # may already have advanced past an old session's close point)
-        desired = int(last.timestamp() * 1000) + gap_seconds * 1000
+        # epoch of the (session-tz-NAIVE) pandas timestamp: .timestamp()
+        # on a naive value assumes UTC, skewing the timeout by the
+        # session-tz offset on non-UTC sessions (review finding) —
+        # localize to the session zone first. ambiguous/nonexistent
+        # handling matters only inside DST transition hours, where being
+        # an hour early is safe (the watermark clamp below floors it).
+        last_epoch = (
+            pd.Timestamp(last)
+            .tz_localize(session_tz, ambiguous=True, nonexistent="shift_forward")
+            .timestamp()
+        )
+        desired = int(last_epoch * 1000) + gap_seconds * 1000
         state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1))
         if closed:
             yield pd.DataFrame(
@@ -450,11 +478,14 @@ def track_sessions(
     single-open-session state cannot reopen may split (documented in
     the merge loop).
     """
-    keyed = samples.withWatermark(ts_col, watermark).select(
-        F.col(key), F.col(ts_col).alias("ts")
+    keyed = (
+        samples.filter(F.col(ts_col).isNotNull())  # NaT poisons sessions
+        .withWatermark(ts_col, watermark)
+        .select(F.col(key), F.col(ts_col).alias("ts"))
     )
+    tz = samples.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
     return keyed.groupBy(key).applyInPandasWithState(
-        _session_fn(gap_seconds),
+        _session_fn(gap_seconds, tz),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",

@@ -87,3 +87,20 @@ def test_transport_runs_distributed(spark):
     raw = fetch_raw(keys, transport=fake_transport)
     assert raw.filter(F.col("payload").isNull()).count() == 0
     assert raw.count() == 3
+
+
+def test_fetch_accepts_date_typed_keys(spark):
+    # review finding: schemas.WEATHER_NA declares time_day as DATE; date
+    # keys crashed the Arrow conversion to RAW_SCHEMA's TimestampNTZ
+    # AFTER the transport had already spent quota
+    import datetime as dt
+
+    from citibike_analysis_spark.sources.http_weather import weather_for_keys
+
+    keys = spark.createDataFrame(
+        [("07306", 40.73, -74.06, dt.date(2019, 5, 12))],
+        "zip string, latitude double, longitude double, time_day date",
+    )
+    out = weather_for_keys(keys, transport=fake_transport).collect()
+    assert len(out) == 24  # one row per hour of the fetched day
+    assert {r["time_day"] for r in out} == {dt.datetime(2019, 5, 12)}

@@ -335,3 +335,94 @@ def test_late_in_watermark_sample_extends_session_start(spark, dirs):
     assert row["session_start"] == BASE - timedelta(minutes=10)
     assert row["session_end"] == BASE
     assert row["n_samples"] == 2
+
+
+def test_track_sessions_survives_null_event_time(spark, dirs):
+    # review finding: a feed row with a missing/null lastCommunicationTime
+    # reached the stateful fn as NaT (the late-data predicate is NULL →
+    # kept), poisoned the interval merge, and crashed the micro-batch —
+    # a crash-LOOP, since restart replays the same offsets
+    import json as _json
+    import os
+
+    os.makedirs(f"{dirs['in']}", exist_ok=True)
+    with open(f"{dirs['in']}/b1.json", "w") as f:
+        f.write(_feed_line(72, BASE, 5) + "\n")
+        f.write(_feed_line(72, BASE + timedelta(minutes=5), 6) + "\n")
+        # station that never phoned home: no lastCommunicationTime at all
+        f.write(_json.dumps({"id": 73, "stationName": "S73",
+                             "availableBikes": 1, "availableDocks": 1,
+                             "totalDocks": 2, "statusValue": "In Service",
+                             "statusKey": 1, "latitude": 40.7,
+                             "longitude": -74.0, "testStation": False}) + "\n")
+    with open(f"{dirs['in']}/b2.json", "w") as f:
+        # a much-later report advances the watermark past 72's gap
+        f.write(_feed_line(99, BASE + timedelta(hours=3), 2) + "\n")
+
+    sessions = track_sessions(read_feed_stream(spark, dirs["in"]))
+    _run_stream(sessions, "nat_sessions", dirs["ckpt"])
+    got = {
+        r["station_id"]: (r["session_start"], r["session_end"], r["n_samples"])
+        for r in spark.table("nat_sessions").collect()
+    }
+    assert got[72] == (BASE, BASE + timedelta(minutes=5), 2)
+    assert 73 not in got  # the null-ts row carries no session info
+
+
+def test_stream_stream_join_keeps_samples_when_weather_hour_missing(spark, dirs):
+    # review finding: the inner stream-stream join silently dropped every
+    # sample in an hour whose weather row never arrived — whole hours of
+    # station data vanishing during a weather outage; LEFT OUTER emits
+    # them null-padded once both watermarks pass the hour
+    import json
+    import os
+
+    from citibike_analysis_spark.streaming.enrich import join_weather_streams
+
+    os.makedirs(f"{dirs['in']}/samples", exist_ok=True)
+    os.makedirs(f"{dirs['in']}/weather", exist_ok=True)
+
+    def sline(station, ts):
+        return json.dumps(
+            {"station_id": station, "zip": "07306",
+             "last_communication_time": ts.isoformat(sep=" ")}
+        )
+
+    def wline(hour, temp):
+        return json.dumps(
+            {"zip": "07306", "time_hour": hour.isoformat(sep=" "), "temp": temp}
+        )
+
+    with open(f"{dirs['in']}/samples/b1.jsonl", "w") as f:
+        f.write(sline(72, BASE + timedelta(minutes=5)) + "\n")       # hour 08: matched
+        f.write(sline(79, BASE + timedelta(hours=1, minutes=10)) + "\n")  # hour 09: NO weather
+    with open(f"{dirs['in']}/weather/b1.jsonl", "w") as f:
+        f.write(wline(BASE, 61.0) + "\n")
+    # later events on BOTH sides push both watermarks far past hour 09,
+    # forcing the unmatched hour-09 sample to emit null-padded
+    with open(f"{dirs['in']}/samples/b2.jsonl", "w") as f:
+        f.write(sline(88, BASE + timedelta(hours=9)) + "\n")
+    with open(f"{dirs['in']}/weather/b2.jsonl", "w") as f:
+        f.write(wline(BASE + timedelta(hours=9), 70.0) + "\n")
+
+    samples = (
+        spark.readStream.schema(
+            "station_id LONG, zip STRING, last_communication_time TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{dirs['in']}/samples")
+    )
+    weather = (
+        spark.readStream.schema("zip STRING, time_hour TIMESTAMP, temp DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{dirs['in']}/weather")
+    )
+    joined = join_weather_streams(samples, weather)
+    _run_stream(
+        joined.select("station_id", "last_communication_time", "temp"),
+        "ssj_outer",
+        dirs["ckpt"],
+    )
+    got = {r["station_id"]: r["temp"] for r in spark.table("ssj_outer").collect()}
+    assert got[72] == 61.0
+    assert 79 in got and got[79] is None  # dropped entirely pre-fix
