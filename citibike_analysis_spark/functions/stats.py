@@ -268,6 +268,41 @@ def round_avg_exact_over(
     return _exact_round(s, n, in_scale, out_scale)
 
 
+def round_ratio_exact(
+    s: Column, n: Column, in_scale: int = 2, out_scale: int = 4
+) -> Column:
+    """``round(s / (n·10^in_scale), out_scale)`` from an explicit
+    (scaled-integer sum, count) pair — the two-argument form of
+    :func:`round_avg_exact` for shapes where the exact partials survive
+    an intermediate stage (e.g. q10's min-of-hourly-means: min_by picks
+    the argmin hour's (s, n), the round happens once at the end).
+    Same half-away-from-zero convention; NULL when n is 0/NULL."""
+    return _exact_round(
+        s.cast("decimal(38,0)"), n.cast("decimal(38,0)"), in_scale, out_scale
+    )
+
+
+def sql_round_ratio_exact(
+    s: str, n: str, in_scale: int = 2, out_scale: int = 4
+) -> str:
+    """DuckDB mirror of :func:`round_ratio_exact` over SQL fragments
+    ``s`` (scaled-integer sum) and ``n`` (count)."""
+    if out_scale < in_scale:
+        raise ValueError("out_scale must be >= in_scale")
+    k = int(10 ** (out_scale - in_scale))
+    sk = f"(CAST({s} AS HUGEINT) * {k})"
+    r = f"({sk} % ({n}))"
+    base = f"(({sk} - {r}) // ({n}))"
+    adj = (
+        f"(CASE WHEN 2 * {r} >= ({n}) THEN 1 "
+        f"WHEN 2 * {r} <= -({n}) THEN -1 ELSE 0 END)"
+    )
+    return (
+        f"(CASE WHEN ({n}) > 0 THEN "
+        f"CAST({base} + {adj} AS DOUBLE) / {int(10**out_scale)} END)"
+    )
+
+
 def sql_round_avg_exact(
     expr: str, in_scale: int = 2, out_scale: int = 4, over: str = ""
 ) -> str:

@@ -87,15 +87,22 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def q32_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import stopword_hits_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks).cast("long")
-    return d.select(
+    # tokenize ONCE behind a named projection (the q33 shape): the
+    # inline-expression form embedded its own split+filter copy inside
+    # each referencing site's interpreted higher-order lambda — every
+    # document re-tokenized ~5x per row (review finding; the ~10x trap
+    # functions/text.py documents)
+    tk = d.select("doc_id", F.col("text"), tokens(F.col("text")).alias("_tk"))
+    n_tok = F.size("_tk").cast("long")
+    return tk.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(
             F.aggregate(
-                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.transform(F.col("_tk"), lambda t: F.length(t).cast("double")),
                 F.lit(0.0),
                 lambda a, b: a + b,
             )
@@ -104,7 +111,7 @@ def q32_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_token_len"),
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(
-            stopword_hits(F.col("text")) / F.greatest(n_tok, F.lit(1)), 6
+            stopword_hits_tokens(F.col("_tk")) / F.greatest(n_tok, F.lit(1)), 6
         ).alias("stopword_ratio"),
     )
 
@@ -527,8 +534,13 @@ def q109_semdedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     a, b = ev.alias("a"), ev.alias("b")
     exact = (
         a.join(b, F.col("a._id") < F.col("b._id"))
-        .withColumn("_ce", F.round(cosine(F.col("a._v"), F.col("b._v")), 6))
-        .filter(F.col("_ce") >= 0.45)
+        .withColumn("_c_raw", cosine(F.col("a._v"), F.col("b._v")))
+        # gate on the UNROUNDED cosine like the oracle and the audited
+        # operator; gating on the rounded value admitted pairs in
+        # [θ−5e-7, θ) that the oracle excludes (review finding — the
+        # q105/q39 exact legs use this same convention)
+        .filter(F.col("_c_raw") >= 0.45)
+        .withColumn("_ce", F.round(F.col("_c_raw"), 6))
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "_ce"
         )
@@ -925,15 +937,20 @@ GROUP BY 1
 # --------------------------------------------------------------------------
 
 def q59_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import stopword_hits_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks).cast("long")
+    # named token projection + named reason column (review finding):
+    # the inline form re-tokenized per referencing lambda AND evaluated
+    # the whole reason CASE twice (once for reason, once for keep)
+    tk = d.select("doc_id", F.col("text"), tokens(F.col("text")).alias("_tk"))
+    n_tok = F.size("_tk").cast("long")
     avg_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.transform(F.col("_tk"), lambda t: F.length(t).cast("double")),
         F.lit(0.0),
         lambda a, b: a + b,
     ) / F.greatest(n_tok, F.lit(1))
-    sw_ratio = stopword_hits(F.col("text")) / F.greatest(n_tok, F.lit(1))
+    sw_ratio = stopword_hits_tokens(F.col("_tk")) / F.greatest(n_tok, F.lit(1))
     reason = (
         F.when(n_tok < 10, "too_short")
         .when(n_tok > 1000, "too_long")
@@ -942,12 +959,9 @@ def q59_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sw_ratio < 0.01, "no_stopwords")
         .otherwise("keep")
     )
-    return d.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        reason.alias("reason"),
-        (reason == "keep").alias("keep"),
-    )
+    return tk.select(
+        "doc_id", n_tok.alias("n_tokens"), reason.alias("reason")
+    ).withColumn("keep", F.col("reason") == "keep")
 
 
 Q59_SQL = f"""
@@ -1510,7 +1524,14 @@ def q70_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citibike_analysis_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    # df-capped like q46 — the oracle (derived from Q46_SQL) caps the
+    # inverted index at df<=_Q61_MAX_DF, and the uncapped form diverges
+    # the moment any shingle's df exceeds the cap (sf0.1's max df is
+    # exactly 25 — review finding) besides re-inheriting the measured
+    # x95 candidate blowup the cap exists to bound
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=_Q61_MAX_DF
+    )
     clusters = dedup_clusters(d, "doc_id", pairs)
     kept = clusters.filter(F.col("doc_id") == F.col("canonical_id"))
     return (
@@ -1577,8 +1598,12 @@ WITH toks AS (
 ), tot AS (
   SELECT sum(c) AS n FROM freq
 ), scored AS (
+  -- ROUNDED score for both cut and gate, matching the Spark side (which
+  -- gates on unigram_logprob's 6-decimal output): gating one side on the
+  -- unrounded score drifts the boundary when a rounding bin collides
+  -- with the cut (review finding; q116 documents the same convention)
   SELECT doc_id, count(*) AS n_tokens,
-         avg(ln(c / CAST(n AS DOUBLE))) AS avg_logp
+         round(avg(ln(c / CAST(n AS DOUBLE))), 6) AS avg_logp
   FROM tkx JOIN freq USING (t) CROSS JOIN tot
   GROUP BY doc_id
 ), cut AS (
@@ -1586,7 +1611,7 @@ WITH toks AS (
 )
 SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
        CAST(s.n_tokens AS BIGINT) AS n_tokens,
-       round(s.avg_logp, 6) AS avg_logp
+       s.avg_logp AS avg_logp
 FROM scored s CROSS JOIN cut
 WHERE s.avg_logp > cut.c
 """
@@ -2513,26 +2538,29 @@ _Q96_W = (-3.0, 0.08, 0.5, 2.0)
 
 
 def q96_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.functions.text import stopword_hits_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks).cast("double")
+    # named token projection (review finding; the q33 shape): the
+    # inline form re-tokenized per referencing lambda
+    tk = d.select("doc_id", tokens(F.col("text")).alias("_tk"))
+    n_tok = F.size("_tk").cast("double")
     avg_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.transform(F.col("_tk"), lambda t: F.length(t).cast("double")),
         F.lit(0.0),
         lambda a, b: a + b,
     ) / F.greatest(n_tok, F.lit(1.0))
-    sw_ratio = stopword_hits(F.col("text")) / F.greatest(n_tok, F.lit(1.0))
+    sw_ratio = stopword_hits_tokens(F.col("_tk")) / F.greatest(n_tok, F.lit(1.0))
     w0, w1, w2, w3 = _Q96_W
     z = F.lit(w0) + F.lit(w1) * n_tok + F.lit(w2) * avg_len + F.lit(w3) * sw_ratio
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return d.select(
+    return tk.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
 
 
-_SW96 = ", ".join(f"'{w}'" for w in STOPWORDS)
 Q96_SQL = f"""
 WITH base AS (
   SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
@@ -2541,7 +2569,7 @@ WITH base AS (
          CAST(len(tk) AS DOUBLE) AS n_tok,
          list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))
            / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS avg_len,
-         CAST(len(list_filter(tk, t -> list_contains([{_SW96}], t))) AS DOUBLE)
+         CAST(len(list_filter(tk, t -> list_contains([{_SW}], t))) AS DOUBLE)
            / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS swr
   FROM base
 ), scored AS (

@@ -341,26 +341,59 @@ GROUP BY l_returnflag
 # --------------------------------------------------------------------------
 
 def q10_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-decimal min-of-means (review finding): value is 2-decimal
+    # quantized, so `round(min(avg(value)), 4)` on doubles is the
+    # midpoint coin flip functions/stats.py exists to eliminate — every
+    # sibling avg query uses the exact path. Here the exact (s, n)
+    # partials ride THROUGH the min: min_by picks the argmin hour by the
+    # double proxy s/n (exact ordering at these magnitudes — distinct
+    # hourly rationals differ by ≥ 1/(100·n²), ~11 orders above double
+    # error; equal rationals round identically so ties don't matter),
+    # and the single round happens in integer space at the end.
+    from citibike_analysis_spark.functions.stats import round_ratio_exact
+
     e = _t(spark, sf_dir, "events")
-    hourly = (
-        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
-        .agg(F.avg("value").alias("hourly_avg"))
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.rint(F.col("value") * 100).cast("long")).alias("_s"),
+        F.count("value").alias("_n"),
     )
-    return hourly.groupBy("user_id").agg(
-        F.round(F.min("hourly_avg"), 4).alias("min_hourly_avg"),
+    picked = hourly.groupBy("user_id").agg(
+        F.min_by(
+            F.struct(F.col("_s"), F.col("_n")), F.col("_s") / F.col("_n")
+        ).alias("_m"),
         F.count("*").alias("n_hours"),
     )
+    return picked.select(
+        "user_id",
+        round_ratio_exact(F.col("_m._s"), F.col("_m._n")).alias(
+            "min_hourly_avg"
+        ),
+        "n_hours",
+    )
 
 
-Q10_SQL = """
-SELECT user_id,
-       round(min(hourly_avg), 4) AS min_hourly_avg,
-       count(*) AS n_hours
-FROM (
-  SELECT user_id, date_trunc('hour', ts) AS hour_ts, avg(value) AS hourly_avg
+from citibike_analysis_spark.functions.stats import sql_round_ratio_exact as _srre
+
+Q10_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         count(value) AS n
   FROM events GROUP BY 1, 2
+), picked AS (
+  -- single arg_min over a packed struct: two separate arg_mins could
+  -- pick DIFFERENT tied hours and pair s from one with n from another
+  SELECT user_id,
+         arg_min({{'s': s, 'n': n}}, s / CAST(n AS DOUBLE)) AS m,
+         count(*) AS n_hours
+  FROM hourly GROUP BY 1
 )
-GROUP BY user_id
+SELECT user_id,
+       {_srre("m.s", "m.n")} AS min_hourly_avg,
+       n_hours
+FROM picked
 """
 
 
@@ -674,8 +707,16 @@ def q20_interesting_suppliers(
         # no single-task stage. Ties land in the lowest qualifying
         # bucket, so gate selections can differ from exact ntile at
         # bucket boundaries (bounded in tests/test_operators.py).
+        from citibike_analysis_spark.cache import track
         from citibike_analysis_spark.operators.windows import approx_ntile
 
+        # each approx_ntile consumes its input twice (cutoff agg +
+        # assignment join), so the chained three would re-execute the
+        # lineitem scan + per-supplier shuffle up to ~2^3 times without
+        # a materialization — the same three-consumer recompute q40
+        # fixed with its persist (review finding); scope-released via
+        # cache_scope/release_all like every operator persist
+        variability = track(variability.persist())
         percentiles = approx_ntile(variability, "max_qty", 100, "max_qty_pctl")
         percentiles = approx_ntile(
             percentiles, "times_no_discount", 100, "no_discount_pctl"
