@@ -95,16 +95,17 @@ def extract_features(
         import hashlib
 
         for pdf in batches:
-            feats = [
-                decode(bytes(p), m)
-                for p, m in zip(pdf["payload"], pdf["media_type"])
-            ]
+            # ONE bytes() materialization per payload: decode, n_bytes,
+            # and sha each converted separately before — 3x the byte
+            # copies in the one stage payload bytes dominate (review)
+            bs = [bytes(p) for p in pdf["payload"]]
+            feats = [decode(b, m) for b, m in zip(bs, pdf["media_type"])]
             yield pd.DataFrame(
                 {
                     "content_id": pdf["content_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [len(b) for b in bs],
                     "payload_sha": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                        hashlib.sha256(b).hexdigest() for b in bs
                     ],
                     "feature": feats,
                 }
@@ -180,12 +181,19 @@ def ppm_encode(pixels) -> bytes:
 
 
 def default_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
-    """Default image resize: PIL when importable (any format PIL reads,
-    re-encoded as PNG), else a pure-numpy nearest-neighbor path for
-    binary-PPM payloads — so :func:`resize_images` runs end-to-end with
-    no injected kernel in both full and codec-less environments. Other
-    formats without PIL raise the documented seam error (inject
-    ``resize=`` as before — the injection seam is unchanged).
+    """Default image resize: PIL when importable (any format PIL reads),
+    else a pure-numpy nearest-neighbor path for binary-PPM payloads — so
+    :func:`resize_images` runs end-to-end with no injected kernel in
+    both full and codec-less environments. Other formats without PIL
+    raise the documented seam error (inject ``resize=`` as before — the
+    injection seam is unchanged).
+
+    The PIL branch re-encodes in the SOURCE format when PIL can write
+    it, falling back to PNG only for unknown/unwritable formats:
+    unconditional PNG transcoding left ``meta.codec`` stale for every
+    non-PNG input — the exact post-transform metadata hazard the
+    :func:`resize_images` docstring warns downstream consumers about
+    (review finding).
     """
     try:
         from PIL import Image  # noqa: PLC0415
@@ -194,9 +202,15 @@ def default_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
     if Image is not None:
         import io
 
-        img = Image.open(io.BytesIO(payload)).resize((width, height))
+        src = Image.open(io.BytesIO(payload))
+        fmt = src.format
+        img = src.resize((width, height))
         out = io.BytesIO()
-        img.save(out, format="PNG")
+        try:
+            img.save(out, format=fmt or "PNG")
+        except (KeyError, OSError, ValueError):
+            out = io.BytesIO()
+            img.save(out, format="PNG")
         return out.getvalue()
     if payload.startswith(b"P6"):
         return ppm_resize(payload, width, height)
@@ -243,8 +257,13 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # meta may be None: to_media leaves it null for the decode
+            # stage, and nothing guarantees that stage ran (review
+            # finding — None.asDict() crashed the documented
+            # ingest -> resize pipeline on its first row)
             metas = [
-                {**(m if isinstance(m, dict) else m.asDict()),
+                {**(m if isinstance(m, dict)
+                    else m.asDict() if m is not None else {}),
                  "width": width, "height": height}
                 for m in pdf["meta"]
             ]
@@ -303,15 +322,17 @@ def sample_frames(
             for cid, payload, meta in zip(
                 pdf["content_id"], pdf["payload"], pdf["meta"]
             ):
-                m = meta if isinstance(meta, dict) else meta.asDict()
+                m = (meta if isinstance(meta, dict)
+                     else meta.asDict() if meta is not None else {})
                 duration = int(m.get("duration_ms") or 0)
                 n = min(max_frames, max(duration // every_ms, 0) + 1)
+                b = bytes(payload)  # once per video, not once per frame
                 for i in range(n):
                     ms = i * every_ms
                     out["content_id"].append(cid)
                     out["frame_idx"].append(i)
                     out["frame_ms"].append(ms)
-                    out["frame"].append(kernel(bytes(payload), ms))
+                    out["frame"].append(kernel(b, ms))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)

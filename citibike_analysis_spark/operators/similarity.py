@@ -97,21 +97,25 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def _planes_frame(spark, bits: int, tables: int, dim: int, seed: int) -> DataFrame:
-    """All tables' planes flattened into one (tables*bits) × dim matrix,
-    shipped as a 1-row broadcast DataFrame rather than a literal: a
-    parsed array(array(...)) literal is thousands of AST nodes that
-    every later DataFrame op re-walks during analysis (~0.14 s/op
-    measured at 48×64), and F.lit(nested_list) pays ~1.6 s of py4j
-    element conversion. The 24 KB broadcast joins for free (1-row BNLJ,
-    pipelined, no shuffle) and keeps every plan tree tiny."""
-    flat_planes = [
-        plane
-        for t in range(tables)
-        for plane in _hyperplanes(dim, bits, seed + 1000 * t)
-    ]
-    return spark.createDataFrame(
-        [(flat_planes,)], "__planes: array<array<double>>"
+def _planes_matrix(bits: int, tables: int, dim: int, seed: int):
+    """All tables' planes as ONE (tables*bits) × dim numpy matrix, kept
+    driver-side and captured by :func:`_bucketize`'s pandas-UDF closure
+    (a few KB pickled into the task binary — Spark's standard closure
+    shipping). The earlier 1-row broadcast-DataFrame form predates the
+    Arrow matmul rewrite: _bucketize collect()ed it straight back, so
+    every call paid a createDataFrame py4j conversion plus a needless
+    Spark job for data that never left the driver, and the
+    broadcast-join economics its docstring described were dead code
+    (review finding)."""
+    import numpy as np
+
+    return np.asarray(
+        [
+            plane
+            for t in range(tables)
+            for plane in _hyperplanes(dim, bits, seed + 1000 * t)
+        ],
+        dtype=np.float64,
     )
 
 
@@ -131,7 +135,7 @@ def _bucketize(
     df: DataFrame,
     idname: str,
     vecname: str,
-    planes_df: DataFrame,
+    planes,
     bits: int,
     tables: int,
 ) -> DataFrame:
@@ -164,8 +168,7 @@ def _bucketize(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    flat = planes_df.collect()[0]["__planes"]
-    P = np.asarray(flat, dtype=np.float64)  # (tables*bits, dim)
+    P = np.asarray(planes, dtype=np.float64)  # (tables*bits, dim)
     weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
     n_tables, n_bits = tables, bits
 
@@ -221,7 +224,7 @@ def lsh_topk(
     the candidate join is an equi-join on (table, bucket). Tune
     bits↑/tables↓ for throughput, bits↓/tables↑ for recall.
     """
-    planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
+    planes = _planes_matrix(bits, tables, dim, seed)
 
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
@@ -229,10 +232,10 @@ def lsh_topk(
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     )
-    q = _bucketize(qv, "query_id", "_qv", planes_df, bits, tables).select(
+    q = _bucketize(qv, "query_id", "_qv", planes, bits, tables).select(
         "query_id", "tbl", "bkt"
     )
-    c = _bucketize(cv, "neighbor_id", "_cv", planes_df, bits, tables).select(
+    c = _bucketize(cv, "neighbor_id", "_cv", planes, bits, tables).select(
         "neighbor_id", "tbl", "bkt"
     )
     # bucket join + multi-table dedup move BARE (query, neighbor) id
@@ -309,20 +312,28 @@ def build_lsh_index(
     batch shuffles. Probe with :func:`lsh_index_topk` using the SAME
     (bits, tables, dim, seed).
     """
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    )
     bucketed = _bucketize(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("_cv"),
-        ),
+        cv,
         "neighbor_id",
         "_cv",
-        _planes_frame(corpus.sparkSession, bits, tables, dim, seed),
+        _planes_matrix(bits, tables, dim, seed),
         bits,
         tables,
-    )
+    ).select("neighbor_id", "tbl", "bkt")
     from citibike_analysis_spark.sources.bucketed import write_bucketed
 
+    # TWO tables (r05 review): the buckets table stores BARE
+    # (neighbor_id, tbl, bkt) — carrying the d-dim vector per (vector ×
+    # table) row multiplied index bytes by `tables` AND forced the probe
+    # to shuffle vectors through its candidate dedup (the measured 2.3x
+    # trap lsh_topk documents); the vectors ride once each in a sibling
+    # table bucketed by neighbor_id for shuffle-free re-attachment.
     write_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
+    write_bucketed(cv, f"{table}__vecs", ["neighbor_id"], num_buckets)
     # stamp at TABLE altitude, not per row: a constant column costs index
     # bytes per (vector × table) row and a limit-1 Spark job per probe,
     # and an EMPTY index would vacuously pass a row-level check (review
@@ -386,24 +397,47 @@ def lsh_index_topk(
         )
     if "_stamp" in idx.columns:
         idx = idx.drop("_stamp")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
     q = _bucketize(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-        ),
+        qv,
         "query_id",
         "_qv",
-        _planes_frame(spark, bits, tables, dim, seed),
+        _planes_matrix(bits, tables, dim, seed),
         bits,
         tables,
-    )
-    scored = (
-        idx.join(F.broadcast(q), ["tbl", "bkt"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
-        .select("query_id", "neighbor_id", "cosine_sim")
-    )
+    ).select("query_id", "tbl", "bkt")
+    if "_cv" in idx.columns:
+        # r04-era single-table index: vectors ride in the buckets table,
+        # so the candidate dedup must carry them (legacy path — rebuild
+        # with build_lsh_index for the bare-pair economics)
+        scored = (
+            idx.join(F.broadcast(q.join(qv, "query_id")), ["tbl", "bkt"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "_qv", "_cv")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )
+    else:
+        # bare-pair candidates (16-byte shuffle rows, the lsh_topk
+        # economics), then shuffle-free vector re-attachment: the
+        # __vecs sibling is bucketed on neighbor_id and the deduped
+        # candidate list broadcasts
+        cand = (
+            idx.join(F.broadcast(q), ["tbl", "bkt"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        vecs = spark.table(f"{table}__vecs")
+        scored = (
+            vecs.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -868,11 +902,11 @@ def near_duplicate_embeddings(
     """
     if bits == "auto":
         bits = _auto_bits(corpus, id_col)
-    planes_df = _planes_frame(corpus.sparkSession, bits, tables, dim, seed)
+    planes = _planes_matrix(bits, tables, dim, seed)
     vecs = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
-    c = _bucketize(vecs, "_id", "_v", planes_df, bits, tables).select(
+    c = _bucketize(vecs, "_id", "_v", planes, bits, tables).select(
         "_id", "tbl", "bkt"
     )
     # both self-join sides read the signature projection; persisting
@@ -954,17 +988,17 @@ def incremental_embedding_dedup(
     """
     if bits == "auto":
         bits = _auto_bits(corpus, id_col)
-    planes_df = _planes_frame(batch.sparkSession, bits, tables, dim, seed)
+    planes = _planes_matrix(bits, tables, dim, seed)
     bvec = batch.select(
         F.col(id_col).alias("_bid"), as_double(F.col(vec_col)).alias("_bv")
     )
     cvec = corpus.select(
         F.col(id_col).alias("_cid"), as_double(F.col(vec_col)).alias("_cv")
     )
-    bsig = _bucketize(bvec, "_bid", "_bv", planes_df, bits, tables).select(
+    bsig = _bucketize(bvec, "_bid", "_bv", planes, bits, tables).select(
         "_bid", "tbl", "bkt"
     )
-    csig = _bucketize(cvec, "_cid", "_cv", planes_df, bits, tables).select(
+    csig = _bucketize(cvec, "_cid", "_cv", planes, bits, tables).select(
         "_cid", "tbl", "bkt"
     )
     cand = (

@@ -65,13 +65,18 @@ WEATHER_NA = T.StructType(
 )
 
 #: Raw 3-minute samples — the streaming source (reference README.md:115-123).
+#: Matches what ``streaming.ingest.flatten_feed`` actually EMITS (the
+#: writer of any landed copy): ``status_value`` per FEED_RENAMES (a
+#: ``station_status`` column never existed) and IntegerType ids (the
+#: feed schema's id type; a LongType declaration made the vectorized
+#: parquet reader reject int32-written files — review finding).
 STATIONS_FLAT = T.StructType(
     [
-        T.StructField("id", T.LongType()),
+        T.StructField("id", T.IntegerType()),
         T.StructField("station_id", T.IntegerType()),
         T.StructField("available_bikes", T.IntegerType()),
         T.StructField("available_docks", T.IntegerType()),
-        T.StructField("station_status", T.StringType()),
+        T.StructField("status_value", T.StringType()),
         T.StructField("last_communication_time", T.TimestampType()),
     ]
 )

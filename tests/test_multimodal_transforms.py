@@ -141,3 +141,38 @@ def test_ppm_decoder_rejects_non_ppm_and_parses_comments(spark):
     payload = b"P6\n# a comment\n2 1\n255\n" + pix.tobytes()
     back, w, h = ppm_decode(payload)
     assert (w, h) == (2, 1) and (back == pix).all()
+
+
+def test_resize_and_frames_tolerate_null_meta(spark, tmp_path):
+    # review finding: to_media leaves meta NULL ("for the decode stage
+    # to fill") and nothing guarantees that stage ran — None.asDict()
+    # crashed the documented ingest -> transform pipeline on its first
+    # row in both resize_images and sample_frames
+    import numpy as np
+
+    from citibike_analysis_spark.operators.multimodal import (
+        ppm_decode,
+        ppm_encode,
+        sample_frames,
+    )
+    from citibike_analysis_spark.sources.media import (
+        read_binary_files,
+        to_media,
+    )
+
+    pix = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    (tmp_path / "img.ppm").write_bytes(ppm_encode(pix))
+    media = to_media(read_binary_files(spark, str(tmp_path)))
+    assert media.select("meta").first()["meta"] is None  # the precondition
+
+    out = resize_images(media, 2, 1).collect()
+    assert len(out) == 1
+    assert (out[0]["meta"]["width"], out[0]["meta"]["height"]) == (2, 1)
+    _, rw, rh = ppm_decode(bytes(out[0]["payload"]))
+    assert (rw, rh) == (2, 1)
+
+    # null meta → duration 0 → exactly one frame at t=0
+    frames = sample_frames(
+        media, extract=lambda payload, ms: payload[:4]
+    ).collect()
+    assert len(frames) == 1 and frames[0]["frame_ms"] == 0

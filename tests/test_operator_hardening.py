@@ -233,11 +233,14 @@ def test_lsh_index_probe_rejects_stamp_mismatch(spark):
             lsh_index_topk(
                 spark, "lsh_prestamp_test", q, k=2, bits=4, tables=2, dim=4, seed=1
             )
-        # r04-era index with the stamp as a per-row column still probes
-        # (legacy path), and mismatched parameters are still caught
+        # r04-era index: vectors AND the stamp rode as per-row columns
+        # in the one buckets table; that shape still probes (legacy
+        # path), and mismatched parameters are still caught
         from citibike_analysis_spark.operators.similarity import _index_stamp
 
-        spark.table("lsh_stamp_test").withColumn(
+        spark.table("lsh_stamp_test").join(
+            spark.table("lsh_stamp_test__vecs"), "neighbor_id"
+        ).withColumn(
             "_stamp", F.lit(_index_stamp(4, 2, 4, 1))
         ).write.mode("overwrite").saveAsTable("lsh_legacy_test")
         lsh_index_topk(
@@ -258,6 +261,7 @@ def test_lsh_index_probe_rejects_stamp_mismatch(spark):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_stamp_test")
+        spark.sql("DROP TABLE IF EXISTS lsh_stamp_test__vecs")
         spark.sql("DROP TABLE IF EXISTS lsh_prestamp_test")
         spark.sql("DROP TABLE IF EXISTS lsh_legacy_test")
         spark.sql("DROP TABLE IF EXISTS lsh_empty_legacy_test")

@@ -459,3 +459,4 @@ class TestPersistedLshIndex:
             assert "Exchange hashpartitioning(tbl" not in plan
         finally:
             spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_test__vecs")

@@ -154,3 +154,20 @@ def test_station_dimension_upsert_idempotent(spark, dirs):
     snap = spark.read.parquet(dirs["snap"])
     assert snap.count() == 2
     assert snap.filter("station_id = 79").first()["available_bikes"] == 11
+
+
+def test_stations_flat_schema_matches_flatten_feed_output(spark):
+    # review finding: the registry schema for landed flatten_feed output
+    # declared a nonexistent station_status column and a LongType id —
+    # readers following the declared-schema rule got an all-NULL column
+    # and a parquet int32-vs-long type rejection
+    from citibike_analysis_spark.schemas import STATIONS_FLAT
+    from citibike_analysis_spark.streaming.ingest import flatten_feed
+
+    raw = spark.createDataFrame(
+        [(_feed_line(72, datetime(2019, 5, 12, 8, 0, 0), 5),)], "value string"
+    )
+    out_types = dict(flatten_feed(raw).dtypes)
+    for f in STATIONS_FLAT.fields:
+        assert f.name in out_types, f.name
+        assert out_types[f.name] == f.dataType.simpleString(), f.name
