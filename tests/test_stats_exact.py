@@ -132,3 +132,41 @@ def test_large_magnitude_no_precision_loss(spark):
         f"(SELECT CAST({v!r} AS DOUBLE) AS v FROM range(1000))"
     ).fetchone()[0]
     assert duck == got
+
+
+def test_round_ratio_exact_matches_python_and_duckdb(spark):
+    # the (s, n)-pair form added for q10's min-of-hourly-means: exact
+    # half-away-from-zero rounding of s/(100·n) at scale 4, identical in
+    # Spark, DuckDB (sql_round_ratio_exact), and Fraction arithmetic —
+    # including exact midpoints and negative sums
+    from citibike_analysis_spark.functions.stats import (
+        round_ratio_exact,
+        sql_round_ratio_exact,
+    )
+
+    cases = [
+        (212999, 40),   # 53.249750 exactly — midpoint at scale 4
+        (-10649, 2),    # -53.245 exactly — negative midpoint at scale 3
+        (777, 1),
+        (0, 3),
+        (1, 3),         # non-terminating 1/300
+        (-1, 3),
+    ]
+    df = spark.createDataFrame(cases, "s long, n long")
+    got = {
+        (r["s"], r["n"]): r["m"]
+        for r in df.select(
+            "s", "n",
+            round_ratio_exact(F.col("s"), F.col("n")).alias("m"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s, n in cases:
+        q = Fraction(s, 100 * n) * 10**4
+        sign = 1 if q >= 0 else -1
+        expect = float(sign * int(abs(q) + Fraction(1, 2))) / 1e4
+        assert got[(s, n)] == expect, (s, n)
+        duck = con.execute(
+            f"SELECT {sql_round_ratio_exact(str(s), str(n))}"
+        ).fetchone()[0]
+        assert duck == expect, (s, n)
