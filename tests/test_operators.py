@@ -457,6 +457,10 @@ class TestPersistedLshIndex:
                 ._jdf.queryExecution().executedPlan().toString()
             )
             assert "Exchange hashpartitioning(tbl" not in plan
+            # the vectors sibling re-attaches against a BROADCAST
+            # candidate list — no neighbor_id exchange either (r05: the
+            # whole point of splitting the index into two tables)
+            assert "Exchange hashpartitioning(neighbor_id" not in plan
         finally:
             spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
             spark.sql("DROP TABLE IF EXISTS lsh_idx_test__vecs")
