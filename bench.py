@@ -78,13 +78,16 @@ HEADLINE = [
 # one query per cost family (r04 VERDICT #5) so a protocol or code
 # regression is attributable: as-of window (q41), broadcast-join chain
 # (q05), persist-routed MinHash LSH (q36), bucketed hot-key window
-# (q58), Arrow-seam embedding near-dup (q39)
+# (q58), Arrow-seam embedding near-dup (q39), persist-routed
+# k-means-seeded SemDeDup (q77 — added r06 after its uncanaried +44%
+# cold swing in r05 proved unattributable, r05 VERDICT #2)
 CANARY_QUERIES = (
     "q41_asof_join",
     "q05_regional_revenue",
     "q36_minhash_dedup",
     "q58_asof_join_bucketed",
     "q39_embedding_near_dup",
+    "q77_semantic_dedup",
 )
 
 _CANARY_SCRIPT = r"""
@@ -282,6 +285,11 @@ def canary_block(sf_dir: str, cpus: str, reps: int = 3) -> dict:
 
 STREAM_BATCHES = 15
 STREAM_ROWS_PER_BATCH = 2000
+# knob sweep (r05 VERDICT #6): r05's single 2k-row point was micro-
+# batch-overhead-dominated (p50 batch ~1.0-1.3 s at ~1.3-1.8k rows/s);
+# a second 20k-row point puts the overhead-vs-throughput curve on
+# record so batch-size regressions are attributable.
+STREAM_SWEEP_ROWS = (2000, 20000)
 
 
 def _progress_stats(query, wall: float, total_rows: int) -> dict:
@@ -302,7 +310,7 @@ def _progress_stats(query, wall: float, total_rows: int) -> dict:
     return stats
 
 
-def _bench_rollup(spark, workdir: str) -> dict:
+def _bench_rollup(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH) -> dict:
     import json as _json
     from datetime import datetime, timedelta
 
@@ -316,7 +324,7 @@ def _bench_rollup(spark, workdir: str) -> dict:
     total = 0
     for b in range(STREAM_BATCHES):
         with open(os.path.join(in_dir, f"b{b:03d}.json"), "w") as f:
-            for r in range(STREAM_ROWS_PER_BATCH):
+            for r in range(rows_per_batch):
                 ts = base + timedelta(minutes=3 * b, seconds=r % 180)
                 f.write(
                     _json.dumps(
@@ -351,7 +359,7 @@ def _bench_rollup(spark, workdir: str) -> dict:
         q.stop()
 
 
-def _bench_admission(spark, workdir: str) -> dict:
+def _bench_admission(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH) -> dict:
     import json as _json
     from datetime import datetime, timedelta
 
@@ -371,17 +379,17 @@ def _bench_admission(spark, workdir: str) -> dict:
     total = 0
     for b in range(STREAM_BATCHES):
         with open(os.path.join(in_dir, f"b{b:03d}.json"), "w") as f:
-            for r in range(STREAM_ROWS_PER_BATCH):
+            for r in range(rows_per_batch):
                 ts = base + timedelta(minutes=3 * b, seconds=r % 180)
                 text = (
-                    f"known-{(b * STREAM_ROWS_PER_BATCH + r) % 5000}"
+                    f"known-{(b * rows_per_batch + r) % 5000}"
                     if r % 2 == 0
                     else f"novel doc {b}-{r} body text"
                 )
                 f.write(
                     _json.dumps(
                         {
-                            "doc_id": b * STREAM_ROWS_PER_BATCH + r,
+                            "doc_id": b * rows_per_batch + r,
                             "ts": ts.strftime("%Y-%m-%dT%H:%M:%S"),
                             "text": text,
                         }
@@ -411,6 +419,63 @@ def _bench_admission(spark, workdir: str) -> dict:
         q.stop()
 
 
+def _bench_sessions(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH) -> dict:
+    """Stateful-operator throughput (r05 VERDICT #6): track_sessions —
+    applyInPandasWithState with event-time timeout — was the one
+    streaming path with no bench row. 500 stations, a >gap time jump
+    every 5 batches so sessions actually close (state churn, not just
+    accumulation); throughput is INPUT rows/sec like the other rows."""
+    import json as _json
+    from datetime import datetime, timedelta
+
+    from citibike_analysis_spark.streaming.enrich import track_sessions
+    from citibike_analysis_spark.streaming.ingest import read_feed_stream
+
+    in_dir = os.path.join(workdir, "feed_in")
+    ckpt = os.path.join(workdir, "feed_ckpt")
+    os.makedirs(in_dir)
+    base = datetime(2024, 3, 1, 8, 0, 0)
+    total = 0
+    for b in range(STREAM_BATCHES):
+        # 2-hour jump every 5 batches: exceeds the 30-min gap, so open
+        # sessions close and their state is replaced, not just grown
+        start = base + timedelta(hours=2 * (b // 5), minutes=3 * b)
+        with open(os.path.join(in_dir, f"b{b:03d}.json"), "w") as f:
+            for r in range(rows_per_batch):
+                ts = start + timedelta(seconds=r % 180)
+                f.write(
+                    _json.dumps(
+                        {
+                            "id": r % 500,
+                            "stationName": f"S{r % 500}",
+                            "availableBikes": (r * 7) % 40,
+                            "availableDocks": 40 - (r * 7) % 40,
+                            "statusValue": "In Service",
+                            "lastCommunicationTime": ts.strftime(
+                                "%Y-%m-%d %I:%M:%S %p"
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+                total += 1
+
+    sessions = track_sessions(read_feed_stream(spark, in_dir))
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: b.write.format("noop").mode("overwrite").save())
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        return _progress_stats(q, wall, total)
+    finally:
+        q.stop()
+
+
 def streaming_block(spark) -> dict:
     import shutil
     import tempfile
@@ -418,15 +483,27 @@ def streaming_block(spark) -> dict:
     out: dict = {
         "batches": STREAM_BATCHES,
         "rows_per_batch": STREAM_ROWS_PER_BATCH,
+        "sweep_rows": list(STREAM_SWEEP_ROWS),
     }
-    for name, fn in (("rollup", _bench_rollup), ("admission", _bench_admission)):
+    jobs = [
+        (f"rollup_{rows}", _bench_rollup, rows) for rows in STREAM_SWEEP_ROWS
+    ] + [
+        (f"admission_{rows}", _bench_admission, rows) for rows in STREAM_SWEEP_ROWS
+    ] + [
+        ("sessions", _bench_sessions, STREAM_ROWS_PER_BATCH),
+    ]
+    for name, fn, rows in jobs:
         workdir = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
         try:
-            out[name] = fn(spark, workdir)
+            out[name] = fn(spark, workdir, rows)
         except Exception as exc:  # noqa: BLE001 - report, never sink the bench
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
+    # alias the 2k rows points under the r04/r05 names so cross-round
+    # tooling reading "rollup"/"admission" keeps working
+    out["rollup"] = out.get(f"rollup_{STREAM_ROWS_PER_BATCH}")
+    out["admission"] = out.get(f"admission_{STREAM_ROWS_PER_BATCH}")
     return out
 
 
@@ -490,26 +567,47 @@ def main() -> None:
         for q, t in prev_t.items()
         if head_t.get(q) and t
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(steady.values()), 3),
-                "unit": "sec",
-                "queries": steady,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "streaming": streaming,
-                "host": {**host_block(), "idle_gate": idle_gate},
-                "canary": canary,
-                # steady/canary on the SAME host+session: the only valid
-                # cross-round comparison basis (>1 = HEAD slower than the
-                # previous round's code today)
-                "canary_ratio": ratios,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(steady.values()), 3),
+        "unit": "sec",
+        "queries": steady,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "streaming": streaming,
+        "host": {**host_block(), "idle_gate": idle_gate},
+        "canary": canary,
+        # steady/canary on the SAME host+session: the only valid
+        # cross-round comparison basis (>1 = HEAD slower than the
+        # previous round's code today)
+        "canary_ratio": ratios,
+    }
+    # Artifact-truncation fix (r05 VERDICT #4): the driver keeps only a
+    # 2000-char TAIL of stdout, so the old ~5 KB single line arrived
+    # mid-JSON and BENCH_r04/r05 lost their warm blocks ("parsed": null).
+    # Write the COMPLETE result to a committed file, and keep the stdout
+    # line under the tail window (full per-query warm numbers + scalar
+    # cold/streaming/canary summaries + a pointer to the full file).
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    stdout_line = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": steady,
+        "value_cold": result["value_cold"],
+        "sf": result["sf"],
+        "canary_ratio": ratios,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(stdout_line)
+    if len(line) > 1990:  # never exceed the driver's tail window
+        stdout_line.pop("canary_ratio", None)
+        line = json.dumps(stdout_line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -175,6 +175,18 @@ def asof_join_bucketed(
     Choose ``bucket_seconds`` ≈ hot-key span / desired parallelism;
     correctness does not depend on the choice (property-tested).
     """
+    lt_type = dict(left.dtypes)[left_ts]
+    rt_type = dict(right.dtypes)[right_ts]
+    if (lt_type == "timestamp") != (rt_type == "timestamp"):
+        # _bucket_of buckets LTZ on unix_micros (instant) but NTZ on
+        # wall-clock seconds; mixing the two bases silently misaligns the
+        # carry-forward chain near bucket boundaries (review finding)
+        raise ValueError(
+            "asof_join_bucketed: mixed timestamp families "
+            f"({left_ts}: {lt_type}, {right_ts}: {rt_type}) bucket in "
+            "different bases (LTZ instant vs NTZ wall clock); cast one side "
+            "so both are TIMESTAMP or both TIMESTAMP_NTZ"
+        )
     left_cols = left.columns
     payload = F.struct(
         F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in value_cols]

@@ -107,11 +107,18 @@ def connected_components(
     track(labels)
     if not converged:
         # Partially-propagated labels are silently WRONG (a chain longer
-        # than max_iter keeps distinct labels inside one component), and
+        # than max_iter+1 keeps distinct labels inside one component), and
         # callers like dedup_clusters would canonicalize against them.
+        # Message states the ACTUAL budget (review finding): the loop ran
+        # max_iter+1 propagation rounds (the confirmation round also
+        # propagates), so labels here are unconfirmed — complete only in
+        # the knife-edge case diameter == max_iter+1, where the last
+        # round finished propagation but no round remained to confirm it.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the graph has a component with diameter > max_iter — raise "
+            "connected_components could not confirm convergence within "
+            f"{max_iter + 1} propagation rounds (max_iter={max_iter} + 1 "
+            "confirmation round, which also propagates); labels are "
+            "guaranteed complete only for diameter <= max_iter — raise "
             "max_iter or use connected_components_star (O(log n) rounds)"
         )
     return labels

@@ -268,18 +268,38 @@ def temperature_mixture(
     # nearly-whole stratum formats as the 5-char '10000', and the
     # lexicographic compare keeps only hashes starting '0' — ~6% of a
     # stratum meant to be kept whole (review finding).
-    scaled = F.round(F.col("_quota") / F.col("_n") * 0x10000).cast("int")
+    # Floor clamp (review finding): in an extreme-skew stratum where
+    # round(quota/n * 65536) rounds to 0 (n > ~131072·quota) the '0000'
+    # threshold would keep ZERO rows despite quota >= 1, inverting the
+    # tail-boost guarantee instead of deviating binomially — clamp the
+    # scaled threshold to at least 1 whenever the quota is at least 1
+    # (expected kept ≈ n/65536 rows, the closest the 4-hex-digit grid
+    # can get to the quota from above zero). Mirrored in Q117_SQL.
+    rounded = F.round(F.col("_quota") / F.col("_n") * 0x10000).cast("int")
+    scaled = F.when(
+        (F.col("_quota") >= 1) & (rounded < 1), F.lit(1)
+    ).otherwise(rounded)
+    # ceil-boundary guard (review finding): _z is a double SUM whose
+    # value is summation-order dependent (neither engine guarantees a
+    # reduction order), so a 1-ulp Spark-vs-DuckDB difference could flip
+    # the outer ceil() when the exact quotient lands ON an integer.
+    # Shaving 1e-9 RELATIVE before ceil absorbs order drift (≤ ~#strata
+    # · 2⁻⁵² ≈ 1e-10 relative for 1e6 strata) on both engines, moving
+    # the knife edge to quotients within 1e-9 of k/(1-1e-9) — a residual
+    # measure-zero risk, documented rather than eliminable with plain
+    # double sums; alpha=0.5 keeps pow() itself IEEE-exact (sqrt).
+    raw_quota = (
+        F.ceil(F.lit(total_fraction) * F.col("_total"))
+        * F.pow("_n", alpha)
+        / F.col("_z")
+    )
     quotas = (
         counts.crossJoin(F.broadcast(tot))
         .withColumn(
             "_quota",
             F.least(
                 F.col("_n"),
-                F.ceil(
-                    F.ceil(F.lit(total_fraction) * F.col("_total"))
-                    * F.pow("_n", alpha)
-                    / F.col("_z")
-                ),
+                F.ceil(raw_quota * F.lit(1.0 - 1e-9)),
             ),
         )
         .withColumn(

@@ -69,6 +69,9 @@ _EPOCH = {
     # admission form; earlier greens verified the SF-proportional
     # loose-banding form (now q113)
     "q103_incremental_embedding_dedup": 5,
+    # r06: recall bound tightened 0.25 → 0.30 (flag column renamed);
+    # earlier greens verified the looser bound
+    "q106_ann_lsh_recall_audit": 6,
 }
 
 

@@ -430,15 +430,19 @@ def _ann_recall_audit(
 def q106_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: the exact best-neighbor cosine (oracle-recomputed) and
     the AGGREGATE recall@5 bound of the q44 LSH parameterization
-    (bits=6/tables=8 → theory ≈ 1-(1-p^6)^8 ≈ 0.45 at cos 0.45; bound
-    0.25 holds with margin at every SF). Per-query recall can be 0 for
-    an individual unlucky query at these parameters — that is the
-    banding distribution, not a defect — so the pinned bound is the
-    aggregate, like the pytest."""
+    (bits=6/tables=8 → theory ≈ 1-(1-p^6)^8 ≈ 0.45 at cos 0.45).
+    Bound raised 0.25 → 0.30 in r06 (r05 VERDICT #7: 0.25 was loose
+    enough to pass a badly broken index): re-measured with the r05
+    two-table index restructure in place, aggregate recall is exactly
+    the deterministic 0.32/0.38/0.44 at sf0.001/0.01/0.1, so 0.30 sits
+    just under the empirical floor. Per-query recall can be 0 for an
+    individual unlucky query at these parameters — that is the banding
+    distribution, not a defect — so the pinned bound is the aggregate,
+    like the pytest."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     ap = lsh_topk(e, q, "vec_id", "embedding", k=5, bits=6, tables=8)
-    return _ann_recall_audit(spark, sf_dir, ap, "agg_recall_ge_025", None, 0.25)
+    return _ann_recall_audit(spark, sf_dir, ap, "agg_recall_ge_03", None, 0.30)
 
 
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +473,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM scored GROUP BY query_id
 """
 
-Q106_SQL = _ANN_AUDIT_SQL.format(flag="agg_recall_ge_025")
+Q106_SQL = _ANN_AUDIT_SQL.format(flag="agg_recall_ge_03")
 Q107_SQL = _ANN_AUDIT_SQL.format(flag="query_recall_ge_06")
 
 
@@ -2838,24 +2842,128 @@ WITH counts AS (
 ), tot AS (
   SELECT sum(n) AS total, sum(pow(n, 0.5)) AS z FROM counts
 ), quotas AS (
+  -- *(1 - 1e-9) before ceil mirrors the operator's boundary guard: z is
+  -- a summation-order-dependent double sum, so both engines shave the
+  -- same relative epsilon to keep a 1-ulp drift from flipping the ceil
   SELECT s, n,
-         least(n, CAST(ceil(ceil(0.5 * total) * pow(n, 0.5) / z) AS BIGINT)) AS quota
+         least(n, CAST(ceil(ceil(0.5 * total) * pow(n, 0.5) / z * (1 - 1e-9)) AS BIGINT)) AS quota
   FROM counts CROSS JOIN tot
 ), thr AS (
   -- quota >= n OR scaled >= 65536 both mean keep-all: printf('%04x',
   -- 65536) is the 5-char '10000', which lexicographically keeps only
-  -- '0'-prefixed hashes (the operator guards identically)
+  -- '0'-prefixed hashes (the operator guards identically); the
+  -- greatest(..., 1) clamp mirrors the operator's quota>=1 floor so an
+  -- extreme-skew stratum never rounds to the keep-nothing '0000'
   SELECT s,
          CASE WHEN quota >= n
                    OR CAST(round(quota / CAST(n AS DOUBLE) * 65536) AS INT) >= 65536
               THEN 'g'
-              ELSE printf('%04x', CAST(round(quota / CAST(n AS DOUBLE) * 65536) AS INT))
+              ELSE printf('%04x', greatest(
+                     CAST(round(quota / CAST(n AS DOUBLE) * 65536) AS INT),
+                     CASE WHEN quota >= 1 THEN 1 ELSE 0 END))
          END AS t
   FROM quotas
 )
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, d.lang
 FROM documents d JOIN thr ON d.source IS NOT DISTINCT FROM thr.s
 WHERE substr(md5(concat_ws('|', d.source, d.doc_id)), 1, 4) < thr.t
+"""
+
+
+# --------------------------------------------------------------------------
+# q118 — SCALE-DECLARED form of the corpus-percentile gate (r05 VERDICT
+# #1), registered as its divergence audit in the q40 pattern. q71/q116
+# gate on exact `percentile()`, whose aggregation state is a
+# value→count map merged at a SINGLE reducer — the only registered plan
+# family whose memory grows with score cardinality rather than group
+# count (bounded in practice by the 6-decimal rounding to ~10⁶–10⁷
+# distinct bins, but undeclared until now; see SCALE.md). The 100 TB
+# form gates on `percentile_approx` — Spark's Greenwald–Khanna sketch:
+# partial-aggregable, O(accuracy · log n) state per partition, relative
+# rank error ≤ 1/accuracy — and this audit pins the exact-vs-approx
+# divergence so the swap is hash-verifiable:
+#   - `cut_rank_ok`: the approx cut's rank interval in the exact score
+#     order intersects [p·n − n/acc − 1, p·n + n/acc + 1] (the GK
+#     guarantee restated tie-robustly in integer rank space — a tie run
+#     at the cut widens the element's rank interval, so the assert uses
+#     both endpoints, the q40 lesson);
+#   - `kept_diff_ok`: the kept-set size differs from the exact gate's by
+#     ≤ ceil(n/acc) + ties_at_cut + 2 (the ±2 absorbs the interpolated
+#     exact percentile landing between elements on either side).
+# The oracle recomputes the exact legs (n_scored, n_kept_exact — the
+# q71 machinery) and states both invariants `true`; a sketch regression
+# or a broken gate hash-mismatches. The exact-percentile leg here is
+# AUDIT-scale, same class as q40's ranked exact leg; q71/q116 remain
+# registered as the reference-parity exact forms.
+# --------------------------------------------------------------------------
+
+_Q118_ACC = 10_000  # percentile_approx accuracy → relative rank error 1e-4
+
+
+def q118_percentile_gate_scale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.operators.corpus_stats import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    # scored feeds two plan branches (the cuts aggregate and the audit
+    # counts) — persist so the token explode + corpus-LM join runs once
+    scored = track(
+        unigram_logprob(d, "doc_id", "text")
+        .filter(F.col("avg_logp").isNotNull())
+        .persist()
+    )
+    cuts = scored.agg(
+        F.expr("percentile(avg_logp, 0.1)").alias("_ce"),
+        F.expr(f"percentile_approx(avg_logp, 0.1, {_Q118_ACC})").alias("_ca"),
+    )
+    counts = (
+        scored.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count("*").alias("_n"),
+            F.count(F.when(F.col("avg_logp") > F.col("_ce"), 1)).alias("_ke"),
+            F.count(F.when(F.col("avg_logp") > F.col("_ca"), 1)).alias("_ka"),
+            F.count(F.when(F.col("avg_logp") < F.col("_ca"), 1)).alias("_rlo"),
+            F.count(F.when(F.col("avg_logp") <= F.col("_ca"), 1)).alias("_rhi"),
+        )
+    )
+    tol = F.col("_n") / F.lit(float(_Q118_ACC))
+    target = F.lit(0.1) * F.col("_n")
+    return counts.select(
+        F.col("_n").cast("long").alias("n_scored"),
+        F.col("_ke").cast("long").alias("n_kept_exact"),
+        (
+            (F.col("_rlo") + 1 <= target + tol + 1)
+            & (F.col("_rhi") >= target - tol - 1)
+        ).alias("cut_rank_ok"),
+        (
+            F.abs(F.col("_ke") - F.col("_ka"))
+            <= F.ceil(tol) + (F.col("_rhi") - F.col("_rlo")) + 2
+        ).alias("kept_diff_ok"),
+    )
+
+
+Q118_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), tkx AS (
+  SELECT doc_id, unnest(tk) AS t FROM toks
+), freq AS (
+  SELECT t, count(*) AS c FROM tkx GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM freq
+), scored AS (
+  SELECT doc_id,
+         round(avg(ln(c / CAST(n AS DOUBLE))), 6) AS avg_logp
+  FROM tkx JOIN freq USING (t) CROSS JOIN tot
+  GROUP BY doc_id
+), cut AS (
+  SELECT quantile_cont(avg_logp, 0.1) AS c FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(count(*) FILTER (WHERE s.avg_logp > cut.c) AS BIGINT) AS n_kept_exact,
+       true AS cut_rank_ok,
+       true AS kept_diff_ok
+FROM scored s CROSS JOIN cut
 """
 
 
@@ -2975,5 +3083,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q117_temperature_mixture": QuerySpec(
         q117_temperature_mixture, Q117_SQL, "§7 sampling-temperature"
+    ),
+    "q118_percentile_gate_scale_audit": QuerySpec(
+        q118_percentile_gate_scale_audit, Q118_SQL, "§7 adaptive-quality-gate-scale"
     ),
 }

@@ -2046,3 +2046,146 @@ QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# q119 — driver-signed STREAMING correctness (r05 VERDICT #3): the
+# batch/streaming parity claim, hash-verified. The streaming tier's 11
+# behaviors were pytest-only; this registration replays a fixed,
+# deterministic micro-batch sequence through the PRODUCTION streaming
+# pipeline — `streaming.rollup.availability_rollup` (event-time tumbling
+# window + watermark) via `write_rollup`'s update-mode foreachBatch
+# changelog sink, state recovered with `latest_rollup` — and the DuckDB
+# oracle states the equivalent BATCH 15-minute rollup (the q19 shape,
+# reference README.md:196-224). Any watermark mis-drop, window
+# misalignment, changelog overwrite bug, or state-eviction fault
+# hash-mismatches.
+#
+# Replay determinism: samples derive from `events` by integer-exact
+# arithmetic (station = user_id % 50, measures from event_id — both
+# engines construct identical values); micro-batches are CONTIGUOUS
+# ascending time ranges (ntile over ts), so no row is ever late beyond
+# the 30-minute watermark and the final streamed state provably equals
+# the all-data batch answer. File order is pinned with explicit mtimes
+# (the file source processes oldest-first).
+#
+# Scale note: this is a REPLAY HARNESS, not a production path — the
+# global ntile + driver-side batch write are audit-scale by design
+# (bounded by the replay fixture, same class as q40's exact leg). The
+# production streaming plan it exercises is the scale path: watermark-
+# bounded state, partial-aggregable window min, changelog upsert sink.
+# --------------------------------------------------------------------------
+
+_Q119_BATCHES = 5
+
+
+def q119_streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from citibike_analysis_spark.streaming.rollup import (
+        availability_rollup,
+        latest_rollup,
+        write_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # the watermark clock requires TIMESTAMP (LTZ); the session zone is
+    # pinned UTC (session.py), so NTZ→LTZ here and LTZ→NTZ on the output
+    # are exact inverses and the oracle's naive epoch math matches
+    samples = e.select(
+        F.col("ts").cast("timestamp").alias("last_communication_time"),
+        (F.col("user_id") % 50).cast("long").alias("station_id"),
+        (F.col("event_id") % 40).cast("long").alias("available_bikes"),
+        ((F.col("event_id") * 7) % 45).cast("long").alias("available_docks"),
+    )
+    w = Window.orderBy("last_communication_time", "station_id", "available_bikes")
+    pdf = (
+        samples.withColumn("_b", F.ntile(_Q119_BATCHES).over(w))
+        .toPandas()
+        .sort_values(["_b", "last_communication_time"])
+    )
+    workdir = tempfile.mkdtemp(prefix="q119_replay_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        os.makedirs(in_dir)
+        arrow_schema = pa.schema(
+            [
+                # tz-stamped so Spark's file source reads LTZ (matching the
+                # declared schema); the naive→UTC arrow cast reinterprets
+                # the same int64, which IS the wall clock under UTC session
+                pa.field("last_communication_time", pa.timestamp("us", tz="UTC")),
+                pa.field("station_id", pa.int64()),
+                pa.field("available_bikes", pa.int64()),
+                pa.field("available_docks", pa.int64()),
+            ]
+        )
+        for i in range(_Q119_BATCHES):
+            part = pdf[pdf["_b"] == i + 1].drop(columns=["_b"])
+            path = os.path.join(in_dir, f"b{i:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False).cast(arrow_schema),
+                path,
+            )
+            # pin file-source order: oldest-modified processes first
+            os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(samples.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_dir = os.path.join(workdir, "out")
+        q = write_rollup(
+            availability_rollup(stream),
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+            output_dir=out_dir,
+            query_name="q119_streaming_rollup_replay",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # pin the result before the workdir (its source files) is removed;
+        # the driver/test collects AFTER this function returns
+        final = latest_rollup(spark, out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final.select(
+        F.col("time_interval").cast("timestamp_ntz").alias("time_interval"),
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("available_bikes").cast("long").alias("available_bikes"),
+        F.col("available_docks").cast("long").alias("available_docks"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+Q119_SQL = """
+WITH samples AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900) * 1000000) AS time_interval,
+         user_id % 50 AS station_id,
+         event_id % 40 AS available_bikes,
+         (event_id * 7) % 45 AS available_docks
+  FROM events
+  WHERE ts IS NOT NULL
+)
+SELECT time_interval,
+       CAST(station_id AS BIGINT) AS station_id,
+       CAST(min(available_bikes) AS BIGINT) AS available_bikes,
+       CAST(min(available_docks) AS BIGINT) AS available_docks,
+       count(*) AS n_samples
+FROM samples
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "q119_streaming_rollup_replay": QuerySpec(
+            q119_streaming_rollup_replay, Q119_SQL, "§2.9 W4 streaming-batch-parity"
+        ),
+    }
+)

@@ -483,7 +483,16 @@ def track_sessions(
         .withWatermark(ts_col, watermark)
         .select(F.col(key), F.col(ts_col).alias("ts"))
     )
-    tz = samples.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    # tz for _session_fn's timeout-epoch localize, dispatched on the
+    # RESOLVED dtype (review finding): an LTZ column reaches pandas
+    # rendered naive in the session zone, so localize with the session
+    # zone; a TIMESTAMP_NTZ column arrives as raw wall clock that the
+    # watermark clock treats as UTC — localizing THAT to a non-UTC
+    # session zone would skew the timeout by the session offset.
+    if dict(samples.dtypes)[ts_col] == "timestamp":
+        tz = samples.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    else:
+        tz = "UTC"
     return keyed.groupBy(key).applyInPandasWithState(
         _session_fn(gap_seconds, tz),
         outputStructType=SESSION_OUTPUT_SCHEMA,

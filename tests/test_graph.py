@@ -61,7 +61,7 @@ def test_nonconvergence_raises_instead_of_silent_wrong_labels(spark):
 
     edges = [(i, i + 1) for i in range(12)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    with pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="could not confirm convergence"):
         connected_components(df, max_iter=3)
 
 

@@ -357,3 +357,54 @@ def test_frequent_tokens_exact_threshold_boundary_included(spark):
     toks = {r["token"] for r in
             frequent_tokens(df, "text", min_fraction=0.07).collect()}
     assert "x" in toks
+
+
+def test_asof_bucketed_rejects_mixed_timestamp_families(spark):
+    # r05 ADVICE: an NTZ left vs LTZ right bucketed in DIFFERENT bases
+    # (wall-clock seconds vs unix_micros) silently misaligning the
+    # carry-forward chain — must raise instead
+    import pytest
+
+    from citibike_analysis_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10))], "k int, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9), 1.0)], "k int, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="mixed timestamp families"):
+        asof_join_bucketed(
+            left, right, ["k"], "ts", "ts", ["v"], bucket_seconds=3600
+        )
+    # same family still works (smoke)
+    out = asof_join_bucketed(
+        left,
+        right.withColumn("ts", F.col("ts").cast("timestamp_ntz")),
+        ["k"],
+        "ts",
+        "ts",
+        ["v"],
+        bucket_seconds=3600,
+    )
+    assert out.collect()[0]["v_asof"] == 1.0
+
+
+def test_temperature_mixture_extreme_skew_keeps_nonzero_tail(spark):
+    # r05 ADVICE: a stratum with n > ~131072*quota rounded its 16-bit
+    # threshold to '0000' and kept ZERO rows despite quota >= 1 —
+    # inverting the tail-boost guarantee. The clamp keeps ~n/65536 rows.
+    from citibike_analysis_spark.operators.sampling import temperature_mixture
+
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"), F.lit("big").alias("src")
+    )
+    # single stratum: quota = ceil(total_sel * n^0.5 / n^0.5) = 1;
+    # n/quota = 1e6 >> 131072, so pre-fix the threshold rounded to 0
+    kept = temperature_mixture(
+        df, "doc_id", "src", alpha=0.5, total_fraction=1e-6
+    ).count()
+    # expected ~ n/65536 ~ 15; the guarantee under test is NONZERO with
+    # a sane ceiling (binomial p=1/65536: P(0 kept) ~ e^-15, and 60+
+    # kept would mean the clamp overshot by 4x the expectation)
+    assert 0 < kept < 60
