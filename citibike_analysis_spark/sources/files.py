@@ -19,6 +19,7 @@ instead of silently parsing the first document.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_TS = "yyyy-MM-dd HH:mm:ss"
@@ -59,7 +60,10 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 
 def write_parquet_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str]
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int | None = 1,
 ) -> None:
     """Engine-internal interchange: parquet partitioned for pruning.
 
@@ -67,7 +71,26 @@ def write_parquet_partitioned(
     "Partitioning") so date-ranged queries prune at the file-listing
     level — at 100 TB this is the difference between listing a day and
     scanning two months.
+
+    ``files_per_partition`` bounds the SMALL-FILES blowup (r06 prune
+    rehearsal): a bare ``partitionBy`` writes one file per (upstream
+    task × partition dir) — 32 slivers/day on local[32], and at 1000
+    executors a million-file layout whose LISTING (not reading)
+    becomes the query cost. A shuffle on (partition cols, deterministic
+    row-hash bucket) routes each partition's rows through at most
+    ``files_per_partition`` writer buckets, so layout file count is
+    ``≤ dirs × files_per_partition`` regardless of upstream
+    parallelism. Size it to the target file size (~128 MB–1 GB per
+    file at scale); the bucket is a hash of the full row, so writes
+    stay deterministic under task retry. ``None`` skips the shuffle
+    (caller already partitioned the data the way it wants written).
     """
+    if files_per_partition is not None:
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(int(files_per_partition)),
+        )
+        df = df.repartition(*partition_cols, bucket)
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 

@@ -70,6 +70,32 @@ def test_partitioned_write_prunes(spark, tmp):
     assert "day#" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_partitioned_write_bounds_files_per_partition(spark, tmp):
+    # r06 prune rehearsal: a bare partitionBy writes one sliver per
+    # (upstream task x dir) — 32/day on local[32]; the default
+    # files_per_partition=1 must collapse each dir to ONE file while
+    # keeping the data and pruning intact
+    import glob
+
+    df = (
+        spark.range(1000)
+        .select(F.col("id"), (F.col("id") % 10).alias("day"))
+        .repartition(8)  # many upstream tasks -> pre-fix 8 files/day
+    )
+    write_parquet_partitioned(df, f"{tmp}/compact", ["day"])
+    for d in range(10):
+        assert len(glob.glob(f"{tmp}/compact/day={d}/*.parquet")) == 1
+    assert spark.read.parquet(f"{tmp}/compact").count() == 1000
+    # files_per_partition=3: at most 3 files per dir (hash buckets may
+    # collide into fewer)
+    write_parquet_partitioned(df, f"{tmp}/b3", ["day"], files_per_partition=3)
+    for d in range(10):
+        assert 1 <= len(glob.glob(f"{tmp}/b3/day={d}/*.parquet")) <= 3
+    # None: legacy passthrough (caller owns the layout)
+    write_parquet_partitioned(df, f"{tmp}/raw", ["day"], files_per_partition=None)
+    assert spark.read.parquet(f"{tmp}/raw").count() == 1000
+
+
 def test_json_sink_overwrite_not_append(spark, tmp):
     df1 = spark.createDataFrame([(1, "a")], ["station_id", "x"])
     df2 = spark.createDataFrame([(2, "b")], ["station_id", "x"])
