@@ -2079,13 +2079,52 @@ QUERIES.update(
 _Q119_BATCHES = 5
 
 
+def _write_replay_batches(
+    samples: DataFrame,
+    in_dir: str,
+    n_batches: int,
+    arrow_schema,
+    order_cols: list[str],
+    sentinels=None,
+) -> None:
+    """Replay-harness batch writer shared by q119/q120: split ``samples``
+    into ``n_batches`` CONTIGUOUS ascending time ranges (global ntile —
+    audit-scale, bounded by the replay fixture), write each as ONE
+    parquet file via pyarrow, and pin ascending mtimes so the streaming
+    file source processes them oldest-first deterministically.
+    ``sentinels``: optional extra pandas frames appended as trailing
+    batches (watermark-advancing fixtures)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = (
+        samples.withColumn("_b", F.ntile(n_batches).over(Window.orderBy(*order_cols)))
+        .toPandas()
+        .sort_values(["_b", order_cols[0]])
+    )
+    os.makedirs(in_dir, exist_ok=True)
+    parts = [
+        pdf[pdf["_b"] == i + 1].drop(columns=["_b"]) for i in range(n_batches)
+    ]
+    parts.extend(sentinels or [])
+    for i, part in enumerate(parts):
+        path = os.path.join(in_dir, f"b{i:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False).cast(arrow_schema),
+            path,
+        )
+        # pin file-source order: oldest-modified processes first
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
 def q119_streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from citibike_analysis_spark.streaming.rollup import (
         availability_rollup,
@@ -2103,36 +2142,27 @@ def q119_streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 40).cast("long").alias("available_bikes"),
         ((F.col("event_id") * 7) % 45).cast("long").alias("available_docks"),
     )
-    w = Window.orderBy("last_communication_time", "station_id", "available_bikes")
-    pdf = (
-        samples.withColumn("_b", F.ntile(_Q119_BATCHES).over(w))
-        .toPandas()
-        .sort_values(["_b", "last_communication_time"])
+    arrow_schema = pa.schema(
+        [
+            # tz-stamped so Spark's file source reads LTZ (matching the
+            # declared schema); the naive→UTC arrow cast reinterprets
+            # the same int64, which IS the wall clock under UTC session
+            pa.field("last_communication_time", pa.timestamp("us", tz="UTC")),
+            pa.field("station_id", pa.int64()),
+            pa.field("available_bikes", pa.int64()),
+            pa.field("available_docks", pa.int64()),
+        ]
     )
     workdir = tempfile.mkdtemp(prefix="q119_replay_")
     try:
         in_dir = os.path.join(workdir, "in")
-        os.makedirs(in_dir)
-        arrow_schema = pa.schema(
-            [
-                # tz-stamped so Spark's file source reads LTZ (matching the
-                # declared schema); the naive→UTC arrow cast reinterprets
-                # the same int64, which IS the wall clock under UTC session
-                pa.field("last_communication_time", pa.timestamp("us", tz="UTC")),
-                pa.field("station_id", pa.int64()),
-                pa.field("available_bikes", pa.int64()),
-                pa.field("available_docks", pa.int64()),
-            ]
+        _write_replay_batches(
+            samples,
+            in_dir,
+            _Q119_BATCHES,
+            arrow_schema,
+            ["last_communication_time", "station_id", "available_bikes"],
         )
-        for i in range(_Q119_BATCHES):
-            part = pdf[pdf["_b"] == i + 1].drop(columns=["_b"])
-            path = os.path.join(in_dir, f"b{i:03d}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(part, preserve_index=False).cast(arrow_schema),
-                path,
-            )
-            # pin file-source order: oldest-modified processes first
-            os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
         stream = (
             spark.readStream.schema(samples.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2186,6 +2216,146 @@ QUERIES.update(
     {
         "q119_streaming_rollup_replay": QuerySpec(
             q119_streaming_rollup_replay, Q119_SQL, "§2.9 W4 streaming-batch-parity"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# q120 — driver-signed STATEFUL-streaming correctness: track_sessions
+# (`streaming/enrich.py` — applyInPandasWithState, event-time timeout,
+# the engine's custom stateful operator) replayed over the q119 replay
+# harness and hash-verified against the BATCH gap-sessionize oracle
+# (the q42 SQL shape). This closes the last §2.9 behavior class with no
+# oracle row: q119 covers the windowed-aggregation state path; q120
+# covers arbitrary per-key state + timeouts.
+#
+# Why the streamed result provably equals the batch answer here:
+# micro-batches are contiguous ascending time ranges (no late data, so
+# the single-open-session state never needs to reopen history — the
+# documented parity condition watermark ≤ gap holds at 30 min = 30 min),
+# and TWO trailing sentinel batches for a station id outside the real
+# key space (99 ≥ the user_id % 50 range) advance the watermark one day
+# past the data: sentinel batch 1 moves the watermark, sentinel batch 2
+# triggers the event-time-timeout pass under it, so every real open
+# session closes and emits. The sentinel's own session never closes and
+# is the only thing withheld — exactly the rows the oracle (which never
+# sees the sentinel) doesn't state.
+# --------------------------------------------------------------------------
+
+_Q120_SENTINEL_STATION = 99
+
+
+def q120_streaming_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from citibike_analysis_spark.streaming.enrich import track_sessions
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    samples = e.select(
+        F.col("ts").cast("timestamp").alias("last_communication_time"),
+        (F.col("user_id") % 50).cast("int").alias("station_id"),
+    )
+    hi = samples.agg(F.max("last_communication_time").alias("m")).collect()[0]["m"]
+
+    def sentinel(offset_minutes: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "last_communication_time": [
+                    pd.Timestamp(hi + timedelta(days=1, minutes=offset_minutes))
+                ],
+                "station_id": [_Q120_SENTINEL_STATION],
+            }
+        )
+
+    arrow_schema = pa.schema(
+        [
+            pa.field("last_communication_time", pa.timestamp("us", tz="UTC")),
+            pa.field("station_id", pa.int32()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="q120_replay_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        _write_replay_batches(
+            samples,
+            in_dir,
+            _Q119_BATCHES,
+            arrow_schema,
+            ["last_communication_time", "station_id"],
+            sentinels=[sentinel(0), sentinel(10)],
+        )
+        stream = (
+            spark.readStream.schema(samples.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_dir = os.path.join(workdir, "out")
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            track_sessions(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final.select(
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+Q120_SQL = """
+WITH samples AS (
+  SELECT user_id % 50 AS station_id, ts
+  FROM events WHERE ts IS NOT NULL
+), ordered AS (
+  SELECT station_id, ts,
+         lag(ts) OVER (PARTITION BY station_id ORDER BY ts) AS prev
+  FROM samples
+), flagged AS (
+  SELECT station_id, ts,
+         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sess AS (
+  SELECT station_id, ts,
+         sum(is_new) OVER (PARTITION BY station_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT CAST(station_id AS BIGINT) AS station_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_samples
+FROM sess
+GROUP BY station_id, session_idx
+"""
+
+
+QUERIES.update(
+    {
+        "q120_streaming_sessions_replay": QuerySpec(
+            q120_streaming_sessions_replay, Q120_SQL, "§2.9 stateful streaming-batch-parity"
         ),
     }
 )
