@@ -86,6 +86,11 @@ def write_parquet_partitioned(
     (caller already partitioned the data the way it wants written).
     """
     if files_per_partition is not None:
+        if files_per_partition < 1:
+            # pmod by 0 yields NULL buckets (everything one partition)
+            raise ValueError(
+                f"files_per_partition must be >= 1 or None, got {files_per_partition}"
+            )
         bucket = F.pmod(
             F.xxhash64(*[F.col(c) for c in df.columns]),
             F.lit(int(files_per_partition)),
