@@ -2967,6 +2967,101 @@ FROM scored s CROSS JOIN cut
 """
 
 
+# --------------------------------------------------------------------------
+# q121 — driver-signed correctness for the CONTINUOUS sketch tier:
+# `streaming/sketches.py::track_frequent_tokens` (applyInPandasWithState,
+# NoTimeout, update mode — the third and last stateful-streaming class
+# after q119's windowed aggregation and q120's event-time-timeout
+# sessions) replayed over the q119 micro-batch harness and hash-verified
+# against the EXACT per-token count oracle. The replay runs the sketch
+# in its exact regime — capacity 4096 ≥ the corpus's distinct-token
+# count per shard (31 globally in the synthetic testdata at every SF),
+# so Misra–Gries never prunes and `count_lb` IS the exact count. What
+# the row therefore verifies end-to-end: cross-micro-batch state
+# accumulation, the per-shard fold, and the hash-sharding partition
+# (each token in exactly ONE shard — a broken shard route would split or
+# double-count a token and break the hash). The PRUNED regime's
+# correctness is covered separately: q72 audits the batch sketch against
+# an exact recount, and the streaming pytest pins the lower-bound
+# semantics under forced eviction.
+#
+# Final state reconstruction: the update-mode sink stamps each emission
+# with its epoch; a shard's state after the stream = its max-epoch
+# emission (no pruning → counters only grow, so that emission lists
+# every token the shard has ever seen).
+# --------------------------------------------------------------------------
+
+
+def q121_streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.plans.relational import _write_replay_batches
+    from citibike_analysis_spark.streaming.sketches import track_frequent_tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    arrow_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
+    )
+    workdir = tempfile.mkdtemp(prefix="q121_replay_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        _write_replay_batches(docs, in_dir, 5, arrow_schema, ["doc_id"])
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        hh = track_frequent_tokens(stream, "text", capacity=4096, n_shards=8)
+        out_dir = os.path.join(workdir, "out")
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            if not batch.isEmpty():
+                batch.withColumn("_e", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(out_dir)
+
+        q = (
+            hh.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        log = spark.read.parquet(out_dir)
+        final = track(
+            log.withColumn(
+                "_mx", F.max("_e").over(Window.partitionBy("shard"))
+            )
+            .filter(F.col("_e") == F.col("_mx"))
+            .select("token", F.col("count_lb").cast("long").alias("n_occurrences"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
+Q121_SQL = f"""
+WITH toks AS (
+  SELECT {_DUCK_TOKENS} AS tk FROM documents WHERE text IS NOT NULL
+), tkx AS (
+  SELECT unnest(tk) AS token FROM toks
+)
+SELECT token, count(*) AS n_occurrences
+FROM tkx
+GROUP BY token
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -3086,5 +3181,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q118_percentile_gate_scale_audit": QuerySpec(
         q118_percentile_gate_scale_audit, Q118_SQL, "§7 adaptive-quality-gate-scale"
+    ),
+    "q121_streaming_heavy_hitters_replay": QuerySpec(
+        q121_streaming_heavy_hitters_replay,
+        Q121_SQL,
+        "§2.9 stateful-sketch streaming-batch-parity",
     ),
 }

@@ -2180,8 +2180,12 @@ def q119_streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
         # pin the result before the workdir (its source files) is removed;
-        # the driver/test collects AFTER this function returns
-        final = latest_rollup(spark, out_dir).localCheckpoint(eager=True)
+        # the driver/test collects AFTER this function returns. Tracked so
+        # release_all()/cache_scope teardown can free the blocks (the
+        # cache_scope contract: the terminal action runs inside the scope)
+        from citibike_analysis_spark.cache import track
+
+        final = track(latest_rollup(spark, out_dir).localCheckpoint(eager=True))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return final.select(
@@ -2313,7 +2317,9 @@ def q120_streaming_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFram
             q.processAllAvailable()
         finally:
             q.stop()
-        final = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        from citibike_analysis_spark.cache import track
+
+        final = track(spark.read.parquet(out_dir).localCheckpoint(eager=True))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return final.select(
