@@ -3062,6 +3062,112 @@ GROUP BY token
 """
 
 
+# --------------------------------------------------------------------------
+# q122 — driver-signed correctness for the STREAMING ADMISSION path:
+# `streaming/enrich.py::admit_novel_documents` (stream-static anti-join
+# against a landed-corpus snapshot + in-stream
+# dropDuplicatesWithinWatermark) replayed over the micro-batch harness
+# and hash-verified against the batch NOT-IN oracle. Fixture: the
+# landed corpus is every document with doc_id % 7 == 0 (hash-column
+# parquet, the production snapshot shape); the stream replays ALL
+# documents with a synthetic ascending event time (base + doc_id
+# seconds). Expected admitted set = distinct content hashes NOT in the
+# corpus — one row per hash, which is deterministic even though WHICH
+# duplicate row survives the in-stream dedup is not (the output is the
+# content hash, not the arrival).
+#
+# The watermark is set to 30 days — wider than the fixture's time span —
+# so dedup state is never evicted mid-replay and the admitted set is
+# exactly the in-watermark contract (a duplicate arriving after state
+# eviction re-admits BY DESIGN; that behavior is pinned by the
+# streaming pytest, not this row). Covers the fourth and last §2.9
+# stateful class: dropDuplicatesWithinWatermark state + a stream-static
+# join, after q119 (windowed agg), q120 (timeout sessions), q121
+# (NoTimeout sketch).
+# --------------------------------------------------------------------------
+
+
+def q122_streaming_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.plans.relational import _write_replay_batches
+    from citibike_analysis_spark.streaming.enrich import admit_novel_documents
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+        "text",
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+            pa.field("text", pa.string()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="q122_replay_")
+    try:
+        corpus_dir = os.path.join(workdir, "corpus")
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            F.md5(F.col("text")).alias("content_hash")
+        ).write.parquet(corpus_dir)
+        in_dir = os.path.join(workdir, "in")
+        _write_replay_batches(docs, in_dir, 5, arrow_schema, ["ts", "doc_id"])
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        admitted = admit_novel_documents(
+            stream, corpus_dir, ts_col="ts", watermark="30 days"
+        )
+        out_dir = os.path.join(workdir, "out")
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            admitted.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = track(
+            spark.read.parquet(out_dir)
+            .select(F.md5(F.col("text")).alias("content_hash"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
+Q122_SQL = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS ch
+  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+)
+SELECT DISTINCT md5(text) AS content_hash
+FROM documents
+WHERE text IS NOT NULL
+  AND md5(text) NOT IN (SELECT ch FROM corpus)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -3186,5 +3292,10 @@ QUERIES: dict[str, QuerySpec] = {
         q121_streaming_heavy_hitters_replay,
         Q121_SQL,
         "§2.9 stateful-sketch streaming-batch-parity",
+    ),
+    "q122_streaming_admission_replay": QuerySpec(
+        q122_streaming_admission_replay,
+        Q122_SQL,
+        "§2.9 admission streaming-batch-parity",
     ),
 }
