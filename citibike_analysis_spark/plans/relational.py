@@ -2086,24 +2086,39 @@ def _write_replay_batches(
     arrow_schema,
     order_cols: list[str],
     sentinels=None,
+    batch_col: str | None = None,
 ) -> None:
-    """Replay-harness batch writer shared by q119/q120: split ``samples``
-    into ``n_batches`` CONTIGUOUS ascending time ranges (global ntile —
-    audit-scale, bounded by the replay fixture), write each as ONE
-    parquet file via pyarrow, and pin ascending mtimes so the streaming
-    file source processes them oldest-first deterministically.
-    ``sentinels``: optional extra pandas frames appended as trailing
-    batches (watermark-advancing fixtures)."""
+    """Replay-harness batch writer shared by the q119-q123 streaming
+    parity rows: split ``samples`` into ``n_batches`` CONTIGUOUS
+    ascending time ranges (global ntile — audit-scale, bounded by the
+    replay fixture), write each as ONE parquet file via pyarrow, and pin
+    ascending mtimes so the streaming file source processes them
+    oldest-first deterministically. ``sentinels``: optional extra pandas
+    frames appended as trailing batches (watermark-advancing fixtures).
+    ``batch_col``: a precomputed 1-based batch index column to use
+    instead of the ntile — required when TWO streams must share the
+    SAME time boundaries (the q123 stream-stream join: independent
+    ntiles would misalign the sides' watermark progress and let one
+    side evict state the other still needs)."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pdf = (
-        samples.withColumn("_b", F.ntile(n_batches).over(Window.orderBy(*order_cols)))
-        .toPandas()
-        .sort_values(["_b", order_cols[0]])
-    )
+    if batch_col is not None:
+        pdf = (
+            samples.withColumnRenamed(batch_col, "_b")
+            .toPandas()
+            .sort_values(["_b", order_cols[0]])
+        )
+    else:
+        pdf = (
+            samples.withColumn(
+                "_b", F.ntile(n_batches).over(Window.orderBy(*order_cols))
+            )
+            .toPandas()
+            .sort_values(["_b", order_cols[0]])
+        )
     os.makedirs(in_dir, exist_ok=True)
     parts = [
         pdf[pdf["_b"] == i + 1].drop(columns=["_b"]) for i in range(n_batches)
@@ -2362,6 +2377,209 @@ QUERIES.update(
     {
         "q120_streaming_sessions_replay": QuerySpec(
             q120_streaming_sessions_replay, Q120_SQL, "§2.9 stateful streaming-batch-parity"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# q123 — driver-signed STREAM-STREAM join correctness:
+# `streaming/enrich.py::join_weather_streams` (watermarked state on BOTH
+# sides, event-time range condition, LEFT OUTER — the r05 outage fix
+# whose inner-join predecessor silently dropped whole hours of samples)
+# replayed over the micro-batch harness and hash-verified against the
+# batch LEFT JOIN oracle. Fixture: samples derive from events (zip =
+# user_id % 10); the weather stream is the deterministic hourly grid
+# (distinct event hours × 10 zips) with every 5th hour REMOVED — a
+# built-in outage window, so the null-padded left-outer path is
+# exercised by construction, not by accident.
+#
+# Replay determinism needs one property the single-stream replays don't:
+# BOTH streams must advance through the SAME time boundaries, so both
+# sides are batched by one shared calendar split (6 windows over the
+# events span; `batch_col`) rather than independent ntiles — with
+# aligned ranges, a sample's matching weather row is always in the same
+# or an earlier batch than the sample, and neither side's state evicts
+# before the other side's rows arrive (the windows span days while the
+# watermarks are 1 h / 3 h). Sentinel batches on BOTH streams advance
+# the watermarks a day past the data and a second sentinel batch
+# triggers the eviction pass, flushing every unmatched sample as its
+# null-padded row; the sentinels' own zip ("99") is outside the real
+# keyspace and filtered from the result.
+# --------------------------------------------------------------------------
+
+
+def q123_streaming_weather_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta, timezone
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.streaming.enrich import join_weather_streams
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_us = int(lo.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    span_s = max(1.0, (hi - lo).total_seconds())
+    width_us = (math.ceil(span_s / 5) + 1) * 1_000_000
+
+    def batch_of(ts_col: F.Column) -> F.Column:
+        raw = F.floor((F.unix_micros(ts_col) - F.lit(lo_us)) / F.lit(width_us)) + 1
+        return F.greatest(F.lit(1), F.least(F.lit(5), raw)).cast("long")
+
+    samples = e.select(
+        F.col("ts").cast("timestamp").alias("last_communication_time"),
+        (F.col("user_id") % 10).cast("string").alias("zip"),
+        F.col("event_id").cast("long").alias("event_id"),
+    ).withColumn("_b", batch_of(F.col("last_communication_time")))
+    hours = e.select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("time_hour")
+    ).distinct()
+    zips = spark.range(10).select(F.col("id").alias("_z"))
+    weather = (
+        hours.crossJoin(F.broadcast(zips))
+        .withColumn(
+            "_hidx", F.floor(F.unix_micros("time_hour") / F.lit(3_600_000_000))
+        )
+        .filter(F.col("_hidx") % 5 != 0)  # every 5th hour: weather outage
+        .select(
+            "time_hour",
+            F.col("_z").cast("string").alias("zip"),
+            ((F.col("_hidx") + F.col("_z")) % 50).cast("long").alias("temp"),
+        )
+        .withColumn("_b", batch_of(F.col("time_hour")))
+    )
+
+    def sent_samples(mins: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "last_communication_time": [
+                    pd.Timestamp(hi + timedelta(days=1, minutes=mins))
+                ],
+                "zip": ["99"],
+                "event_id": [-1],
+            }
+        )
+
+    def sent_weather(mins: int) -> pd.DataFrame:
+        h = (hi + timedelta(days=1, minutes=mins)).replace(
+            minute=0, second=0, microsecond=0
+        )
+        return pd.DataFrame(
+            {"time_hour": [pd.Timestamp(h)], "zip": ["99"], "temp": [0]}
+        )
+
+    s_schema = pa.schema(
+        [
+            pa.field("last_communication_time", pa.timestamp("us", tz="UTC")),
+            pa.field("zip", pa.string()),
+            pa.field("event_id", pa.int64()),
+        ]
+    )
+    w_schema = pa.schema(
+        [
+            pa.field("time_hour", pa.timestamp("us", tz="UTC")),
+            pa.field("zip", pa.string()),
+            pa.field("temp", pa.int64()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="q123_replay_")
+    try:
+        s_dir = os.path.join(workdir, "samples_in")
+        w_dir = os.path.join(workdir, "weather_in")
+        _write_replay_batches(
+            samples, s_dir, 5, s_schema,
+            ["last_communication_time", "event_id"],
+            sentinels=[sent_samples(0), sent_samples(70)],
+            batch_col="_b",
+        )
+        _write_replay_batches(
+            weather, w_dir, 5, w_schema,
+            ["time_hour", "zip"],
+            sentinels=[sent_weather(0), sent_weather(70)],
+            batch_col="_b",
+        )
+        s_stream = (
+            spark.readStream.schema(
+                "last_communication_time timestamp, zip string, event_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s_dir)
+        )
+        w_stream = (
+            spark.readStream.schema("time_hour timestamp, zip string, temp long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(w_dir)
+        )
+        joined = join_weather_streams(s_stream, w_stream)
+        out_dir = os.path.join(workdir, "out")
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = track(
+            spark.read.parquet(out_dir)
+            .filter(F.col("zip") != "99")
+            .select(
+                F.col("event_id").cast("long").alias("event_id"),
+                "zip",
+                F.col("last_communication_time")
+                .cast("timestamp_ntz")
+                .alias("ts"),
+                F.col("time_hour").cast("timestamp_ntz").alias("time_hour"),
+                F.col("temp").cast("long").alias("temp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
+Q123_SQL = """
+WITH samples AS (
+  SELECT event_id, CAST(user_id % 10 AS VARCHAR) AS zip, ts
+  FROM events WHERE ts IS NOT NULL
+), hours AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h
+  FROM events WHERE ts IS NOT NULL
+), weather AS (
+  SELECT h AS time_hour, CAST(z AS VARCHAR) AS zip,
+         (CAST(floor(epoch(h)) AS BIGINT) // 3600 + z) % 50 AS temp
+  FROM hours, (SELECT unnest(generate_series(0, 9)) AS z) zs
+  WHERE (CAST(floor(epoch(h)) AS BIGINT) // 3600) % 5 <> 0
+)
+SELECT s.event_id, s.zip, s.ts, w.time_hour, w.temp
+FROM samples s
+LEFT JOIN weather w
+  ON s.zip = w.zip
+ AND s.ts >= w.time_hour
+ AND s.ts < w.time_hour + INTERVAL 1 HOUR
+"""
+
+
+QUERIES.update(
+    {
+        "q123_streaming_weather_join_replay": QuerySpec(
+            q123_streaming_weather_join_replay,
+            Q123_SQL,
+            "§2.9 stream-stream-join streaming-batch-parity",
         ),
     }
 )
