@@ -2583,3 +2583,123 @@ QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# q124 — driver-signed correctness for the DIMENSION UPSERT path (S6):
+# `streaming/rollup.py::upsert_station_dimension` — the foreachBatch
+# MERGE-style last-writer-wins upsert with the crash-recoverable
+# staging/rename-swap snapshot — replayed over the micro-batch harness
+# and hash-verified against the batch argmax oracle (latest row per
+# station). Exercises the full production machinery inside a registered
+# query: per-batch latest-per-key reduction, the snapshot anti-join
+# merge, the staging write + dst→old→staging rename swap, and
+# _recover_snapshot's pass on every batch.
+#
+# Determinism: the fixture pre-reduces to ONE update per (station, ts)
+# (max event_id), so the last-writer winner per station is the unique
+# max-ts row and the operator's content-hash tiebreak (which no SQL
+# oracle can restate) never fires; tie behavior stays pinned by the
+# upsert pytest.
+# --------------------------------------------------------------------------
+
+
+def q124_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.streaming.rollup import upsert_station_dimension
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    updates = (
+        e.groupBy(
+            (F.col("user_id") % 50).cast("long").alias("station_id"),
+            F.col("ts").cast("timestamp").alias("last_communication_time"),
+        )
+        .agg(F.max("event_id").alias("_eid"))
+        .select(
+            "station_id",
+            "last_communication_time",
+            (F.col("_eid") % 40).cast("long").alias("available_bikes"),
+        )
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field("station_id", pa.int64()),
+            pa.field("last_communication_time", pa.timestamp("us", tz="UTC")),
+            pa.field("available_bikes", pa.int64()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="q124_replay_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        _write_replay_batches(
+            updates, in_dir, 5, arrow_schema,
+            ["last_communication_time", "station_id"],
+        )
+        stream = (
+            spark.readStream.schema(
+                "station_id long, last_communication_time timestamp, "
+                "available_bikes long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        snapshot = os.path.join(workdir, "stations_dim")
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda b, e_: upsert_station_dimension(b, snapshot))
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = track(
+            spark.read.parquet(snapshot)
+            .select(
+                "station_id",
+                F.col("last_communication_time")
+                .cast("timestamp_ntz")
+                .alias("last_communication_time"),
+                "available_bikes",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
+Q124_SQL = """
+WITH updates AS (
+  SELECT user_id % 50 AS station_id, ts, max(event_id) AS eid
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT station_id, ts, eid,
+         row_number() OVER (PARTITION BY station_id ORDER BY ts DESC) AS rn
+  FROM updates
+)
+SELECT CAST(station_id AS BIGINT) AS station_id,
+       ts AS last_communication_time,
+       CAST(eid % 40 AS BIGINT) AS available_bikes
+FROM ranked
+WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "q124_streaming_upsert_replay": QuerySpec(
+            q124_streaming_upsert_replay,
+            Q124_SQL,
+            "§2.9 S6 upsert streaming-batch-parity",
+        ),
+    }
+)
