@@ -2703,3 +2703,105 @@ QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# q125 — driver-signed CHECKPOINT-RESUME correctness: the q119 rollup
+# replay split across a QUERY RESTART. The first three micro-batch
+# files land, the query runs and is STOPPED; the remaining two files
+# land and a new query starts from the SAME checkpoint — resuming from
+# offsets + state store, the semantics that replace the reference's
+# iloc[-24] CSV resume (README.md:714-727). The resumed stream must
+# neither reprocess the consumed files (double-counted n_samples would
+# break the hash) nor lose the in-flight window state (dropped minima
+# would break it), so the final changelog state hash-matching the batch
+# oracle (the q119 shape) IS the recovery proof. Fixture determinism is
+# q119's: contiguous ascending time ranges, pinned file order.
+# --------------------------------------------------------------------------
+
+
+def q125_streaming_resume_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.streaming.rollup import (
+        availability_rollup,
+        latest_rollup,
+        write_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    samples = e.select(
+        F.col("ts").cast("timestamp").alias("last_communication_time"),
+        (F.col("user_id") % 50).cast("long").alias("station_id"),
+        (F.col("event_id") % 40).cast("long").alias("available_bikes"),
+        ((F.col("event_id") * 7) % 45).cast("long").alias("available_docks"),
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field("last_communication_time", pa.timestamp("us", tz="UTC")),
+            pa.field("station_id", pa.int64()),
+            pa.field("available_bikes", pa.int64()),
+            pa.field("available_docks", pa.int64()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="q125_replay_")
+    try:
+        stage_dir = os.path.join(workdir, "stage")
+        in_dir = os.path.join(workdir, "in")
+        os.makedirs(in_dir)
+        _write_replay_batches(
+            samples, stage_dir, _Q119_BATCHES, arrow_schema,
+            ["last_communication_time", "station_id", "available_bikes"],
+        )
+        files = sorted(os.listdir(stage_dir))
+        ckpt = os.path.join(workdir, "ckpt")
+        out_dir = os.path.join(workdir, "out")
+
+        def run(n_land: int) -> None:
+            for f in files[:n_land]:
+                if not os.path.exists(os.path.join(in_dir, f)):
+                    shutil.copy2(os.path.join(stage_dir, f), os.path.join(in_dir, f))
+            stream = (
+                spark.readStream.schema(samples.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            q = write_rollup(
+                availability_rollup(stream),
+                checkpoint_dir=ckpt,
+                output_dir=out_dir,
+                query_name="q125_streaming_resume_replay",
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()  # phase 1 ends in a clean STOP; phase 2 resumes
+
+        run(3)   # first three micro-batches, then the query goes down
+        run(len(files))  # remaining files land; resume from checkpoint
+        final = track(latest_rollup(spark, out_dir).localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final.select(
+        F.col("time_interval").cast("timestamp_ntz").alias("time_interval"),
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("available_bikes").cast("long").alias("available_bikes"),
+        F.col("available_docks").cast("long").alias("available_docks"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+QUERIES.update(
+    {
+        "q125_streaming_resume_replay": QuerySpec(
+            q125_streaming_resume_replay,
+            Q119_SQL,  # same batch shape: resume must land on the same answer
+            "§2.9 checkpoint-resume streaming-batch-parity",
+        ),
+    }
+)
