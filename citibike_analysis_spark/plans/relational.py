@@ -2805,3 +2805,113 @@ QUERIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# q126 — driver-signed correctness for the FEED-INGEST path (S4): the
+# reference's raw camelCase feed JSON → `streaming/ingest.flatten_feed`
+# (declared 18-field schema, 12-hour-clock `lastCommunicationTime`
+# parse — reference README.md:94,99-123) → availability_rollup →
+# changelog sink, replayed end-to-end from JSON-LINES files and
+# hash-verified against the batch rollup oracle. This is the exact
+# production composition (`read_feed_stream` → rollup) and the only
+# §2.9 entry point the other replays bypass (they feed parquet straight
+# to the operators). A schema drift, rename-map break, or AM/PM parse
+# regression lands here as a hash mismatch.
+#
+# The feed strings carry 1-second precision (the reference format), so
+# samples are second-truncated relative to events.ts — which changes NO
+# output column: the 900-second bucket floors epoch seconds anyway and
+# min/count are truncation-invariant, so the oracle is Q119_SQL
+# verbatim. Feed strings are formatted JVM-side (`date_format` with the
+# same pattern family `to_timestamp` parses) for exact round-trip.
+# --------------------------------------------------------------------------
+
+
+def q126_streaming_feed_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.streaming.ingest import read_feed_stream
+    from citibike_analysis_spark.streaming.rollup import (
+        availability_rollup,
+        latest_rollup,
+        write_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    rows = e.select(
+        F.col("ts").cast("timestamp").alias("_ts"),
+        F.date_format(
+            F.col("ts").cast("timestamp"), "yyyy-MM-dd hh:mm:ss a"
+        ).alias("lct"),
+        (F.col("user_id") % 50).cast("int").alias("sid"),
+        (F.col("event_id") % 40).cast("int").alias("bikes"),
+        ((F.col("event_id") * 7) % 45).cast("int").alias("docks"),
+    )
+    pdf = (
+        rows.withColumn(
+            "_b",
+            F.ntile(_Q119_BATCHES).over(Window.orderBy("_ts", "sid", "bikes")),
+        )
+        .toPandas()
+        .sort_values(["_b", "_ts"])
+    )
+    workdir = tempfile.mkdtemp(prefix="q126_replay_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        os.makedirs(in_dir)
+        for i in range(_Q119_BATCHES):
+            part = pdf[pdf["_b"] == i + 1]
+            path = os.path.join(in_dir, f"b{i:03d}.json")
+            with open(path, "w") as fh:
+                for r in part.itertuples(index=False):
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "id": int(r.sid),
+                                "stationName": f"S{int(r.sid)}",
+                                "availableBikes": int(r.bikes),
+                                "availableDocks": int(r.docks),
+                                "statusValue": "In Service",
+                                "lastCommunicationTime": r.lct,
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        out_dir = os.path.join(workdir, "out")
+        q = write_rollup(
+            availability_rollup(read_feed_stream(spark, in_dir)),
+            checkpoint_dir=os.path.join(workdir, "ckpt"),
+            output_dir=out_dir,
+            query_name="q126_streaming_feed_ingest_replay",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = track(latest_rollup(spark, out_dir).localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final.select(
+        F.col("time_interval").cast("timestamp_ntz").alias("time_interval"),
+        F.col("station_id").cast("long").alias("station_id"),
+        F.col("available_bikes").cast("long").alias("available_bikes"),
+        F.col("available_docks").cast("long").alias("available_docks"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+QUERIES.update(
+    {
+        "q126_streaming_feed_ingest_replay": QuerySpec(
+            q126_streaming_feed_ingest_replay,
+            Q119_SQL,  # second truncation changes no output column
+            "§2.9 S4 feed-ingest streaming-batch-parity",
+        ),
+    }
+)
