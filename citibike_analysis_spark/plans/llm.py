@@ -3168,6 +3168,88 @@ WHERE text IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q127 — cluster-balanced sampling (topic-balancing data selection: pick
+# ~evenly from semantic clusters so dominant topics don't swamp a
+# curated subset — the cluster-proportional cousin of q117's
+# source-temperature mix, over LEARNED strata instead of labeled ones),
+# registered as its q114-style bound audit so the driver can hash-verify
+# it despite k-means being non-SQL-expressible. Composition of existing
+# operators: kmeans_clusters (q76's parameterization) → exactly-quota
+# per cluster via stratified_fixed_sample on the cid stratum. One row:
+#   - n_vectors — exact, oracle states count(*) of embeddings;
+#   - all_assigned — every vector got exactly one cluster (a dropped or
+#     duplicated assignment breaks it);
+#   - per_cluster_le_quota — no cluster contributes more than quota;
+#   - small_clusters_whole — clusters at or under quota are kept whole
+#     (the exactly-k contract's "stratum with fewer than k rows" branch);
+#   - deterministic — two independent runs select the identical id set
+#     (the md5-rank sample + deterministic k-means init).
+# Scale: the k-means substrate is q76's (k×dim driver centroids, one
+# scan per iteration); the sample adds one shuffle on cid + a
+# WindowGroupLimit-capped rank window — no new scale surface.
+# --------------------------------------------------------------------------
+
+_Q127_QUOTA = 40
+
+
+def q127_cluster_balanced_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.sampling import stratified_fixed_sample
+    from citibike_analysis_spark.operators.similarity import kmeans_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_clusters(e, "vec_id", "embedding", k=8, train_iters=3)
+    from citibike_analysis_spark.cache import track
+
+    assigned = track(assigned.persist())  # feeds the sample + both audits
+    sample = stratified_fixed_sample(
+        assigned, "vec_id", k=_Q127_QUOTA, strata_cols=["cid"]
+    )
+    sample2 = stratified_fixed_sample(
+        assigned, "vec_id", k=_Q127_QUOTA, strata_cols=["cid"]
+    )
+    per_cluster = assigned.groupBy("cid").agg(F.count("*").alias("_n"))
+    picked = sample.groupBy("cid").agg(F.count("*").alias("_p"))
+    cluster_ok = (
+        per_cluster.join(picked, "cid", "left")
+        .agg(
+            F.bool_and(F.coalesce(F.col("_p"), F.lit(0)) <= _Q127_QUOTA).alias(
+                "_le"
+            ),
+            F.bool_and(
+                (F.col("_n") > _Q127_QUOTA)
+                | (F.coalesce(F.col("_p"), F.lit(0)) == F.col("_n"))
+            ).alias("_whole"),
+        )
+    )
+    same = sample.select("vec_id").exceptAll(sample2.select("vec_id")).union(
+        sample2.select("vec_id").exceptAll(sample.select("vec_id"))
+    )
+    return (
+        e.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(F.broadcast(assigned.agg(F.count("*").alias("_na"))))
+        .crossJoin(F.broadcast(cluster_ok))
+        .crossJoin(F.broadcast(same.agg(F.count("*").alias("_diff"))))
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            (F.col("_na") == F.col("n_vectors")).alias("all_assigned"),
+            F.col("_le").alias("per_cluster_le_quota"),
+            F.col("_whole").alias("small_clusters_whole"),
+            (F.col("_diff") == 0).alias("deterministic"),
+        )
+    )
+
+
+Q127_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       true AS all_assigned,
+       true AS per_cluster_le_quota,
+       true AS small_clusters_whole,
+       true AS deterministic
+FROM embeddings
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -3297,5 +3379,10 @@ QUERIES: dict[str, QuerySpec] = {
         q122_streaming_admission_replay,
         Q122_SQL,
         "§2.9 admission streaming-batch-parity",
+    ),
+    "q127_cluster_balanced_sample_audit": QuerySpec(
+        q127_cluster_balanced_sample_audit,
+        Q127_SQL,
+        "§7 sampling-cluster-balanced",
     ),
 }
