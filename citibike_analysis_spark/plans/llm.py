@@ -3017,7 +3017,8 @@ def q121_streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> Dat
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
-        hh = track_frequent_tokens(stream, "text", capacity=4096, n_shards=8)
+        capacity = 4096  # shared by the stream and the exact-regime assert below
+        hh = track_frequent_tokens(stream, "text", capacity=capacity, n_shards=8)
         out_dir = os.path.join(workdir, "out")
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
@@ -3037,13 +3038,31 @@ def q121_streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> Dat
         finally:
             q.stop()
         log = spark.read.parquet(out_dir)
-        final = track(
-            log.withColumn(
-                "_mx", F.max("_e").over(Window.partitionBy("shard"))
+        state = log.withColumn(
+            "_mx", F.max("_e").over(Window.partitionBy("shard"))
+        ).filter(F.col("_e") == F.col("_mx"))
+        # Fail fast on the parity precondition (r07 ADVICE): equality vs
+        # the exact GROUP BY oracle holds only in the EXACT regime —
+        # every shard's distinct-token set strictly under capacity, so
+        # Misra–Gries never prunes and count_lb == true count. If the
+        # fixture vocabulary ever grows past that, fail HERE with the
+        # assumption named, not downstream as an opaque hash mismatch.
+        max_shard_tokens = (
+            state.groupBy("shard").count().agg(F.max("count")).first()[0]
+        )
+        if max_shard_tokens is not None and max_shard_tokens >= capacity:
+            raise AssertionError(
+                "q121 exact-regime assumption violated: a shard's final "
+                f"counter set reached capacity ({max_shard_tokens} >= "
+                f"{capacity}) — Misra–Gries may have pruned, count_lb is "
+                "a strict lower bound, and hash parity with the exact "
+                "oracle no longer holds. Raise capacity or shrink the "
+                "fixture vocabulary."
             )
-            .filter(F.col("_e") == F.col("_mx"))
-            .select("token", F.col("count_lb").cast("long").alias("n_occurrences"))
-            .localCheckpoint(eager=True)
+        final = track(
+            state.select(
+                "token", F.col("count_lb").cast("long").alias("n_occurrences")
+            ).localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

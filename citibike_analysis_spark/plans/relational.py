@@ -2018,7 +2018,10 @@ def q115_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("event_date"),
     )
     path = q115_layout_path(sf_dir)
-    write_parquet_partitioned(e, path, ["event_date"])
+    # audit-scale fixture: 1 file/day keeps the listing tiny; at
+    # production volume callers size this from per-partition bytes
+    # (see write_parquet_partitioned docstring — compaction is opt-in)
+    write_parquet_partitioned(e, path, ["event_date"], files_per_partition=1)
     back = spark.read.parquet(path).filter(
         (F.col("event_date") >= F.lit(_Q115_LO))
         & (F.col("event_date") <= F.lit(_Q115_HI))
@@ -2426,11 +2429,17 @@ def q123_streaming_weather_join_replay(spark: SparkSession, sf_dir: str) -> Data
     lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
     lo_us = int(lo.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
     span_s = max(1.0, (hi - lo).total_seconds())
-    width_us = (math.ceil(span_s / 5) + 1) * 1_000_000
+    # split width, the clamp below, and the writers' n_batches all
+    # derive from _Q119_BATCHES so they cannot drift apart (r07 ADVICE:
+    # a literal edited in one place would silently drop rows past the
+    # writer's parts list)
+    width_us = (math.ceil(span_s / _Q119_BATCHES) + 1) * 1_000_000
 
     def batch_of(ts_col: F.Column) -> F.Column:
         raw = F.floor((F.unix_micros(ts_col) - F.lit(lo_us)) / F.lit(width_us)) + 1
-        return F.greatest(F.lit(1), F.least(F.lit(5), raw)).cast("long")
+        return F.greatest(
+            F.lit(1), F.least(F.lit(_Q119_BATCHES), raw)
+        ).cast("long")
 
     samples = e.select(
         F.col("ts").cast("timestamp").alias("last_communication_time"),
@@ -2493,13 +2502,13 @@ def q123_streaming_weather_join_replay(spark: SparkSession, sf_dir: str) -> Data
         s_dir = os.path.join(workdir, "samples_in")
         w_dir = os.path.join(workdir, "weather_in")
         _write_replay_batches(
-            samples, s_dir, 5, s_schema,
+            samples, s_dir, _Q119_BATCHES, s_schema,
             ["last_communication_time", "event_id"],
             sentinels=[sent_samples(0), sent_samples(70)],
             batch_col="_b",
         )
         _write_replay_batches(
-            weather, w_dir, 5, w_schema,
+            weather, w_dir, _Q119_BATCHES, w_schema,
             ["time_hour", "zip"],
             sentinels=[sent_weather(0), sent_weather(70)],
             batch_col="_b",

@@ -63,7 +63,7 @@ def write_parquet_partitioned(
     df: DataFrame,
     path: str,
     partition_cols: list[str],
-    files_per_partition: int | None = 1,
+    files_per_partition: int | None = None,
 ) -> None:
     """Engine-internal interchange: parquet partitioned for pruning.
 
@@ -82,8 +82,14 @@ def write_parquet_partitioned(
     ``≤ dirs × files_per_partition`` regardless of upstream
     parallelism. Size it to the target file size (~128 MB–1 GB per
     file at scale); the bucket is a hash of the full row, so writes
-    stay deterministic under task retry. ``None`` skips the shuffle
-    (caller already partitioned the data the way it wants written).
+    stay deterministic under task retry.
+
+    Compaction is OPT-IN (default ``None`` = no extra shuffle, upstream
+    parallelism preserved): a blanket ``=1`` default would cap write
+    parallelism at #dirs and produce unbounded per-file sizes as
+    per-partition volume grows — the r07 ADVICE item. Callers size the
+    bucket count from expected per-partition volume
+    (≈ partition_bytes / 512 MB); small audit fixtures pass ``1``.
     """
     if files_per_partition is not None:
         if files_per_partition < 1:

@@ -68,7 +68,27 @@ def main() -> int:
             cwd=REPO, check=True, capture_output=True,
         )
         trees[ref[:9]] = wt
-    trees["head"] = REPO
+    # "head" is a detached worktree of HEAD too (r07 ADVICE): timing the
+    # live working tree would silently include uncommitted edits in the
+    # side labeled HEAD and misattribute a regression/clearance. Refuse
+    # to run dirty unless AB_ALLOW_DIRTY=1 (then the label says so).
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    ).stdout.strip()
+    if dirty and os.environ.get("AB_ALLOW_DIRTY") != "1":
+        raise SystemExit(
+            "working tree is dirty — the 'head' timing must come from a "
+            "committed state. Commit first, or set AB_ALLOW_DIRTY=1 to "
+            "time HEAD-the-commit anyway (uncommitted edits excluded):\n"
+            + dirty
+        )
+    head_wt = tempfile.mkdtemp(prefix="ab_head_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", "-f", head_wt, "HEAD"],
+        cwd=REPO, check=True, capture_output=True,
+    )
+    trees["head"] = head_wt
 
     def time_tree(tree: str) -> dict:
         out = subprocess.run(
@@ -85,12 +105,11 @@ def main() -> int:
         for _ in range(passes):
             results.append({label: time_tree(wt) for label, wt in trees.items()})
     finally:
-        for label, wt in trees.items():
-            if label != "head":
-                subprocess.run(
-                    ["git", "worktree", "remove", "--force", wt],
-                    cwd=REPO, capture_output=True,
-                )
+        for wt in trees.values():
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=REPO, capture_output=True,
+            )
 
     mins: dict[str, dict[str, float]] = {}
     for label in trees:

@@ -65,7 +65,9 @@ def build_layout(spark, path: str, days: int) -> None:
         )
         .withColumn("event_date", F.to_date("ts"))
     )
-    write_parquet_partitioned(e, path, ["event_date"])
+    # compaction is opt-in (r07 ADVICE); the rehearsal wants the
+    # 1-file/day layout whose LISTING cost it measures
+    write_parquet_partitioned(e, path, ["event_date"], files_per_partition=1)
 
 
 def count_files(path: str) -> int:

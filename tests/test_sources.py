@@ -72,7 +72,7 @@ def test_partitioned_write_prunes(spark, tmp):
 
 def test_partitioned_write_bounds_files_per_partition(spark, tmp):
     # r06 prune rehearsal: a bare partitionBy writes one sliver per
-    # (upstream task x dir) — 32/day on local[32]; the default
+    # (upstream task x dir) — 32/day on local[32]; opt-in
     # files_per_partition=1 must collapse each dir to ONE file while
     # keeping the data and pruning intact
     import glob
@@ -80,9 +80,9 @@ def test_partitioned_write_bounds_files_per_partition(spark, tmp):
     df = (
         spark.range(1000)
         .select(F.col("id"), (F.col("id") % 10).alias("day"))
-        .repartition(8)  # many upstream tasks -> pre-fix 8 files/day
+        .repartition(8)  # many upstream tasks -> 8 files/day uncompacted
     )
-    write_parquet_partitioned(df, f"{tmp}/compact", ["day"])
+    write_parquet_partitioned(df, f"{tmp}/compact", ["day"], files_per_partition=1)
     for d in range(10):
         assert len(glob.glob(f"{tmp}/compact/day={d}/*.parquet")) == 1
     assert spark.read.parquet(f"{tmp}/compact").count() == 1000
@@ -91,9 +91,15 @@ def test_partitioned_write_bounds_files_per_partition(spark, tmp):
     write_parquet_partitioned(df, f"{tmp}/b3", ["day"], files_per_partition=3)
     for d in range(10):
         assert 1 <= len(glob.glob(f"{tmp}/b3/day={d}/*.parquet")) <= 3
-    # None: legacy passthrough (caller owns the layout)
-    write_parquet_partitioned(df, f"{tmp}/raw", ["day"], files_per_partition=None)
+    # default (None): passthrough, no compaction shuffle — upstream
+    # parallelism preserved (r07 ADVICE: a =1 default would cap write
+    # parallelism at #dirs); caller owns the layout
+    write_parquet_partitioned(df, f"{tmp}/raw", ["day"])
     assert spark.read.parquet(f"{tmp}/raw").count() == 1000
+    n_raw = sum(
+        len(glob.glob(f"{tmp}/raw/day={d}/*.parquet")) for d in range(10)
+    )
+    assert n_raw > 10  # proves the default did NOT funnel through 1 task/dir
 
 
 def test_json_sink_overwrite_not_append(spark, tmp):
