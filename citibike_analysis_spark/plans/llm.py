@@ -3269,6 +3269,235 @@ FROM embeddings
 """
 
 
+# --------------------------------------------------------------------------
+# q128 — streaming PII scrub+gate replay (the last-but-one §2.9 behavior
+# without a driver-signed row, r07 verdict task #2): replays the
+# documents table through streaming/enrich.py::scrub_documents — the
+# at-ingest redact + min-token gate — as q122-shaped micro-batches and
+# hash-verifies the landed output against the batch redaction SQL
+# (q83's proven regexp mirror) plus the same token gate. scrub is
+# stateless by construction (column expressions only), so the parity
+# claim here is that the STREAMING execution path — file source, batch
+# planner, foreachBatch sink — applies it losslessly, which pytest
+# asserted but no driver row signed.
+# --------------------------------------------------------------------------
+
+_Q128_MIN_TOKENS = 10
+
+
+def q128_streaming_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.plans.relational import (
+        _Q119_BATCHES,
+        _write_replay_batches,
+    )
+    from citibike_analysis_spark.streaming.enrich import scrub_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+        "text",
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+            pa.field("text", pa.string()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="q128_replay_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        _write_replay_batches(
+            docs, in_dir, _Q119_BATCHES, arrow_schema, ["ts", "doc_id"]
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        scrubbed = scrub_documents(stream, min_tokens=_Q128_MIN_TOKENS)
+        out_dir = os.path.join(workdir, "out")
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            scrubbed.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = track(
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text").alias("redacted"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
+def _q128_sql() -> str:
+    from citibike_analysis_spark.functions.text import PII_PATTERNS
+
+    repl = "text"
+    for _, p, placeholder in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{p}', '{placeholder}', 'g')"
+    gate_tokens = _DUCK_TOKENS.replace("trim(text)", "trim(redacted)")
+    return f"""
+WITH scrubbed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {repl} AS redacted
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, redacted FROM scrubbed
+WHERE len({gate_tokens}) >= {_Q128_MIN_TOKENS}
+"""
+
+
+# --------------------------------------------------------------------------
+# q129 — streaming cross-batch content-hash dedup replay (the LAST §2.9
+# behavior without a driver-signed row): replays the unique-text corpus
+# plus injected RE-DELIVERIES — exact copies of earlier documents
+# arriving two micro-batches later under fresh doc_ids — through
+# streaming/enrich.py::dedup_documents and asserts the landed set is
+# exactly the min-doc_id-per-content-hash originals (q85's first-win
+# anti-join shape). Determinism by construction: the stream input is
+# pre-deduped to one row per hash (so no within-batch tie exists for
+# dropDuplicatesWithinWatermark to break arbitrarily) and every
+# re-delivery arrives strictly after its original's batch, so the
+# first-arrival winner IS the SQL row_number()=1 row. The behavior the
+# batch oracle cannot see — state carried ACROSS micro-batches — is
+# exactly what the re-deliveries exercise: a copy in batch b+2 must be
+# dropped by the hash remembered from batch b.
+# --------------------------------------------------------------------------
+
+def q129_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from citibike_analysis_spark.cache import track
+    from citibike_analysis_spark.plans.relational import (
+        _Q119_BATCHES,
+        _write_replay_batches,
+    )
+    from citibike_analysis_spark.streaming.enrich import dedup_documents
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    firsts = (
+        d.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id").cast("double"))
+            ).alias("ts"),
+            "text",
+        )
+        .withColumn(
+            "_b", F.ntile(_Q119_BATCHES).over(Window.orderBy("doc_id"))
+        )
+    )
+    # re-deliveries: same text + same EVENT time (a true repeat), new
+    # doc_id, arriving two batches later — cross-batch state is the
+    # behavior under test; batches 4..5 originals get no re-delivery so
+    # every injected copy lands strictly inside the replay
+    redeliveries = firsts.filter(
+        (F.col("_b") <= _Q119_BATCHES - 2) & (F.col("doc_id") % 3 == 0)
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "ts",
+        "text",
+        (F.col("_b") + F.lit(2)).alias("_b"),
+    )
+    feed = firsts.select("doc_id", "ts", "text", "_b").unionByName(redeliveries)
+    arrow_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+            pa.field("text", pa.string()),
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="q129_replay_")
+    try:
+        in_dir = os.path.join(workdir, "in")
+        _write_replay_batches(
+            feed, in_dir, _Q119_BATCHES, arrow_schema, ["doc_id"],
+            batch_col="_b",
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        kept = dedup_documents(stream, ts_col="ts", watermark="30 days")
+        out_dir = os.path.join(workdir, "out")
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            if not batch.isEmpty():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            kept.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = track(
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.md5("text").alias("content_hash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return final
+
+
+Q129_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS content_hash
+FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -3403,5 +3632,15 @@ QUERIES: dict[str, QuerySpec] = {
         q127_cluster_balanced_sample_audit,
         Q127_SQL,
         "§7 sampling-cluster-balanced",
+    ),
+    "q128_streaming_scrub_replay": QuerySpec(
+        q128_streaming_scrub_replay,
+        _q128_sql(),
+        "§2.9 pii-scrub streaming-batch-parity",
+    ),
+    "q129_streaming_dedup_replay": QuerySpec(
+        q129_streaming_dedup_replay,
+        Q129_SQL,
+        "§2.9 content-dedup streaming-batch-parity",
     ),
 }
