@@ -72,6 +72,11 @@ _EPOCH = {
     # r06: recall bound tightened 0.25 → 0.30 (flag column renamed);
     # earlier greens verified the looser bound
     "q106_ann_lsh_recall_audit": 6,
+    # r07: cut swapped to percentile_approx (the declared 100 TB form,
+    # r06 verdict task #3); earlier greens verified the exact
+    # interpolated cut, which now lives inside q118's audit leg
+    "q71_quality_percentile_gate": 7,
+    "q116_importance_resample": 7,
 }
 
 

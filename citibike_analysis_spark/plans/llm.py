@@ -1569,26 +1569,53 @@ Q70_SQL = (
 
 # --------------------------------------------------------------------------
 # q71 — corpus-percentile quality gate: drop the bottom decile by the
-# q68 corpus-LM score. The cut point is a corpus statistic (exact
-# interpolated percentile, the q13 parity convention), broadcast as one
-# row — the adaptive-threshold filter a real pipeline runs, vs q59's
-# fixed-rule gate.
+# q68 corpus-LM score. Re-registered r07 (epoch bump) with the cut on
+# `percentile_approx` — the DECLARED 100 TB form (SCALE.md swap rule):
+# Greenwald–Khanna sketch, partial-aggregable, O(accuracy·log n) state
+# per partition — replacing the exact `percentile()` whose value→count
+# map merges at a single reducer. The gate itself is unchanged: one
+# broadcast cut row, narrow filter. Oracle parity is ELEMENT-EXACT in
+# the exact regime (n < accuracy ⇒ rank error ⌊n/acc⌋ = 0 ⇒ the sketch
+# returns the order statistic at rank ⌈p·n⌉, which is precisely
+# DuckDB/Postgres `quantile_disc`; convention pinned by
+# tests/test_properties.py::test_percentile_approx_exact_regime_is_disc).
+# The guard below fail-fasts if a fixture ever leaves that regime so a
+# pruned sketch surfaces as a named assumption, not an opaque hash
+# mismatch (the q121 lesson). Production corpora run the SAME plan past
+# the exact regime — there the q118 divergence audit (rank interval +
+# kept-set bound vs the exact cut) is the correctness statement, not
+# element parity. The exact interpolated form stays executed inside
+# q118's audit leg.
 # --------------------------------------------------------------------------
 
 def q71_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.cache import track
     from citibike_analysis_spark.operators.corpus_stats import unigram_logprob
 
     d = load_table(spark, sf_dir, "documents")
-    scored = unigram_logprob(d, "doc_id", "text").filter(
-        F.col("avg_logp").isNotNull()
+    # persisted: feeds the 1-row cut aggregate AND the gated output, so
+    # the token explode + corpus-LM join runs once (q118's convention)
+    scored = track(
+        unigram_logprob(d, "doc_id", "text")
+        .filter(F.col("avg_logp").isNotNull())
+        .persist()
     )
-    cut = scored.agg(
-        F.expr("percentile(avg_logp, 0.1)").alias("_cut")
-    )
-    return (
-        scored.crossJoin(F.broadcast(cut))
-        .filter(F.col("avg_logp") > F.col("_cut"))
-        .select("doc_id", "n_tokens", F.round("avg_logp", 6).alias("avg_logp"))
+    n, cut = scored.agg(
+        F.count("*"),
+        F.expr(f"percentile_approx(avg_logp, 0.1, {_Q118_ACC})"),
+    ).first()
+    if n >= _Q118_ACC:
+        raise AssertionError(
+            "q71 oracle-parity precondition violated: corpus size "
+            f"({n}) reached percentile_approx accuracy ({_Q118_ACC}), "
+            "so the GK sketch may no longer return the exact rank-"
+            "ceil(p*n) element and quantile_disc parity does not hold. "
+            "Raise _Q118_ACC for the fixture; at production scale this "
+            "guard does not apply (q118's divergence audit is the "
+            "correctness statement there)."
+        )
+    return scored.filter(F.col("avg_logp") > F.lit(cut)).select(
+        "doc_id", "n_tokens", F.round("avg_logp", 6).alias("avg_logp")
     )
 
 
@@ -1611,7 +1638,10 @@ WITH toks AS (
   FROM tkx JOIN freq USING (t) CROSS JOIN tot
   GROUP BY doc_id
 ), cut AS (
-  SELECT quantile_cont(avg_logp, 0.1) AS c FROM scored
+  -- quantile_disc = the rank-ceil(p*n) element = percentile_approx in
+  -- the exact regime (guarded Spark-side); quantile_cont was the
+  -- pre-r07 exact-interpolated form, now q118's audit leg
+  SELECT quantile_disc(avg_logp, 0.1) AS c FROM scored
 )
 SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
        CAST(s.n_tokens AS BIGINT) AS n_tokens,
@@ -2757,29 +2787,42 @@ WHERE NOT EXISTS (
 # unigram log-likelihood ratio (add-one smoothing over the union
 # vocabulary), then keep the pool's top decile by score — the
 # "select web data that looks like the target domain" step of
-# pretraining-corpus construction. The cut point is an exact corpus
-# percentile broadcast as one row (the q71 convention); the gate runs
-# on the ROUNDED score on both sides so the boundary cannot drift
-# between engines.
+# pretraining-corpus construction. The cut point is a corpus percentile
+# broadcast as one row (the q71 convention); the gate runs on the
+# ROUNDED score on both sides so the boundary cannot drift between
+# engines. Re-registered r07 (epoch bump) with the cut on
+# `percentile_approx` — the DECLARED 100 TB form; see q71's docstring
+# for the full exact-regime/quantile_disc parity statement and the
+# fail-fast guard rationale (identical here, p=0.9).
 # --------------------------------------------------------------------------
 
 _Q116_TARGET_SOURCE = "src0"
 
 
 def q116_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.cache import track
     from citibike_analysis_spark.operators.corpus_stats import importance_weights
 
     d = load_table(spark, sf_dir, "documents").withColumn(
         "_is_target", F.col("source") == _Q116_TARGET_SOURCE
     )
-    scored = importance_weights(d, "doc_id", "text", "_is_target").filter(
-        F.col("logratio").isNotNull()
+    scored = track(
+        importance_weights(d, "doc_id", "text", "_is_target")
+        .filter(F.col("logratio").isNotNull())
+        .persist()
     )
-    cut = scored.agg(F.expr("percentile(logratio, 0.9)").alias("_cut"))
-    return (
-        scored.crossJoin(F.broadcast(cut))
-        .filter(F.col("logratio") > F.col("_cut"))
-        .select("doc_id", "n_tokens", "logratio")
+    n, cut = scored.agg(
+        F.count("*"),
+        F.expr(f"percentile_approx(logratio, 0.9, {_Q118_ACC})"),
+    ).first()
+    if n >= _Q118_ACC:
+        raise AssertionError(
+            "q116 oracle-parity precondition violated: corpus size "
+            f"({n}) reached percentile_approx accuracy ({_Q118_ACC}); "
+            "see q71's guard — raise _Q118_ACC for the fixture."
+        )
+    return scored.filter(F.col("logratio") > F.lit(cut)).select(
+        "doc_id", "n_tokens", "logratio"
     )
 
 
@@ -2805,7 +2848,8 @@ WITH docs AS (
   WHERE NOT tgt
   GROUP BY doc_id
 ), cut AS (
-  SELECT quantile_cont(lr, 0.9) AS c FROM scored
+  -- quantile_disc mirrors percentile_approx's exact regime (see Q71_SQL)
+  SELECT quantile_disc(lr, 0.9) AS c FROM scored
 )
 SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
        CAST(s.n_tokens AS BIGINT) AS n_tokens,
@@ -2872,12 +2916,12 @@ WHERE substr(md5(concat_ws('|', d.source, d.doc_id)), 1, 4) < thr.t
 
 # --------------------------------------------------------------------------
 # q118 — SCALE-DECLARED form of the corpus-percentile gate (r05 VERDICT
-# #1), registered as its divergence audit in the q40 pattern. q71/q116
-# gate on exact `percentile()`, whose aggregation state is a
-# value→count map merged at a SINGLE reducer — the only registered plan
-# family whose memory grows with score cardinality rather than group
-# count (bounded in practice by the 6-decimal rounding to ~10⁶–10⁷
-# distinct bins, but undeclared until now; see SCALE.md). The 100 TB
+# #1), registered as its divergence audit in the q40 pattern. Before
+# r07, q71/q116 gated on exact `percentile()`, whose aggregation state
+# is a value→count map merged at a SINGLE reducer — the only registered
+# plan family whose memory grew with score cardinality rather than
+# group count (bounded in practice by the 6-decimal rounding to
+# ~10⁶–10⁷ distinct bins; see SCALE.md). The 100 TB
 # form gates on `percentile_approx` — Spark's Greenwald–Khanna sketch:
 # partial-aggregable, O(accuracy · log n) state per partition, relative
 # rank error ≤ 1/accuracy — and this audit pins the exact-vs-approx
@@ -2893,8 +2937,11 @@ WHERE substr(md5(concat_ws('|', d.source, d.doc_id)), 1, 4) < thr.t
 # The oracle recomputes the exact legs (n_scored, n_kept_exact — the
 # q71 machinery) and states both invariants `true`; a sketch regression
 # or a broken gate hash-mismatches. The exact-percentile leg here is
-# AUDIT-scale, same class as q40's ranked exact leg; q71/q116 remain
-# registered as the reference-parity exact forms.
+# AUDIT-scale, same class as q40's ranked exact leg — and since r07 it
+# is the ONLY place the exact interpolated cut still executes: q71/q116
+# were re-registered (epoch bumps) with the percentile_approx cut, so
+# the declared 100 TB form is the registered production path and this
+# audit is its divergence bound.
 # --------------------------------------------------------------------------
 
 _Q118_ACC = 10_000  # percentile_approx accuracy → relative rank error 1e-4

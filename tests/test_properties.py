@@ -322,3 +322,33 @@ def test_quantization_error_bounded_by_half_step(spark, vec):
     assert mse >= 0
     # per-element |error| <= scale/2 ⇒ mse <= (scale/2)^2 (+ rounding slack)
     assert mse <= (scale / 2) ** 2 + 1e-9, (vec, scale, mse)
+
+
+@given(
+    vals=st.lists(
+        # 2-decimal grid → deliberate ties at every size
+        st.integers(-300, 300).map(lambda i: i / 100.0),
+        min_size=1,
+        max_size=40,
+    ),
+    p_pct=st.sampled_from([1, 10, 25, 50, 75, 90, 99]),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@settings(**SETTINGS)
+def test_percentile_approx_exact_regime_is_disc(spark, vals, p_pct, parts):
+    """Pins the convention the r07 q71/q116 re-registration rests on:
+    percentile_approx with n < accuracy (the exact regime — GK rank
+    error ⌊n/acc⌋ = 0) returns exactly the order statistic at rank
+    ⌈p·n⌉, i.e. Postgres/DuckDB ``quantile_disc`` — independent of the
+    partition layout the sketch merges across."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    p = p_pct / 100.0
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v: double"
+    ).repartition(parts)
+    got = df.agg(F.expr(f"percentile_approx(v, {p}, 10000)")).first()[0]
+    want = sorted(vals)[max(0, math.ceil(p * len(vals)) - 1)]
+    assert got == want, (vals, p, got, want)
