@@ -69,14 +69,18 @@ _EPOCH = {
     # admission form; earlier greens verified the SF-proportional
     # loose-banding form (now q113)
     "q103_incremental_embedding_dedup": 5,
-    # r06: recall bound tightened 0.25 → 0.30 (flag column renamed);
-    # earlier greens verified the looser bound
-    "q106_ann_lsh_recall_audit": 6,
     # r07: cut swapped to percentile_approx (the declared 100 TB form,
     # r06 verdict task #3); earlier greens verified the exact
     # interpolated cut, which now lives inside q118's audit leg
     "q71_quality_percentile_gate": 7,
     "q116_importance_resample": 7,
+    # r07: q106's floor became size-keyed (flag column renamed — r06's
+    # green verified the flat 0.30 bound, itself an r06 tightening of
+    # the original 0.25); q127's deterministic flag now asserts
+    # LAYOUT-independence (second sample over a repartitioned frame —
+    # the r06 green verified the weaker same-layout claim)
+    "q106_ann_lsh_recall_audit": 7,
+    "q127_cluster_balanced_sample_audit": 7,
 }
 
 

@@ -431,18 +431,23 @@ def q106_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: the exact best-neighbor cosine (oracle-recomputed) and
     the AGGREGATE recall@5 bound of the q44 LSH parameterization
     (bits=6/tables=8 → theory ≈ 1-(1-p^6)^8 ≈ 0.45 at cos 0.45).
-    Bound raised 0.25 → 0.30 in r06 (r05 VERDICT #7: 0.25 was loose
-    enough to pass a badly broken index): re-measured with the r05
-    two-table index restructure in place, aggregate recall is exactly
-    the deterministic 0.32/0.38/0.44 at sf0.001/0.01/0.1, so 0.30 sits
-    just under the empirical floor. Per-query recall can be 0 for an
-    individual unlucky query at these parameters — that is the banding
+    Bound history: 0.25 → 0.30 in r06 (r05 VERDICT #7); SIZE-KEYED in
+    r07 (r06 verdict #6: a single aggregate floor let a 0.44 → 0.31
+    recall collapse at sf0.1 hide under the small-SF floor). Measured
+    deterministic recall is 0.32/0.38/0.44 at sf0.001/0.01/0.1 — the
+    two small SFs share n=500 vectors, sf0.1 has n=2000 — so the floor
+    is keyed on the corpus size the query itself reads: 0.40 at
+    n ≥ 1500, 0.30 below. Per-query recall can be 0 for an individual
+    unlucky query at these parameters — that is the banding
     distribution, not a defect — so the pinned bound is the aggregate,
     like the pytest."""
     e = load_table(spark, sf_dir, "embeddings")
+    floor = 0.40 if e.count() >= 1500 else 0.30
     q = e.filter(F.col("vec_id") < 10)
     ap = lsh_topk(e, q, "vec_id", "embedding", k=5, bits=6, tables=8)
-    return _ann_recall_audit(spark, sf_dir, ap, "agg_recall_ge_03", None, 0.30)
+    return _ann_recall_audit(
+        spark, sf_dir, ap, "agg_recall_ge_sf_floor", None, floor
+    )
 
 
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,7 +478,7 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM scored GROUP BY query_id
 """
 
-Q106_SQL = _ANN_AUDIT_SQL.format(flag="agg_recall_ge_03")
+Q106_SQL = _ANN_AUDIT_SQL.format(flag="agg_recall_ge_sf_floor")
 Q107_SQL = _ANN_AUDIT_SQL.format(flag="query_recall_ge_06")
 
 
@@ -3271,8 +3276,14 @@ def q127_cluster_balanced_sample_audit(spark: SparkSession, sf_dir: str) -> Data
     sample = stratified_fixed_sample(
         assigned, "vec_id", k=_Q127_QUOTA, strata_cols=["cid"]
     )
+    # the second run samples the SAME frame under a DIFFERENT partition
+    # layout (r06 verdict #5: two runs over one persisted layout could
+    # not catch layout-seeded nondeterminism — the class that actually
+    # bites rank-by-hash samples); the flag now asserts
+    # layout-independence, matching what the repartition-stability
+    # pytest pins
     sample2 = stratified_fixed_sample(
-        assigned, "vec_id", k=_Q127_QUOTA, strata_cols=["cid"]
+        assigned.repartition(7), "vec_id", k=_Q127_QUOTA, strata_cols=["cid"]
     )
     per_cluster = assigned.groupBy("cid").agg(F.count("*").alias("_n"))
     picked = sample.groupBy("cid").agg(F.count("*").alias("_p"))
