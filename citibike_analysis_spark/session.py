@@ -43,6 +43,69 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _package_archive() -> str | None:
+    """Zip this package for executor shipment (idempotent, content-hashed).
+
+    Module-level (pandas_)udfs and mapInPandas functions are cloudpickled
+    BY REFERENCE — the executor's Python worker re-imports
+    ``citibike_analysis_spark`` to unpickle them. Under ``local[N]``
+    workers fork from the driver and inherit its ``sys.path``, which
+    silently masks a missing deployment step; under any real cluster
+    manager (``local-cluster`` included — separate executor JVMs
+    spawning their own Python workers) the import fails with
+    ``ModuleNotFoundError`` (found exactly so in the r07 two-executor
+    rehearsal; pinned by tests/test_cluster_boundary.py). The standard
+    Spark remedy is shipping the package via ``--py-files`` /
+    ``addPyFile`` — this builds that archive. The name embeds a content
+    hash so an edited tree never ships a stale cached zip, and the zip
+    is rebuilt only when sources change.
+    """
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    files = []
+    for dirpath, dirnames, filenames in os.walk(pkg_dir):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for f in sorted(filenames):
+            if f.endswith(".py"):
+                files.append(os.path.join(dirpath, f))
+    if not files:
+        return None
+    h = hashlib.sha256()
+    for f in sorted(files):
+        h.update(os.path.relpath(f, root).encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"citibike_analysis_spark-{h.hexdigest()[:16]}.zip",
+    )
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for f in sorted(files):
+                z.write(f, os.path.relpath(f, root))
+        os.replace(tmp, path)  # atomic: concurrent sessions race safely
+    return path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Attach the package archive to a session (idempotent, best-effort).
+
+    No-op in effect under ``local[N]`` (workers already see the driver's
+    ``sys.path``); required for multi-process masters. Failure is
+    non-fatal — a pure-JVM plan still runs without it."""
+    try:
+        archive = _package_archive()
+        if archive is not None:
+            spark.sparkContext.addPyFile(archive)
+    except Exception:
+        pass
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, best-effort).
 
@@ -81,4 +144,5 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    ship_package(spark)
     return tune(spark)
