@@ -19,8 +19,10 @@ corpus pipeline (q86 — the closest shape to the real 100 TB job),
 vocab encode (q90 — the Python/Arrow boundary cost), the sort-free
 global index (q95), and per-stratum weighted sampling (q99). The
 ``streaming`` block times the streaming tier (availability rollup +
-live-corpus admission) over synthetic micro-batches — rows/sec and
-per-batch trigger latency (r04 VERDICT #4).
+live-corpus admission at a 2k/20k rows-per-batch sweep, stateful
+sessions, and the stream-stream weather interval join) over synthetic
+micro-batches — rows/sec and per-batch trigger latency (r04 VERDICT
+#4; sweep r05 #6; weather join r06 #7).
 """
 
 from __future__ import annotations
@@ -476,6 +478,97 @@ def _bench_sessions(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_B
         q.stop()
 
 
+def _bench_weather_join(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH) -> dict:
+    """Stream-stream interval join throughput (r06 VERDICT #7):
+    join_weather_streams was the one streaming path with driver-signed
+    correctness (q123) but no bench row. Fact side = station samples at
+    the sweep rate; dim side = one weather row per (zip, hour), emitted
+    on the first batch covering that hour so the join output stays
+    duplicate-free. Throughput is INPUT rows/sec across both streams
+    (weather is ~10 rows/hour — noise next to the fact side)."""
+    import json as _json
+    from datetime import datetime, timedelta
+
+    from citibike_analysis_spark.streaming.enrich import join_weather_streams
+
+    s_dir = os.path.join(workdir, "samples_in")
+    w_dir = os.path.join(workdir, "weather_in")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(s_dir)
+    os.makedirs(w_dir)
+    base = datetime(2024, 3, 1, 8, 0, 0)
+    total = 0
+    zips = 10
+    seen_hours: set = set()
+    for b in range(STREAM_BATCHES):
+        start = base + timedelta(minutes=3 * b)
+        with open(os.path.join(s_dir, f"b{b:03d}.json"), "w") as f:
+            for r in range(rows_per_batch):
+                ts = start + timedelta(seconds=r % 180)
+                f.write(
+                    _json.dumps(
+                        {
+                            "station_id": r % 500,
+                            "zip": f"1000{r % zips}",
+                            "last_communication_time": ts.strftime(
+                                "%Y-%m-%dT%H:%M:%S"
+                            ),
+                            "available_bikes": (r * 7) % 40,
+                        }
+                    )
+                    + "\n"
+                )
+                total += 1
+        with open(os.path.join(w_dir, f"b{b:03d}.json"), "w") as f:
+            for hour in {
+                (start + timedelta(seconds=s)).replace(minute=0, second=0)
+                for s in (0, 179)
+            }:
+                if hour in seen_hours:
+                    continue
+                seen_hours.add(hour)
+                for z in range(zips):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "zip": f"1000{z}",
+                                "time_hour": hour.strftime("%Y-%m-%dT%H:%M:%S"),
+                                "temperature": 50.0 + z,
+                            }
+                        )
+                        + "\n"
+                    )
+                    total += 1
+
+    samples = (
+        spark.readStream.schema(
+            "station_id long, zip string, "
+            "last_communication_time timestamp, available_bikes long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(s_dir)
+    )
+    weather = (
+        spark.readStream.schema("zip string, time_hour timestamp, temperature double")
+        .option("maxFilesPerTrigger", 1)
+        .json(w_dir)
+    )
+    joined = join_weather_streams(samples, weather)
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: b.write.format("noop").mode("overwrite").save())
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        return _progress_stats(q, wall, total)
+    finally:
+        q.stop()
+
+
 def streaming_block(spark) -> dict:
     import shutil
     import tempfile
@@ -491,6 +584,9 @@ def streaming_block(spark) -> dict:
         (f"admission_{rows}", _bench_admission, rows) for rows in STREAM_SWEEP_ROWS
     ] + [
         ("sessions", _bench_sessions, STREAM_ROWS_PER_BATCH),
+    ] + [
+        (f"weather_join_{rows}", _bench_weather_join, rows)
+        for rows in STREAM_SWEEP_ROWS
     ]
     for name, fn, rows in jobs:
         workdir = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
