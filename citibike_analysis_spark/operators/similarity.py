@@ -69,15 +69,21 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine_sim, rk). Ties broken by
     neighbor id — fully deterministic.
     """
+    # norms hoisted to the per-side frames (one fold per ROW instead of
+    # two per PAIR; bit-identical — see near_duplicate_embeddings)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_qv"), F.col("_cv"))
+            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -252,6 +258,10 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # candidate ∈ >1 table
     )
+    # per-pair cosine (NOT the near_duplicate_embeddings norm hoist): the
+    # deduped candidate set is queries × occupancy × tables — far SMALLER
+    # than the corpus by the ANN contract, so norms-per-corpus-row would
+    # cost more folds than the per-candidate cosine saves
     scored = (
         cv.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
@@ -830,12 +840,20 @@ def ivf_topk(
             ),
         )
         .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", "cid")
+        .select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"), "cid")
     )
+    # norms hoisted per side (bit-identical; near_duplicate_embeddings
+    # finding): every list member joins ~queries·nprobe/nlist probes, so
+    # one fold per corpus row beats two extra folds per pair
     scored = (
-        lists.join(F.broadcast(probes), "cid")
+        lists.withColumn("_cn", norm(F.col("_cv")))
+        .join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_qv"), F.col("_cv"))
+            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -899,6 +917,20 @@ def near_duplicate_embeddings(
     corpus at 2k vectors, and the multiplier grows with ``tables``;
     bare pairs make those shuffles 16-byte rows, the same economics as
     the MinHash verify join (operators/dedup.py).
+
+    Norms are HOISTED out of the per-pair verify (r07): ``norm`` is an
+    interpreted higher-order fold (CodegenFallback), and evaluating
+    dot + two norms per CANDIDATE ran 3 × dim interpreted lambda calls
+    per pair — ~768M on the 10x rehearsal corpus's 4M candidates, which
+    the r07 two-executor rehearsal caught as a JIT-warm-up cliff (the
+    verify stage burned 3,600 CPU-s cold vs 200 warm; 16x, GC-excluded
+    via event-log task metrics). Computing each vector's norm once on
+    the n-row vecs side and shipping it as one extra double leaves only
+    the dot fold per pair: cold wall 216 s → 27 s on that corpus, flat
+    across reps, with the cosine value BIT-IDENTICAL (same fold over
+    the same input produces the same norm double; the final division is
+    unchanged — division by per-pair-recomputed norms and by hoisted
+    norms is the same float op on the same operands).
     """
     if bits == "auto":
         bits = _auto_bits(corpus, id_col)
@@ -924,12 +956,25 @@ def near_duplicate_embeddings(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs_n = vecs.withColumn("_nm", norm(F.col("_v")))
     return (
         cand.join(
-            vecs.withColumnsRenamed({"_id": "id_a", "_v": "_va"}), "id_a"
+            vecs_n.withColumnsRenamed(
+                {"_id": "id_a", "_v": "_va", "_nm": "_na"}
+            ),
+            "id_a",
         )
-        .join(vecs.withColumnsRenamed({"_id": "id_b", "_v": "_vb"}), "id_b")
-        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .join(
+            vecs_n.withColumnsRenamed(
+                {"_id": "id_b", "_v": "_vb", "_nm": "_nb"}
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_va"), F.col("_vb"))
+            / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)),
+        )
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select(
             F.col("id_a").cast("long"),
@@ -1006,10 +1051,16 @@ def incremental_embedding_dedup(
         .select("_bid", "_cid")
         .dropDuplicates(["_bid", "_cid"])
     )
+    # norms hoisted out of the per-candidate verify (bit-identical; see
+    # near_duplicate_embeddings — same r07 finding, same economics)
     dup_ids = (
-        cand.join(bvec, "_bid")
-        .join(cvec, "_cid")
-        .withColumn("_cos", cosine(F.col("_bv"), F.col("_cv")))
+        cand.join(bvec.withColumn("_bn", norm(F.col("_bv"))), "_bid")
+        .join(cvec.withColumn("_cn", norm(F.col("_cv"))), "_cid")
+        .withColumn(
+            "_cos",
+            dot(F.col("_bv"), F.col("_cv"))
+            / F.greatest(F.col("_bn") * F.col("_cn"), F.lit(1e-300)),
+        )
         .filter(F.col("_cos") >= F.lit(threshold))
         .select("_bid")
         .distinct()
