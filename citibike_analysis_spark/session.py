@@ -92,16 +92,28 @@ def _package_archive() -> str | None:
     return path
 
 
+_ARCHIVE_CACHE: str | None = None
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
 def ship_package(spark: SparkSession) -> None:
     """Attach the package archive to a session (idempotent, best-effort).
 
     No-op in effect under ``local[N]`` (workers already see the driver's
     ``sys.path``); required for multi-process masters. Failure is
-    non-fatal — a pure-JVM plan still runs without it."""
+    non-fatal — a pure-JVM plan still runs without it. Memoized per
+    process (sources don't change mid-run) and per SparkContext, so
+    per-query callers (tune) pay nothing after the first call."""
+    global _ARCHIVE_CACHE
     try:
-        archive = _package_archive()
-        if archive is not None:
-            spark.sparkContext.addPyFile(archive)
+        sc = spark.sparkContext
+        if id(sc) in _SHIPPED_CONTEXTS:
+            return
+        if _ARCHIVE_CACHE is None or not os.path.exists(_ARCHIVE_CACHE):
+            _ARCHIVE_CACHE = _package_archive()
+        if _ARCHIVE_CACHE is not None:
+            sc.addPyFile(_ARCHIVE_CACHE)
+        _SHIPPED_CONTEXTS.add(id(sc))
     except Exception:
         pass
 
@@ -110,12 +122,16 @@ def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, best-effort).
 
     Used when the caller (test harness, verify driver) owns the session.
+    Also ships the package archive (memoized no-op after the first call):
+    an externally-owned session pointed at a multi-process master needs
+    it for module-level UDFs to unpickle on executors (r07 finding).
     """
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — loader falls back (sources/tables.py)
+    ship_package(spark)
     return spark
 
 

@@ -23,12 +23,25 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = (
-        SparkSession.builder.master("local[8]")
+    # SWEEP_MASTER=local-cluster[2,8,8192] runs the whole sweep across a
+    # REAL process boundary (r07: how the q45 unpickle bug class gets
+    # caught systematically rather than by luck); default stays the
+    # driver-like local[8] vanilla session.
+    master = os.environ.get("SWEEP_MASTER", "local[8]")
+    b = (
+        SparkSession.builder.master(master)
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        b = b.config(
+            "spark.executor.memory",
+            os.environ.get("SWEEP_EXECUTOR_MEMORY", "8g"),
+        )
+    spark = b.getOrCreate()
+    # package shipment for multi-process masters happens inside tune()
+    # (every queries() entry is wrapped with it — memoized, so it costs
+    # one addPyFile per context)
 
     import __spark_entry__ as E
     from oracle import run_oracle, compare
