@@ -60,6 +60,38 @@ def test_module_level_udf_runs_on_separate_executor_process():
     assert "BOUNDARY_OK" in out.stdout, out.stdout[-2000:]
 
 
+_CONTRACT_PROBE = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+# the literal driver contract: a VANILLA session (not the engine
+# factory) pointed at a multi-process master; tune() inside queries()'s
+# wrapper must ship the package for module-level UDFs to unpickle
+spark = (SparkSession.builder.master("local-cluster[1,2,2048]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.executor.memory", "2g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as E
+n = E.queries()["q45_multimodal_features"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, n
+spark.stop()
+print("CONTRACT_OK", n)
+"""
+
+
+def test_driver_contract_vanilla_session_is_cluster_safe():
+    out = subprocess.run(
+        [sys.executable, "-c", _CONTRACT_PROBE.format(repo=REPO)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "CONTRACT_OK" in out.stdout, out.stdout[-2000:]
+
+
 def test_package_archive_is_content_hashed_and_idempotent(tmp_path):
     from citibike_analysis_spark.session import _package_archive
 
