@@ -92,6 +92,64 @@ def test_driver_contract_vanilla_session_is_cluster_safe():
     assert "CONTRACT_OK" in out.stdout, out.stdout[-2000:]
 
 
+_EXEC_LOSS_PROBE = """
+import os, signal, subprocess, sys, threading, time, traceback
+sys.path.insert(0, {repo!r})
+from citibike_analysis_spark.session import get_spark
+from citibike_analysis_spark.plans import all_queries
+
+spark = get_spark(app_name="exec_loss", master="local-cluster[2,8,8192]",
+                  shuffle_partitions=16,
+                  extra_conf={{"spark.executor.memory": "8g"}})
+spark.sparkContext.setLogLevel("ERROR")
+app_id = spark.sparkContext.applicationId
+fn = all_queries()["q36_minhash_dedup"].fn
+d = "/root/testdata/sf0.1"
+expected = fn(spark, d).count()
+result = {{}}
+def run():
+    try:
+        result["n"] = fn(spark, d).count()
+    except Exception:
+        result["err"] = traceback.format_exc()[-1500:]
+t = threading.Thread(target=run); t.start()
+time.sleep(2.0)  # mid-flight: signature agg / banding stages running
+# victim: an executor OF THIS APP (cmdline carries --app-id; a stale
+# executor leaked by an earlier session must never be the target)
+out = subprocess.run(["pgrep", "-af", "CoarseGrainedExecutorBackend"],
+                     capture_output=True, text=True).stdout
+victims = [ln.split()[0] for ln in out.splitlines() if app_id in ln]
+assert victims, f"no executor of {{app_id}} found:\\n{{out}}"
+os.kill(int(victims[-1]), signal.SIGKILL)
+t.join(timeout=360)
+assert not t.is_alive(), "query hung after executor loss"
+assert "err" not in result, result.get("err")
+assert result["n"] == expected, (result["n"], expected)
+spark.stop()
+print("EXEC_LOSS_OK", expected)
+"""
+
+
+def test_executor_loss_mid_query_returns_identical_result():
+    """Kill one of the two executor PROCESSES mid-query (SIGKILL — no
+    shutdown hook) and assert the query completes with the IDENTICAL
+    result: Spark's standalone master relaunches the executor, lost
+    tasks and lost persisted signature blocks are recomputed, and the
+    engine's operators are deterministic under task retry — the claim
+    the write path documents (sources/files.py row-hash buckets) and
+    every md5/xxhash-keyed plan relies on, exercised for real here.
+    local[N] cannot test this failure mode at all (one process)."""
+    out = subprocess.run(
+        [sys.executable, "-c", _EXEC_LOSS_PROBE.format(repo=REPO)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, (out.stdout[-800:], out.stderr[-1500:])
+    assert "EXEC_LOSS_OK" in out.stdout, out.stdout[-2000:]
+
+
 def test_package_archive_is_content_hashed_and_idempotent(tmp_path):
     from citibike_analysis_spark.session import _package_archive
 
