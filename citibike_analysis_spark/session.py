@@ -93,7 +93,7 @@ def _package_archive() -> str | None:
 
 
 _ARCHIVE_CACHE: str | None = None
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -107,13 +107,17 @@ def ship_package(spark: SparkSession) -> None:
     global _ARCHIVE_CACHE
     try:
         sc = spark.sparkContext
-        if id(sc) in _SHIPPED_CONTEXTS:
+        # keyed on applicationId, NOT id(sc): CPython reuses object ids
+        # after gc, so a fresh context could inherit a dead one's id and
+        # silently skip shipment
+        app = sc.applicationId
+        if app in _SHIPPED_CONTEXTS:
             return
         if _ARCHIVE_CACHE is None or not os.path.exists(_ARCHIVE_CACHE):
             _ARCHIVE_CACHE = _package_archive()
         if _ARCHIVE_CACHE is not None:
             sc.addPyFile(_ARCHIVE_CACHE)
-        _SHIPPED_CONTEXTS.add(id(sc))
+        _SHIPPED_CONTEXTS.add(app)
     except Exception:
         pass
 
