@@ -311,6 +311,15 @@ def join_weather_streams(
     emit null-padded once both watermarks pass the hour (the
     stream-static dual :func:`join_weather` is a left join for the same
     reason), so downstream patching can see and fill them.
+
+    Sizing note (r07, measured): stateful stream-stream joins pay
+    per-PARTITION state-store open/commit overhead every micro-batch,
+    so ``spark.sql.shuffle.partitions`` should be sized to state
+    volume, not core count — at 2k-row batches on local[32], 32 → 8
+    partitions took p50 batch latency 5.3 s → 1.4 s and throughput
+    ×3.4 (SCALE.md). Spark freezes the count into the checkpoint at
+    first start, so pick it BEFORE going to production; repartitioning
+    state requires a new checkpoint.
     """
     s = samples.withWatermark(sample_ts, sample_watermark)
     w = weather.withWatermark(weather_ts, weather_watermark).select(
