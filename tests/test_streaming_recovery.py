@@ -524,3 +524,42 @@ def test_start_admission_seen_posture_survives_restart(spark, dirs):
         q2.stop()
     rows = spark.read.option("basePath", land).parquet(land).collect()
     assert sorted(r["doc_id"] for r in rows) == [1]  # the known dup never landed
+
+
+def test_rocksdb_state_store_provider_is_a_drop_in(spark):
+    """The default HDFSBacked state store keeps streaming state ON THE
+    JVM HEAP — fine for the audit fixtures, but the 100 TB posture for
+    large state (millions of in-watermark dedup hashes, wide session
+    maps) is Spark's RocksDB provider: off-heap, spill-to-disk,
+    incremental checkpoints. providerClass is a runtime SQL conf read
+    at QUERY start, so it is a pure deployment knob — this pins that
+    the cross-batch dedup replay (state-heaviest class: one md5 per
+    distinct doc) produces the IDENTICAL driver-verified result under
+    RocksDB, i.e. the swap needs no code change anywhere."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+    from tests.oracle import compare, run_oracle
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        d = E.queries()["q129_streaming_dedup_replay"](
+            spark, "/root/testdata/sf0.001"
+        )
+        cols, rows = run_oracle(
+            E.oracle_sql()["q129_streaming_dedup_replay"],
+            "/root/testdata/sf0.001",
+        )
+        assert not compare(d, cols, rows)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
