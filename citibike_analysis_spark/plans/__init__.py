@@ -81,6 +81,12 @@ _EPOCH = {
     # the r06 green verified the weaker same-layout claim)
     "q106_ann_lsh_recall_audit": 7,
     "q127_cluster_balanced_sample_audit": 7,
+    # r08: exact-regime guard now asserts the sketch's sticky `pruned`
+    # flag instead of the final counter-set size (the r08 ADVICE hole:
+    # pruning shrinks the set back below capacity, so the size check
+    # passed on already-lower-bounded counts); earlier greens verified
+    # the plan under the blind guard
+    "q121_streaming_heavy_hitters_replay": 8,
 }
 
 

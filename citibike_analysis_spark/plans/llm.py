@@ -1593,6 +1593,33 @@ Q70_SQL = (
 # q118's audit leg.
 # --------------------------------------------------------------------------
 
+def _parity_guard_violation(msg: str) -> None:
+    """Raise (default) or warn (``SPARK_GRAFT_PARITY_GUARDS=0``) on an
+    exact-regime parity-precondition violation.
+
+    r08 ADVICE: q71/q116's fail-fast was unconditional, so the
+    registered production plan could not execute past fixture scale
+    without editing code. Fixture / oracle runs keep the fail-fast
+    default (a pruned sketch must surface as a named assumption, not an
+    opaque hash mismatch); a production run past the exact regime sets
+    the env var once and the SAME registered plan executes — there
+    q118's divergence audit (rank interval + kept-set bound) is the
+    correctness statement, not element parity.
+    """
+    import os
+    import warnings
+
+    if os.environ.get("SPARK_GRAFT_PARITY_GUARDS", "1") != "0":
+        raise AssertionError(msg)
+    warnings.warn(
+        msg + " [demoted to a warning: SPARK_GRAFT_PARITY_GUARDS=0 — "
+        "past the exact regime the q118 divergence audit is the "
+        "correctness statement, not element parity]",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+
+
 def q71_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citibike_analysis_spark.cache import track
     from citibike_analysis_spark.operators.corpus_stats import unigram_logprob
@@ -1610,14 +1637,15 @@ def q71_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile_approx(avg_logp, 0.1, {_Q118_ACC})"),
     ).first()
     if n >= _Q118_ACC:
-        raise AssertionError(
+        _parity_guard_violation(
             "q71 oracle-parity precondition violated: corpus size "
             f"({n}) reached percentile_approx accuracy ({_Q118_ACC}), "
             "so the GK sketch may no longer return the exact rank-"
             "ceil(p*n) element and quantile_disc parity does not hold. "
-            "Raise _Q118_ACC for the fixture; at production scale this "
-            "guard does not apply (q118's divergence audit is the "
-            "correctness statement there)."
+            "Raise _Q118_ACC for the fixture, or set "
+            "SPARK_GRAFT_PARITY_GUARDS=0 for a production run past the "
+            "exact regime (q118's divergence audit is the correctness "
+            "statement there)."
         )
     return scored.filter(F.col("avg_logp") > F.lit(cut)).select(
         "doc_id", "n_tokens", F.round("avg_logp", 6).alias("avg_logp")
@@ -2821,10 +2849,11 @@ def q116_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile_approx(logratio, 0.9, {_Q118_ACC})"),
     ).first()
     if n >= _Q118_ACC:
-        raise AssertionError(
+        _parity_guard_violation(
             "q116 oracle-parity precondition violated: corpus size "
             f"({n}) reached percentile_approx accuracy ({_Q118_ACC}); "
-            "see q71's guard — raise _Q118_ACC for the fixture."
+            "see q71's guard — raise _Q118_ACC for the fixture, or set "
+            "SPARK_GRAFT_PARITY_GUARDS=0 past the exact regime."
         )
     return scored.filter(F.col("logratio") > F.lit(cut)).select(
         "doc_id", "n_tokens", "logratio"
@@ -3093,23 +3122,25 @@ def q121_streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> Dat
         state = log.withColumn(
             "_mx", F.max("_e").over(Window.partitionBy("shard"))
         ).filter(F.col("_e") == F.col("_mx"))
-        # Fail fast on the parity precondition (r07 ADVICE): equality vs
-        # the exact GROUP BY oracle holds only in the EXACT regime —
-        # every shard's distinct-token set strictly under capacity, so
-        # Misra–Gries never prunes and count_lb == true count. If the
-        # fixture vocabulary ever grows past that, fail HERE with the
-        # assumption named, not downstream as an opaque hash mismatch.
-        max_shard_tokens = (
-            state.groupBy("shard").count().agg(F.max("count")).first()[0]
-        )
-        if max_shard_tokens is not None and max_shard_tokens >= capacity:
+        # Fail fast on the parity precondition (r07 + r08 ADVICE):
+        # equality vs the exact GROUP BY oracle holds only in the EXACT
+        # regime — Misra–Gries never pruned, so count_lb == true count.
+        # The check is the sketch's own sticky `pruned` flag, NOT the
+        # final counter-set size: pruning shrinks the set back below
+        # capacity, so a shard that exceeded capacity mid-stream would
+        # pass a size check while count_lb is already a strict lower
+        # bound (the r08 ADVICE hole). If any shard ever pruned, fail
+        # HERE with the assumption named, not downstream as an opaque
+        # hash mismatch.
+        any_pruned = state.agg(F.max("pruned")).first()[0]
+        if any_pruned:
             raise AssertionError(
-                "q121 exact-regime assumption violated: a shard's final "
-                f"counter set reached capacity ({max_shard_tokens} >= "
-                f"{capacity}) — Misra–Gries may have pruned, count_lb is "
-                "a strict lower bound, and hash parity with the exact "
-                "oracle no longer holds. Raise capacity or shrink the "
-                "fixture vocabulary."
+                "q121 exact-regime assumption violated: a shard's "
+                "Misra–Gries summary PRUNED mid-stream (sticky `pruned` "
+                f"flag set; capacity {capacity}) — count_lb is a strict "
+                "lower bound and hash parity with the exact oracle no "
+                "longer holds. Raise capacity or shrink the fixture "
+                "vocabulary."
             )
         final = track(
             state.select(

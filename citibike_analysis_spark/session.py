@@ -118,8 +118,22 @@ def ship_package(spark: SparkSession) -> None:
         if _ARCHIVE_CACHE is not None:
             sc.addPyFile(_ARCHIVE_CACHE)
         _SHIPPED_CONTEXTS.add(app)
-    except Exception:
-        pass
+    except Exception as exc:
+        # non-fatal by design (a pure-JVM plan runs without the
+        # archive) but NOT silent (r08 ADVICE): on a multi-process
+        # master a swallowed failure here resurfaces later as an
+        # executor-side ModuleNotFoundError with no hint that shipment
+        # was attempted — name the attempt and the cause up front
+        import warnings
+
+        warnings.warn(
+            "ship_package: package archive shipment failed "
+            f"(archive={_ARCHIVE_CACHE!r}): {type(exc).__name__}: {exc} "
+            "— module-level UDFs may fail to unpickle on remote "
+            "executors (harmless under local[N])",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def tune(spark: SparkSession) -> SparkSession:

@@ -21,7 +21,38 @@ Rules the helpers enforce/encode:
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_table_and_orphaned_location(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(table)`` safe to run from ANY starting state.
+
+    ``mode("overwrite")`` only helps when the catalog knows the table.
+    With a session-scoped catalog (in-memory derby — the default here),
+    an interrupted or externally-killed build leaves the managed
+    LOCATION on disk with no catalog entry, and every subsequent
+    fresh-session build fails with ``LOCATION_ALREADY_EXISTS`` until a
+    human deletes the directory — for a build-once/probe-many index
+    (:func:`~citibike_analysis_spark.operators.similarity.build_lsh_index`)
+    that bricks the table name on any crashed build (r07 verdict #1).
+
+    Order matters: DROP first (removes the location when the catalog
+    entry exists), THEN rm the residual directory (the orphaned case).
+    Non-local warehouses (hdfs/s3) are left alone — orphan cleanup there
+    is an ETL-tooling concern, not a silent rmtree from a library.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return
+    parts = table.lower().split(".")
+    loc = os.path.join(wh.path, *[f"{p}.db" for p in parts[:-1]], parts[-1])
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -32,6 +63,7 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Persist as a bucketed (and bucket-sorted) managed parquet table."""
+    _clear_table_and_orphaned_location(df.sparkSession, table)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

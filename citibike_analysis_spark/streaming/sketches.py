@@ -40,6 +40,13 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("toks", T.ArrayType(T.StringType())),
         T.StructField("counts", T.ArrayType(T.LongType())),
         T.StructField("n_seen", T.LongType()),
+        # sticky: set forever once the prune branch has EVER fired for
+        # this shard. Pruning shrinks the counter set back below
+        # capacity, so the final set size cannot tell an exact shard
+        # from a pruned one — exactly the hole the r07 ADVICE named in
+        # q121's exact-regime guard. The flag is the audit-grade signal:
+        # pruned == false  ⇔  every count_lb in this shard is exact.
+        T.StructField("pruned", T.BooleanType()),
     ]
 )
 
@@ -49,6 +56,7 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("token", T.StringType()),
         T.StructField("count_lb", T.LongType()),
         T.StructField("n_seen", T.LongType()),
+        T.StructField("pruned", T.BooleanType()),
     ]
 )
 
@@ -60,21 +68,24 @@ def _mg_update(capacity: int):
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
-            toks, counts, n_seen = state.get
+            toks, counts, n_seen, pruned = state.get
             counters = dict(zip(toks, counts))
         else:
-            counters, n_seen = {}, 0
+            counters, n_seen, pruned = {}, 0, False
         for pdf in pdfs:
             vc = pdf["token"].value_counts()
             n_seen += int(vc.sum())
             for tok, cnt in vc.items():
                 counters[tok] = counters.get(tok, 0) + int(cnt)
             if len(counters) > capacity:
+                pruned = True
                 cut = sorted(counters.values(), reverse=True)[capacity]
                 counters = {
                     t: c - cut for t, c in counters.items() if c - cut > 0
                 }
-        state.update((list(counters.keys()), list(counters.values()), n_seen))
+        state.update(
+            (list(counters.keys()), list(counters.values()), n_seen, pruned)
+        )
         shard = int(key[0])
         yield pd.DataFrame(
             {
@@ -82,6 +93,7 @@ def _mg_update(capacity: int):
                 "token": list(counters.keys()),
                 "count_lb": list(counters.values()),
                 "n_seen": n_seen,
+                "pruned": pruned,
             }
         )
 
@@ -97,10 +109,14 @@ def track_frequent_tokens(
     """Continuous Misra–Gries heavy hitters per token-hash shard.
 
     Emits, every micro-batch, each updated shard's full counter set:
-    (shard, token, count_lb, n_seen) — ``count_lb`` is the MG lower
-    bound on the token's count since stream start, ``n_seen`` the
+    (shard, token, count_lb, n_seen, pruned) — ``count_lb`` is the MG
+    lower bound on the token's count since stream start, ``n_seen`` the
     shard's total token throughput (the denominator for a frequency
-    gate). Use with ``outputMode("update")``; downstream exact recount
+    gate), and ``pruned`` is sticky-true once the shard has EVER pruned
+    (iff false, every ``count_lb`` in the shard is the exact count —
+    the signal exact-regime consumers like q121 must assert on, since
+    pruning shrinks the set back below capacity and the final set size
+    proves nothing). Use with ``outputMode("update")``; downstream exact recount
     (the batch pass 2) runs over the landed corpus when a candidate
     crosses the gate.
     """

@@ -408,3 +408,53 @@ def test_temperature_mixture_extreme_skew_keeps_nonzero_tail(spark):
     # a sane ceiling (binomial p=1/65536: P(0 kept) ~ e^-15, and 60+
     # kept would mean the clamp overshot by 4x the expectation)
     assert 0 < kept < 60
+
+
+def test_parity_guard_env_gate_lets_registered_plan_run_past_regime(
+    spark, monkeypatch
+):
+    """r08 ADVICE: q71/q116's exact-regime fail-fast was unconditional,
+    so the registered production path could not execute past fixture
+    scale without editing code. Default stays fail-fast (oracle runs);
+    SPARK_GRAFT_PARITY_GUARDS=0 demotes it to a warning and the SAME
+    registered plan executes."""
+    import warnings
+
+    import citibike_analysis_spark.plans.llm as llm
+    from tests.conftest import SF0001
+
+    # shrink the accuracy so the sf0.001 corpus (~200 docs) is PAST the
+    # exact regime — the production-scale condition, reproduced small
+    monkeypatch.setattr(llm, "_Q118_ACC", 10)
+    monkeypatch.delenv("SPARK_GRAFT_PARITY_GUARDS", raising=False)
+    try:
+        llm.q71_quality_percentile_gate(spark, SF0001)
+        raise AssertionError("guard did not fire with fail-fast default")
+    except AssertionError as e:
+        assert "oracle-parity precondition" in str(e)
+    monkeypatch.setenv("SPARK_GRAFT_PARITY_GUARDS", "0")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = llm.q71_quality_percentile_gate(spark, SF0001)
+        n = out.count()
+    assert n > 0  # the registered plan ran end to end past the regime
+    assert any("demoted to a warning" in str(x.message) for x in w)
+
+
+def test_ship_package_failure_warns_not_silent():
+    """r08 ADVICE: a swallowed archive-shipment failure resurfaces on a
+    multi-process master as an executor-side ModuleNotFoundError with no
+    hint shipment was attempted — the fallthrough must warn, not pass."""
+    import warnings
+
+    from citibike_analysis_spark.session import ship_package
+
+    class Boom:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("no context")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ship_package(Boom())  # non-fatal: must not raise
+    assert any("shipment failed" in str(x.message) for x in w)

@@ -464,3 +464,43 @@ class TestPersistedLshIndex:
         finally:
             spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
             spark.sql("DROP TABLE IF EXISTS lsh_idx_test__vecs")
+
+    def test_build_succeeds_over_orphaned_warehouse_location(self, spark):
+        """r07 verdict #1: an interrupted build leaves the managed
+        LOCATION on disk with no catalog entry (the catalog is
+        session-scoped in-memory derby); a rebuild must succeed from
+        that dirty state instead of failing LOCATION_ALREADY_EXISTS
+        until a human rm -rf's the directory."""
+        import os
+        from urllib.parse import urlparse
+
+        from citibike_analysis_spark.operators.similarity import (
+            build_lsh_index,
+            lsh_index_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        params = dict(bits=6, tables=8)
+        try:
+            for t in ("lsh_idx_orphan", "lsh_idx_orphan__vecs"):
+                # simulate the crashed prior build: location on disk,
+                # catalog entry gone (fresh session == empty catalog)
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                loc = os.path.join(wh, t)
+                os.makedirs(loc, exist_ok=True)
+                with open(os.path.join(loc, "stale-part.parquet"), "w") as f:
+                    f.write("residue from a killed build")
+            emb = load_table(spark, SF, "embeddings")
+            build_lsh_index(emb, "lsh_idx_orphan", **params)  # must not raise
+            got = lsh_index_topk(
+                spark,
+                "lsh_idx_orphan",
+                emb.filter(F.col("vec_id") < 3),
+                k=3,
+                **params,
+            )
+            assert got.count() > 0  # rebuilt index is probe-able
+        finally:
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_orphan")
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_orphan__vecs")

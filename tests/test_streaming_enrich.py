@@ -299,6 +299,48 @@ def test_streaming_heavy_hitters_accumulate_across_batches(spark, dirs):
     for r in rows:
         shards.setdefault(r["token"], set()).add(r["shard"])
     assert all(len(s) == 1 for s in shards.values())
+    # exact regime: no shard ever pruned, so the sticky flag is false —
+    # the signal q121's exact-regime guard asserts on
+    assert all(r["pruned"] is False for r in rows)
+
+
+def test_mg_pruned_flag_is_sticky_once_capacity_exceeded(spark, dirs):
+    """r08 ADVICE (medium): pruning shrinks the counter set back below
+    capacity, so a final-size check passes on a shard whose count_lb is
+    already a strict lower bound. The sticky `pruned` flag must fire
+    when the prune branch runs — and STAY set on later batches even if
+    the set never exceeds capacity again."""
+    import json as _json
+
+    from citibike_analysis_spark.streaming.sketches import track_frequent_tokens
+
+    # 5 distinct tokens into capacity 2 on one shard -> prune fires and
+    # the surviving set is <= 2 (< capacity: the size check sees nothing)
+    with open(f"{dirs['in']}/b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 0, "text": "a a a b c d e"}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(dirs["in"])
+    out = track_frequent_tokens(stream, capacity=2, n_shards=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_pruned")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch1 = spark.table("hh_pruned").collect()
+        assert batch1, "prune batch emitted no counters"
+        assert all(r["pruned"] is True for r in batch1)
+        assert len(batch1) <= 2  # pruned back under capacity: size check blind
+        # a later batch that does NOT prune must still report pruned=True
+        with open(f"{dirs['in']}/b2.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 1, "text": "a"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("hh_pruned").collect()
+    assert all(r["pruned"] is True for r in rows)  # sticky across batches
 
 
 def test_late_in_watermark_sample_extends_session_start(spark, dirs):
