@@ -27,6 +27,7 @@ micro-batches — rows/sec and per-batch trigger latency (r04 VERDICT
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -90,6 +91,12 @@ CANARY_QUERIES = (
     "q58_asof_join_bucketed",
     "q39_embedding_near_dup",
     "q77_semantic_dedup",
+    # r08 (r07 verdict #2): q46 was the heaviest of the three warm
+    # drifts (+65/+57/+47%) with no same-host instrument; the r08
+    # interleaved A/B read q44 0.688 / q46 0.834 / q104 1.057 vs the
+    # r06 tree — host variance — and q46 joins the canaries so the
+    # iterative-CC family never goes unattributed again
+    "q46_dedup_clusters",
 )
 
 _CANARY_SCRIPT = r"""
@@ -478,14 +485,26 @@ def _bench_sessions(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_B
         q.stop()
 
 
-def _bench_weather_join(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH) -> dict:
+def _bench_weather_join(
+    spark,
+    workdir: str,
+    rows_per_batch: int = STREAM_ROWS_PER_BATCH,
+    shuffle_partitions: int | None = None,
+) -> dict:
     """Stream-stream interval join throughput (r06 VERDICT #7):
     join_weather_streams was the one streaming path with driver-signed
     correctness (q123) but no bench row. Fact side = station samples at
     the sweep rate; dim side = one weather row per (zip, hour), emitted
     on the first batch covering that hour so the join output stays
     duplicate-free. Throughput is INPUT rows/sec across both streams
-    (weather is ~10 rows/hour — noise next to the fact side)."""
+    (weather is ~10 rows/hour — noise next to the fact side).
+
+    ``shuffle_partitions`` starts the query under that
+    ``spark.sql.shuffle.partitions`` (read at QUERY start, frozen into
+    the checkpoint): the r07-measured stateful sizing rule (32→8: p50
+    5.3 s → 1.4 s — per-partition state-store open/commit is paid every
+    micro-batch) gets its own bench artifact this way (r07 verdict #6)
+    next to the engine-default row, instead of living in prose only."""
     import json as _json
     from datetime import datetime, timedelta
 
@@ -554,19 +573,27 @@ def _bench_weather_join(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_P
         .json(w_dir)
     )
     joined = join_weather_streams(samples, weather)
-    q = (
-        joined.writeStream.outputMode("append")
-        .foreachBatch(lambda b, e: b.write.format("noop").mode("overwrite").save())
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    t0 = time.perf_counter()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
-        wall = time.perf_counter() - t0
-        return _progress_stats(q, wall, total)
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda b, e: b.write.format("noop").mode("overwrite").save()
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        t0 = time.perf_counter()
+        try:
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0
+            return _progress_stats(q, wall, total)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def streaming_block(spark) -> dict:
@@ -587,6 +614,16 @@ def streaming_block(spark) -> dict:
     ] + [
         (f"weather_join_{rows}", _bench_weather_join, rows)
         for rows in STREAM_SWEEP_ROWS
+    ] + [
+        # the documented SIZED configuration (r07 sizing rule: stateful
+        # queries size shuffle partitions to STATE volume, not cores;
+        # measured 32→8 = p50 5.3 s → 1.4 s) next to the default-32 row
+        # above, so the rule carries a bench artifact (r07 verdict #6)
+        (
+            f"weather_join_sized8_{STREAM_ROWS_PER_BATCH}",
+            functools.partial(_bench_weather_join, shuffle_partitions=8),
+            STREAM_ROWS_PER_BATCH,
+        ),
     ]
     for name, fn, rows in jobs:
         workdir = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")

@@ -46,6 +46,50 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
+def pair_dot(a: Column, b: Column) -> Column:
+    """Arrow-batched pairwise dot product (numpy einsum over the batch).
+
+    The per-pair alternative to :func:`dot` for VERIFY stages whose pair
+    count dwarfs the row count: ``F.aggregate`` folds evaluate
+    interpreted (CodegenFallback), one expression-tree walk per element
+    — the r07 two-executor rehearsal measured the resulting JIT cliff
+    (q39's verify: 3,600 CPU-s cold vs 200 warm on 4M candidates).
+    Hoisting the norms removed 2/3 of that work; this removes the rest
+    by batching candidate pairs through the SAME declared Arrow/BLAS
+    seam as :func:`_bucketize`'s matmul (the built-ins-first exception:
+    dense linear algebra). One batch = one ``einsum('ij,ij->i')`` —
+    SIMD/pairwise summation, so the result can differ from the
+    sequential fold in the LAST ULP; at the 6-decimal rounding every
+    consumer applies, outputs are identical (pinned by pytest on the
+    full sf0.001/sf0.01 pair sets vs the fold).
+
+    NULL handling matches ``F.aggregate`` over a null array: a pair with
+    either side NULL yields NULL (verify paths never produce one — the
+    candidates inner-join vectors — but a surprise null must not crash
+    the whole Arrow batch with a numpy stack error).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dots(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        la, lb = xa.tolist(), xb.tolist()
+        out: list[float | None] = [None] * len(la)
+        live = [
+            i for i in range(len(la))
+            if la[i] is not None and lb[i] is not None
+        ]
+        if live:
+            A = np.asarray([la[i] for i in live], dtype=np.float64)
+            B = np.asarray([lb[i] for i in live], dtype=np.float64)
+            d = np.einsum("ij,ij->i", A, B)
+            for i, v in zip(live, d):
+                out[i] = float(v)
+        return pd.Series(out, dtype="float64")
+
+    return _dots(a, b)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with the zero-vector convention every caller
     needs: a zero-norm side scores 0.0, never NaN. Unguarded 0/0 = NaN
@@ -931,6 +975,15 @@ def near_duplicate_embeddings(
     the same input produces the same norm double; the final division is
     unchanged — division by per-pair-recomputed norms and by hoisted
     norms is the same float op on the same operands).
+
+    r08 closes the residual: on MULTI-PROCESS masters the one remaining
+    per-pair fold (the dot) is Arrow-batched (:func:`pair_dot` — same
+    outputs at the 6-decimal rounding, pytest-pinned), taking q39's
+    boundary ratio from 2.38×/1.68× (r07) to **1.09×** at 10×; on
+    single-JVM ``local[N]`` the warm-JIT fold stays the default (Arrow
+    costs 1.26× there in pure serialization). Measured by
+    ``scripts/ab_pair_dot.py`` (interleaved master × mode cells);
+    ``SPARK_GRAFT_PAIR_DOT=fold|arrow`` overrides the keying.
     """
     if bits == "auto":
         bits = _auto_bits(corpus, id_col)
@@ -957,6 +1010,27 @@ def near_duplicate_embeddings(
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs_n = vecs.withColumn("_nm", norm(F.col("_v")))
+    # per-pair dot: MASTER-KEYED default (r08 A/B, scripts/ab_pair_dot
+    # .py, 10× corpus, interleaved (master × mode) cells): on separate
+    # executor JVMs the interpreted fold's JIT is catastrophic and
+    # FLAPPY (49–91 s across passes; cluster/local 5.6×) while the
+    # Arrow dot reads 12.2 s — cluster/local 1.09, the ≤1.2 target; on
+    # single-JVM local[N] the fold's warm JIT wins instead (8.84 s vs
+    # 11.15 — Arrow pays 2×dim doubles/pair of serialization, ~1.26×).
+    # Each regime gets its measured winner; a 1000-executor deployment
+    # is the multi-process case. Outputs are identical either way at
+    # the 6-decimal rounding (pytest-pinned on the full sf0.01 loose-θ
+    # pair set). SPARK_GRAFT_PAIR_DOT=fold|arrow overrides.
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_PAIR_DOT")
+    if mode is None:
+        master = corpus.sparkSession.sparkContext.master
+        # "local[N]" is the one single-JVM master; "local-cluster[...]"
+        # (no bracket after "local") and every real cluster URL are
+        # multi-process
+        mode = "fold" if master.startswith("local[") else "arrow"
+    pdot = dot if mode == "fold" else pair_dot
     return (
         cand.join(
             vecs_n.withColumnsRenamed(
@@ -972,7 +1046,7 @@ def near_duplicate_embeddings(
         )
         .withColumn(
             "cosine_sim",
-            dot(F.col("_va"), F.col("_vb"))
+            pdot(F.col("_va"), F.col("_vb"))
             / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)),
         )
         .filter(F.col("cosine_sim") >= F.lit(threshold))

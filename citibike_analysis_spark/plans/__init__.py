@@ -63,8 +63,8 @@ _SENTINELS = ("q01_pricing_summary", "q20_interesting_suppliers", "q23_round_hal
 # whose driver rows may sign it.
 _EPOCH = {
     # r04: re-registered as the production θ=0.9 auto-bits re-ingest
-    # form; r01-r03 greens verified the θ=0.45 form (now q105)
-    "q39_embedding_near_dup": 4,
+    # form; r01-r03 greens verified the θ=0.45 form (now q105).
+    # r08 bump below (master-keyed pair dot) supersedes this entry.
     # r05: re-registered as the production fixed-batch θ=0.9 auto-bits
     # admission form; earlier greens verified the SF-proportional
     # loose-banding form (now q113)
@@ -87,6 +87,12 @@ _EPOCH = {
     # passed on already-lower-bounded counts); earlier greens verified
     # the plan under the blind guard
     "q121_streaming_heavy_hitters_replay": 8,
+    # r08: verify-stage per-pair dot became master-keyed (Arrow einsum
+    # on multi-process masters, warm-JIT fold on local[N] — outputs
+    # pytest-pinned identical at the 6-decimal rounding); re-sign the
+    # plan under the mode-selection code even though the driver's
+    # local[N] session exercises the same fold path r07 signed
+    "q39_embedding_near_dup": 8,
 }
 
 

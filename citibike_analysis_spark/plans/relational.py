@@ -2052,6 +2052,69 @@ QUERIES.update(
 
 
 # --------------------------------------------------------------------------
+# q130 — CATALOG-pruned date-range scan (r07 verdict #7): q115's layout
+# behind an external catalog table. q115 proves files-READ is constant
+# (the path-based InMemoryFileIndex prunes after listing); the growth
+# axis the r06 prune rehearsal named is files-LISTED — the path route
+# walks the ENTIRE layout's directories up front, every query, and at
+# years of history the listing is the cost. Registering the layout as
+# an external partitioned table (sources/files.py::
+# register_partitioned_table) moves partition→location metadata into
+# the catalog: the planner prunes partitions from metadata
+# (PruneFileSourcePartitions over a CatalogFileIndex) and only then
+# lists the 3 surviving day-directories — listing is O(days queried),
+# not O(days stored). Same 3-day aggregation, same oracle as q115; the
+# scan's file index holding exactly the selected days is plan-asserted
+# in tests/test_plans.py and measured across three layout decades by
+# scripts/prune_rehearsal.py's catalog block.
+# --------------------------------------------------------------------------
+
+
+def q130_catalog_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.sources.files import (
+        register_partitioned_table,
+        write_parquet_partitioned,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    path = q115_layout_path(sf_dir)
+    write_parquet_partitioned(e, path, ["event_date"], files_per_partition=1)
+    # table name carries the layout dir's full tag (sf-dir hash + per-
+    # process run tag): a later q130 call at a DIFFERENT sf_dir must
+    # register its own table, not repoint the name under a DataFrame an
+    # earlier call already returned but has not collected yet
+    import hashlib
+
+    table = (
+        "q130_events_by_day_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q115_RUN_TAG}"
+    )
+    register_partitioned_table(
+        spark, table, path, ["event_date"], schema=e.schema
+    )
+    back = spark.table(table).filter(
+        (F.col("event_date") >= F.lit(_Q115_LO))
+        & (F.col("event_date") <= F.lit(_Q115_HI))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+QUERIES.update(
+    {
+        "q130_catalog_pruned_events": QuerySpec(
+            q130_catalog_pruned_events, Q115_SQL, "§4 catalog partition-pruning S-ext"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
 # q119 — driver-signed STREAMING correctness (r05 VERDICT #3): the
 # batch/streaming parity claim, hash-verified. The streaming tier's 11
 # behaviors were pytest-only; this registration replays a fixed,

@@ -22,6 +22,14 @@ A pruning regression (predicate not reaching the scan, layout written
 unpartitioned, filter dropped by a rewrite) shows up as files_read
 tracking files_total.
 
+r08 adds the CATALOG route next to the path route (r07 verdict #7):
+the same layout registered as an external partitioned table
+(``register_partitioned_table``), where partition pruning happens on
+catalog metadata BEFORE any directory is listed. The new
+``files_listed`` column (the scan's post-planning file-index size) is
+the claim: path route lists the whole layout every query (listed ==
+files_total, growing 10x/decade); catalog route lists 3 (constant).
+
 Usage: python scripts/prune_rehearsal.py [workdir] [reps]
 Prints one JSON line per decade plus a markdown table for SCALE.md.
 """
@@ -77,14 +85,34 @@ def count_files(path: str) -> int:
     return total
 
 
-def run_query(spark, path: str, reps: int) -> tuple[float, int]:
+def _indexed_files(frame) -> int:
+    """Files in the scan's post-planning FILE INDEX = what the planner
+    LISTED for this query. Path route: the InMemoryFileIndex holds the
+    whole layout (listing is paid up front, pruning selects from it at
+    execution). Catalog route: PruneFileSourcePartitions shrinks the
+    CatalogFileIndex to the selected partitions BEFORE listing, so the
+    index holds only the queried days' files."""
+    scan = frame._jdf.queryExecution().executedPlan().collectLeaves().head()
+    return len(list(scan.relation().location().inputFiles()))
+
+
+def run_query(spark, path: str, reps: int, table: str | None = None) -> dict:
+    """One decade's measurement for one route: ``table=None`` reads the
+    path (InMemoryFileIndex — full up-front listing); otherwise reads
+    the registered catalog table (metastore partition pruning)."""
     from pyspark.sql import functions as F
 
     wall = None
     files_read = None
+    files_listed = None
     for _ in range(reps):
+        # drop the session's cached relation so every rep pays the
+        # route's true listing cost (the thing being measured)
+        spark.catalog.clearCache()
+        spark.sql(f"REFRESH TABLE {table}") if table else None
         t0 = time.perf_counter()
-        back = spark.read.parquet(path).filter(
+        src = spark.table(table) if table else spark.read.parquet(path)
+        back = src.filter(
             (F.col("event_date") >= F.lit(LO)) & (F.col("event_date") <= F.lit(HI))
         )
         out = back.groupBy("event_type").agg(
@@ -97,7 +125,15 @@ def run_query(spark, path: str, reps: int) -> tuple[float, int]:
         files_read = (
             back.select(F.input_file_name().alias("f")).distinct().count()
         )
-    return wall, files_read
+        # probe the bare filtered scan, not the aggregate: under AQE the
+        # aggregate's executedPlan leaves are query-stage wrappers, not
+        # the FileSourceScan (Method relation([]) does not exist)
+        files_listed = _indexed_files(back)
+    return {
+        "wall_sec": round(wall, 3),
+        "files_read": files_read,
+        "files_listed": files_listed,
+    }
 
 
 def main() -> int:
@@ -109,6 +145,8 @@ def main() -> int:
     spark = get_spark(app_name="prune_rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from citibike_analysis_spark.sources.files import register_partitioned_table
+
     rows = []
     for days in DAYS:
         path = os.path.join(workdir, f"days{days}")
@@ -116,24 +154,38 @@ def main() -> int:
         t0 = time.perf_counter()
         build_layout(spark, path, days)
         build_sec = round(time.perf_counter() - t0, 2)
-        wall, files_read = run_query(spark, path, reps)
+        by_path = run_query(spark, path, reps)
+        # catalog route (r07 verdict #7): same layout behind an external
+        # partitioned table — files LISTED must now be constant too
+        table = f"prune_rehearsal_days{days}"
+        t0 = time.perf_counter()
+        register_partitioned_table(spark, table, path, ["event_date"])
+        register_sec = round(time.perf_counter() - t0, 2)
+        by_catalog = run_query(spark, path, reps, table=table)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")  # external: metadata-only
         row = {
             "days": days,
             "rows": days * ROWS_PER_DAY,
             "files_total": count_files(path),
-            "files_read": files_read,
-            "wall_sec": round(wall, 3),
+            "path": by_path,
+            "catalog": by_catalog,
             "build_sec": build_sec,
+            "register_sec": register_sec,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| layout days | rows | files total | files read (3-day query) | wall (s) |")
-    print("|---|---|---|---|---|")
+    print(
+        "\n| layout days | files total | path: listed / read / wall "
+        "| catalog: listed / read / wall |"
+    )
+    print("|---|---|---|---|")
     for r in rows:
+        p, c = r["path"], r["catalog"]
         print(
-            f"| {r['days']} | {r['rows']:,} | {r['files_total']} "
-            f"| {r['files_read']} | {r['wall_sec']} |"
+            f"| {r['days']} | {r['files_total']} "
+            f"| {p['files_listed']} / {p['files_read']} / {p['wall_sec']} s "
+            f"| {c['files_listed']} / {c['files_read']} / {c['wall_sec']} s |"
         )
     spark.stop()
     return 0

@@ -221,3 +221,51 @@ class TestKMeansAudit:
         hist2: list = []
         _train_centroids(c, "_id", "_v", 4, train_iters=1, objective_out=hist2)
         assert len(hist2) == 1
+
+
+class TestPairDotVerify:
+    def test_arrow_dot_matches_fold_at_rounding(self, spark, monkeypatch):
+        """r08: the verify stage's per-pair dot is master-keyed —
+        Arrow-batched einsum (SIMD/pairwise summation) on multi-process
+        masters, the sequential interpreted fold on local[N]. Summation
+        order can differ in the last ulp; at the 6-decimal rounding
+        every consumer applies, the FULL near-dup pair set must be
+        identical — rows, ids, and rounded cosines — so the keying can
+        never change a result, only a wall time."""
+        from citibike_analysis_spark.operators.similarity import (
+            near_duplicate_embeddings,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        # loose threshold + few bits: orders of magnitude more pairs
+        # (and more borderline cosines) than the production θ=0.9 run
+        params = dict(threshold=0.45, bits=4, tables=8)
+
+        def pairs():
+            rows = near_duplicate_embeddings(emb, **params).collect()
+            return sorted((r["id_a"], r["id_b"], r["cosine_sim"]) for r in rows)
+
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "fold")
+        via_fold = pairs()
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "arrow")
+        via_arrow = pairs()
+        assert via_arrow, "empty pair set proves nothing"
+        assert via_arrow == via_fold
+
+    def test_pair_dot_null_side_yields_null_not_crash(self, spark):
+        """A surprise NULL on either side must yield NULL (the fold's
+        convention), not blow up the whole Arrow batch in numpy."""
+        from citibike_analysis_spark.operators.similarity import pair_dot
+
+        df = spark.createDataFrame(
+            [
+                ([1.0, 2.0], [3.0, 4.0]),
+                (None, [1.0, 1.0]),
+                ([1.0, 1.0], None),
+            ],
+            "a array<double>, b array<double>",
+        )
+        got = df.select(pair_dot(F.col("a"), F.col("b")).alias("d")).collect()
+        assert got[0]["d"] == 11.0
+        assert got[1]["d"] is None and got[2]["d"] is None

@@ -264,3 +264,65 @@ def test_q115_partition_filter_prunes_the_scan(spark):
     ]
     days = {f.split("event_date=")[1].split("/")[0] for f in read_files}
     assert days == {"2024-01-10", "2024-01-11", "2024-01-12"}
+
+
+def test_q130_catalog_prunes_the_listing_not_just_the_read(spark):
+    # r07 verdict #7: q115 proves files-READ constant; the catalog form
+    # must prune files-LISTED too. Path route: InMemoryFileIndex lists
+    # the WHOLE layout up front (its file index holds every day).
+    # Catalog route: PruneFileSourcePartitions rewrites the
+    # CatalogFileIndex to an index over ONLY the selected partitions —
+    # the scan's post-planning file index holds exactly the 3 day-files.
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.plans.relational import (
+        _Q115_HI,
+        _Q115_LO,
+        _Q115_RUN_TAG,
+        q115_layout_path,
+        q130_catalog_pruned_events,
+    )
+
+    df = q130_catalog_pruned_events(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+
+    def indexed_files(frame) -> list[str]:
+        # files in the scan's FILE INDEX after planning = what the
+        # planner LISTED for this query (not what it read)
+        scan = frame._jdf.queryExecution().executedPlan().collectLeaves().head()
+        return list(scan.relation().location().inputFiles())
+
+    import hashlib
+
+    table = (
+        "q130_events_by_day_"
+        f"{hashlib.md5(b'/root/testdata/sf0.001').hexdigest()[:10]}"
+        f"_{_Q115_RUN_TAG}"
+    )
+    pred = (F.col("event_date") >= F.lit(_Q115_LO)) & (
+        F.col("event_date") <= F.lit(_Q115_HI)
+    )
+    via_catalog = indexed_files(spark.table(table).filter(pred))
+    days = {f.split("event_date=")[1].split("/")[0] for f in via_catalog}
+    assert days == {"2024-01-10", "2024-01-11", "2024-01-12"}
+
+    # the path route's index over the SAME layout holds all 30 days —
+    # the contrast that makes the catalog claim a claim
+    via_path = indexed_files(
+        spark.read.parquet(q115_layout_path("/root/testdata/sf0.001")).filter(
+            pred
+        )
+    )
+    assert len(via_path) > len(via_catalog)
+
+    # result parity: both routes aggregate to identical rows
+    got = sorted(map(tuple, df.collect()))
+    from citibike_analysis_spark.plans.relational import (
+        q115_partition_pruned_events,
+    )
+
+    want = sorted(
+        map(tuple, q115_partition_pruned_events(spark, "/root/testdata/sf0.001").collect())
+    )
+    assert got == want

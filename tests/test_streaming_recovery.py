@@ -526,16 +526,32 @@ def test_start_admission_seen_posture_survives_restart(spark, dirs):
     assert sorted(r["doc_id"] for r in rows) == [1]  # the known dup never landed
 
 
-def test_rocksdb_state_store_provider_is_a_drop_in(spark):
+@pytest.mark.parametrize(
+    "query",
+    [
+        # the three state-encoding classes the RocksDB posture claims
+        # (r07 verdict softened the claim to the one pinned class; r08
+        # task #4 pins all three):
+        # - dropDuplicatesWithinWatermark hash state (state-heaviest)
+        "q129_streaming_dedup_replay",
+        # - applyInPandasWithState session maps — the API whose state
+        #   encoding differs MOST across providers (Arrow-serialized
+        #   user state rows, not SQL-codegen'd aggregate buffers)
+        "q120_streaming_sessions_replay",
+        # - dual-watermark stream-stream join state (two keyed buffers
+        #   + the join's range condition bookkeeping)
+        "q123_streaming_weather_join_replay",
+    ],
+)
+def test_rocksdb_state_store_provider_is_a_drop_in(spark, query):
     """The default HDFSBacked state store keeps streaming state ON THE
     JVM HEAP — fine for the audit fixtures, but the 100 TB posture for
     large state (millions of in-watermark dedup hashes, wide session
     maps) is Spark's RocksDB provider: off-heap, spill-to-disk,
     incremental checkpoints. providerClass is a runtime SQL conf read
     at QUERY start, so it is a pure deployment knob — this pins that
-    the cross-batch dedup replay (state-heaviest class: one md5 per
-    distinct doc) produces the IDENTICAL driver-verified result under
-    RocksDB, i.e. the swap needs no code change anywhere."""
+    each stateful replay class produces the IDENTICAL driver-verified
+    result under RocksDB, i.e. the swap needs no code change anywhere."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -550,13 +566,8 @@ def test_rocksdb_state_store_provider_is_a_drop_in(spark):
         "RocksDBStateStoreProvider",
     )
     try:
-        d = E.queries()["q129_streaming_dedup_replay"](
-            spark, "/root/testdata/sf0.001"
-        )
-        cols, rows = run_oracle(
-            E.oracle_sql()["q129_streaming_dedup_replay"],
-            "/root/testdata/sf0.001",
-        )
+        d = E.queries()[query](spark, "/root/testdata/sf0.001")
+        cols, rows = run_oracle(E.oracle_sql()[query], "/root/testdata/sf0.001")
         assert not compare(d, cols, rows)
     finally:
         if prev is None:
