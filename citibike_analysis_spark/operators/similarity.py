@@ -90,6 +90,32 @@ def pair_dot(a: Column, b: Column) -> Column:
     return _dots(a, b)
 
 
+def pick_pair_dot(spark) -> "Callable[[Column, Column], Column]":
+    """Master-keyed per-pair dot choice for verify stages (r08 A/B,
+    `scripts/ab_pair_dot.py`): on multi-process masters the interpreted
+    :func:`dot` fold is JIT-flappy (q39: 49–91 s across identical
+    cluster passes; cluster/local 5.6×) and :func:`pair_dot` is the
+    stable winner (12.2 s; 1.09×); on single-JVM ``local[N]`` the warm
+    fold wins (8.84 s vs 11.15 — Arrow pays ~2×dim doubles/pair of
+    serialization). Outputs are identical at the 6-decimal rounding
+    every consumer applies (pytest-pinned), so the keying can only
+    change wall time, never a result. ``SPARK_GRAFT_PAIR_DOT`` =
+    ``fold`` | ``arrow`` overrides (the A/B instrument)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_PAIR_DOT")
+    if mode is None:
+        # "local[N]" is the one single-JVM master; "local-cluster[...]"
+        # (no bracket after "local") and every real cluster URL are
+        # multi-process
+        mode = (
+            "fold"
+            if spark.sparkContext.master.startswith("local[")
+            else "arrow"
+        )
+    return dot if mode == "fold" else pair_dot
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with the zero-vector convention every caller
     needs: a zero-norm side scores 0.0, never NaN. Unguarded 0/0 = NaN
@@ -763,12 +789,16 @@ def semantic_dedup_pairs(
     # cache.cache_scope()/release_all() can unpersist after the action.
     assigned = track(assigned.persist())
     a, b = assigned.alias("a"), assigned.alias("b")
+    # per-PAIR dot over Σ|cluster|² within-cluster pairs — the same
+    # economics as near_duplicate_embeddings' verify, same master-keyed
+    # choice (r08; outputs identical at the rounding, pytest-pinned)
+    pdot = pick_pair_dot(corpus.sparkSession)
     return (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid")) & (F.col("a._id") < F.col("b._id")),
         )
-        .withColumn("cosine_sim", dot(F.col("a._nv"), F.col("b._nv")))
+        .withColumn("cosine_sim", pdot(F.col("a._nv"), F.col("b._nv")))
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select(
             F.col("a._id").cast("long").alias("id_a"),
@@ -1010,27 +1040,11 @@ def near_duplicate_embeddings(
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs_n = vecs.withColumn("_nm", norm(F.col("_v")))
-    # per-pair dot: MASTER-KEYED default (r08 A/B, scripts/ab_pair_dot
-    # .py, 10× corpus, interleaved (master × mode) cells): on separate
-    # executor JVMs the interpreted fold's JIT is catastrophic and
-    # FLAPPY (49–91 s across passes; cluster/local 5.6×) while the
-    # Arrow dot reads 12.2 s — cluster/local 1.09, the ≤1.2 target; on
-    # single-JVM local[N] the fold's warm JIT wins instead (8.84 s vs
-    # 11.15 — Arrow pays 2×dim doubles/pair of serialization, ~1.26×).
-    # Each regime gets its measured winner; a 1000-executor deployment
-    # is the multi-process case. Outputs are identical either way at
-    # the 6-decimal rounding (pytest-pinned on the full sf0.01 loose-θ
-    # pair set). SPARK_GRAFT_PAIR_DOT=fold|arrow overrides.
-    import os
-
-    mode = os.environ.get("SPARK_GRAFT_PAIR_DOT")
-    if mode is None:
-        master = corpus.sparkSession.sparkContext.master
-        # "local[N]" is the one single-JVM master; "local-cluster[...]"
-        # (no bracket after "local") and every real cluster URL are
-        # multi-process
-        mode = "fold" if master.startswith("local[") else "arrow"
-    pdot = dot if mode == "fold" else pair_dot
+    # per-pair dot: MASTER-KEYED (see pick_pair_dot — r08 A/B: arrow
+    # cluster/local 1.09 vs fold 5.6× and flapping; fold wins on
+    # single-JVM local[N]). A 1000-executor deployment is the
+    # multi-process case.
+    pdot = pick_pair_dot(corpus.sparkSession)
     return (
         cand.join(
             vecs_n.withColumnsRenamed(
@@ -1126,13 +1140,15 @@ def incremental_embedding_dedup(
         .dropDuplicates(["_bid", "_cid"])
     )
     # norms hoisted out of the per-candidate verify (bit-identical; see
-    # near_duplicate_embeddings — same r07 finding, same economics)
+    # near_duplicate_embeddings — same r07 finding, same economics);
+    # per-pair dot master-keyed for the same reason (r08)
+    pdot = pick_pair_dot(batch.sparkSession)
     dup_ids = (
         cand.join(bvec.withColumn("_bn", norm(F.col("_bv"))), "_bid")
         .join(cvec.withColumn("_cn", norm(F.col("_cv"))), "_cid")
         .withColumn(
             "_cos",
-            dot(F.col("_bv"), F.col("_cv"))
+            pdot(F.col("_bv"), F.col("_cv"))
             / F.greatest(F.col("_bn") * F.col("_cn"), F.lit(1e-300)),
         )
         .filter(F.col("_cos") >= F.lit(threshold))

@@ -269,3 +269,40 @@ class TestPairDotVerify:
         got = df.select(pair_dot(F.col("a"), F.col("b")).alias("d")).collect()
         assert got[0]["d"] == 11.0
         assert got[1]["d"] is None and got[2]["d"] is None
+
+    def test_semdedup_and_incremental_mode_parity(self, spark, monkeypatch):
+        """The r08 master-keyed pair dot also covers semantic_dedup_pairs
+        (within-cluster pairs) and incremental_embedding_dedup (batch-vs-
+        corpus verify): both must produce identical results under either
+        mode."""
+        from citibike_analysis_spark.operators.similarity import (
+            incremental_embedding_dedup,
+            semantic_dedup_pairs,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        batch = emb.filter(F.col("vec_id") % 5 == 0)
+        corpus = emb.filter(F.col("vec_id") % 5 != 0)
+
+        def run():
+            sd = sorted(
+                (r["id_a"], r["id_b"], r["cosine_sim"])
+                for r in semantic_dedup_pairs(
+                    emb, k=4, threshold=0.45, train_iters=2
+                ).collect()
+            )
+            inc = sorted(
+                r["vec_id"]
+                for r in incremental_embedding_dedup(
+                    batch, corpus, threshold=0.9
+                ).collect()
+            )
+            return sd, inc
+
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "fold")
+        via_fold = run()
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "arrow")
+        via_arrow = run()
+        assert via_fold[0] and via_fold[1], "empty results prove nothing"
+        assert via_arrow == via_fold
