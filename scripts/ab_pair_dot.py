@@ -13,7 +13,9 @@ the cluster_rehearsal child + ab_trees interleaving, composed.
 
 Usage: python scripts/ab_pair_dot.py [workdir]
 Env: PD_REPS (default 2), PD_PASSES (default 2), PD_CPUS (default 32),
-PD_SCALE (default x10).
+PD_SCALE (default x10), PD_MODES (default "fold,arrow" — set "arrow"
+to measure one mode's cells only, e.g. the x100 amortization point
+where the fold side is already on record).
 Prints one JSON line per cell and a final summary with the two
 cluster/local ratios — the number the r07 verdict asked for (target
 arrow ≤ ~1.2 at 10×, no local regression).
@@ -53,9 +55,12 @@ def main() -> int:
         repo=REPO, corpus_queries=[QUERY], sf_queries=[], stream_queries=[]
     )
 
+    modes = tuple(
+        m for m in os.environ.get("PD_MODES", "fold,arrow").split(",") if m
+    )
     cells: dict[str, dict] = {}
     for p in range(passes):
-        for mode in ("fold", "arrow"):
+        for mode in modes:
             for mlabel, master in masters.items():
                 stale = _reap_orphaned_executors()
                 if stale:

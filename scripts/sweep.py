@@ -44,7 +44,21 @@ def main() -> int:
     # one addPyFile per context)
 
     import __spark_entry__ as E
+    from citibike_analysis_spark.cache import release_all
     from oracle import run_oracle, compare
+
+    def run_one(spark, fn, name):
+        df = fn(spark, sf_dir)
+        if name in osql:
+            cols, rows = run_oracle(osql[name], sf_dir)
+            problems = compare(df, cols, rows)
+            return "; ".join(problems) if problems else "hash_match"
+        n = df.count()
+        # 0 rows is a FAILURE for a rows-only query: the driver
+        # gates on rows>0, and every registered rows-only query
+        # is non-empty at sf0.01 by design — an empty result is
+        # a degenerate-filter regression, not a pass (r04 review)
+        return f"rows_only({n})" if n > 0 else f"EMPTY rows_only({n})"
 
     qs, osql = E.queries(), E.oracle_sql()
     failures = []
@@ -54,26 +68,45 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            if name in osql:
-                cols, rows = run_oracle(osql[name], sf_dir)
-                problems = compare(df, cols, rows)
-                status = "; ".join(problems) if problems else "hash_match"
-            else:
-                n = df.count()
-                # 0 rows is a FAILURE for a rows-only query: the driver
-                # gates on rows>0, and every registered rows-only query
-                # is non-empty at sf0.01 by design — an empty result is
-                # a degenerate-filter regression, not a pass (r04 review)
-                status = f"rows_only({n})" if n > 0 else f"EMPTY rows_only({n})"
+            status = run_one(spark, fn, name)
         except Exception as exc:  # noqa: BLE001 - sweep must report, not die
             status = f"ERROR {type(exc).__name__}: {exc}"[:250]
+            # a dead JVM (GC/alloc failure, OOM, stopped SparkContext)
+            # must not cascade ConnectionRefused across every remaining
+            # query (r08 finding: a GCLocker alloc failure in q57's task
+            # at sf0.1 killed the context and 24 healthy queries FAILed
+            # behind it): rebuild the session and retry this query ONCE
+            # on a fresh JVM. A repeat failure is then a real failure.
+            try:
+                alive = spark.sparkContext._jsc is not None and not (
+                    spark.sparkContext._jsc.sc().isStopped()
+                )
+            except Exception:  # noqa: BLE001 - py4j gone = dead
+                alive = False
+            if not alive:
+                print(f"RESTART session after {name}: {status[:120]}", flush=True)
+                SparkSession._instantiatedSession = None
+                SparkSession._activeSession = None
+                spark = b.getOrCreate()
+                try:
+                    status = run_one(spark, fn, name)
+                except Exception as exc2:  # noqa: BLE001
+                    status = f"ERROR {type(exc2).__name__}: {exc2}"[:250]
         dt = time.time() - t0
         ok = status.startswith(("hash_match", "rows_only"))
         if not ok:
             failures.append(name)
         results[name] = status
         print(f"{'PASS' if ok else 'FAIL'} {name:45s} {dt:6.2f}s {status}", flush=True)
+        # release the engine's tracked persists + session cache per
+        # query: without this the sweep accumulated every query's
+        # persisted frames across a 130-query JVM lifetime — the memory
+        # pressure behind the q57 GCLocker death (r08)
+        try:
+            release_all()
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 - cleanup must not fail a sweep
+            pass
 
     print(json.dumps({"failures": failures, "total": len(results)}))
     # POSIX exit codes wrap mod 256 — 256 failures would read as success,
