@@ -90,17 +90,37 @@ def pair_dot(a: Column, b: Column) -> Column:
     return _dots(a, b)
 
 
-def pick_pair_dot(spark) -> "Callable[[Column, Column], Column]":
-    """Master-keyed per-pair dot choice for verify stages (r08 A/B,
-    `scripts/ab_pair_dot.py`): on multi-process masters the interpreted
-    :func:`dot` fold is JIT-flappy (q39: 49–91 s across identical
-    cluster passes; cluster/local 5.6×) and :func:`pair_dot` is the
-    stable winner (12.2 s; 1.09×); on single-JVM ``local[N]`` the warm
-    fold wins (8.84 s vs 11.15 — Arrow pays ~2×dim doubles/pair of
-    serialization). Outputs are identical at the 6-decimal rounding
-    every consumer applies (pytest-pinned), so the keying can only
-    change wall time, never a result. ``SPARK_GRAFT_PAIR_DOT`` =
-    ``fold`` | ``arrow`` overrides (the A/B instrument)."""
+# the measured local-mode crossover for the per-pair dot (r08, same-day
+# quiet-host cells at 24g): 20k vecs / 0.78M pairs → fold wins (8.84 s
+# vs 11.15, ratio 0.79); 200k vecs / 7.2M pairs → ARROW wins (36.3 s vs
+# 62.3, ratio 1.72) — the fold's interpreted cost is linear in pairs
+# while Arrow's serialization amortizes. Log-linear interpolation puts
+# the break-even at n ≈ 40–60k rows; 50k splits the bracket.
+_ARROW_DOT_MIN_ROWS = 50_000
+
+
+def pick_pair_dot(spark, n_rows: int | None = None) -> "Callable[[Column, Column], Column]":
+    """Per-pair dot choice for verify stages (r08 A/B,
+    `scripts/ab_pair_dot.py`), keyed on master AND corpus size:
+
+    - any MULTI-PROCESS master → :func:`pair_dot` (Arrow einsum). The
+      interpreted :func:`dot` fold is JIT-flappy on executor JVMs
+      (q39 at 10×: 49–91 s across identical cluster passes,
+      cluster/local 5.6×; arrow stable 12.2 s, 1.09×).
+    - single-JVM ``local[N]`` with a SMALL corpus → the fold (warm JIT
+      wins: 8.84 s vs 11.15 at 20k vecs — Arrow pays ~2×dim
+      doubles/pair of serialization).
+    - single-JVM with ``n_rows ≥ _ARROW_DOT_MIN_ROWS`` → arrow again
+      (the measured crossover: at 200k vecs / 7.2M pairs the fold's
+      per-pair interpretation costs 62.3 s vs arrow's 36.3 same-day).
+      Callers pass ``n_rows`` when they already paid a corpus count
+      (auto-bits mode); ``None`` skips the size axis rather than
+      spending an extra count on it.
+
+    Outputs are identical at the 6-decimal rounding every consumer
+    applies (pytest-pinned), so the keying can only change wall time,
+    never a result. ``SPARK_GRAFT_PAIR_DOT`` = ``fold`` | ``arrow``
+    overrides (the A/B instrument)."""
     import os
 
     mode = os.environ.get("SPARK_GRAFT_PAIR_DOT")
@@ -108,11 +128,9 @@ def pick_pair_dot(spark) -> "Callable[[Column, Column], Column]":
         # "local[N]" is the one single-JVM master; "local-cluster[...]"
         # (no bracket after "local") and every real cluster URL are
         # multi-process
-        mode = (
-            "fold"
-            if spark.sparkContext.master.startswith("local[")
-            else "arrow"
-        )
+        single_jvm = spark.sparkContext.master.startswith("local[")
+        big = n_rows is not None and n_rows >= _ARROW_DOT_MIN_ROWS
+        mode = "fold" if (single_jvm and not big) else "arrow"
     return dot if mode == "fold" else pair_dot
 
 
@@ -201,9 +219,12 @@ def _auto_bits(corpus: DataFrame, id_col: str) -> int:
     ~8, so within-bucket candidates grow linearly with corpus size (the
     contract near_duplicate_embeddings and incremental_embedding_dedup
     both document and the scale rehearsal measures)."""
+    return _bits_for_n(corpus.select(id_col).count())
+
+
+def _bits_for_n(n: int) -> int:
     import math
 
-    n = corpus.select(id_col).count()
     return max(4, min(24, math.ceil(math.log2(max(n, 2) / 8))))
 
 
@@ -1006,17 +1027,22 @@ def near_duplicate_embeddings(
     unchanged — division by per-pair-recomputed norms and by hoisted
     norms is the same float op on the same operands).
 
-    r08 closes the residual: on MULTI-PROCESS masters the one remaining
-    per-pair fold (the dot) is Arrow-batched (:func:`pair_dot` — same
-    outputs at the 6-decimal rounding, pytest-pinned), taking q39's
-    boundary ratio from 2.38×/1.68× (r07) to **1.09×** at 10×; on
-    single-JVM ``local[N]`` the warm-JIT fold stays the default (Arrow
-    costs 1.26× there in pure serialization). Measured by
-    ``scripts/ab_pair_dot.py`` (interleaved master × mode cells);
-    ``SPARK_GRAFT_PAIR_DOT=fold|arrow`` overrides the keying.
+    r08 closes the residual: the one remaining per-pair fold (the dot)
+    is Arrow-batched (:func:`pair_dot` — same outputs at the 6-decimal
+    rounding, pytest-pinned) on every MULTI-PROCESS master, taking
+    q39's boundary ratio from 2.38×/1.68× (r07) to **1.09×** at 10×,
+    and on single-JVM ``local[N]`` once the corpus passes the measured
+    crossover (~50k rows: fold wins 0.79× at 20k vecs, arrow wins
+    1.72× at 200k — see :func:`pick_pair_dot`). Measured by
+    ``scripts/ab_pair_dot.py``; ``SPARK_GRAFT_PAIR_DOT=fold|arrow``
+    overrides the keying.
     """
+    n_rows = None
     if bits == "auto":
-        bits = _auto_bits(corpus, id_col)
+        # one column-pruned count sizes the banding AND feeds the
+        # pair-dot crossover (no extra scan)
+        n_rows = corpus.select(id_col).count()
+        bits = _bits_for_n(n_rows)
     planes = _planes_matrix(bits, tables, dim, seed)
     vecs = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
@@ -1040,11 +1066,12 @@ def near_duplicate_embeddings(
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs_n = vecs.withColumn("_nm", norm(F.col("_v")))
-    # per-pair dot: MASTER-KEYED (see pick_pair_dot — r08 A/B: arrow
-    # cluster/local 1.09 vs fold 5.6× and flapping; fold wins on
-    # single-JVM local[N]). A 1000-executor deployment is the
+    # per-pair dot keyed on master AND corpus size (see pick_pair_dot —
+    # r08 A/B: arrow cluster/local 1.09 vs fold 5.6× and flapping; the
+    # local crossover sits between 20k and 200k vectors and auto-bits
+    # mode already paid the count). A 1000-executor deployment is the
     # multi-process case.
-    pdot = pick_pair_dot(corpus.sparkSession)
+    pdot = pick_pair_dot(corpus.sparkSession, n_rows=n_rows)
     return (
         cand.join(
             vecs_n.withColumnsRenamed(
@@ -1119,8 +1146,11 @@ def incremental_embedding_dedup(
 
     Output: the admitted batch rows (original batch columns).
     """
+    n_rows = None
     if bits == "auto":
-        bits = _auto_bits(corpus, id_col)
+        # one count sizes the banding AND feeds the pair-dot crossover
+        n_rows = corpus.select(id_col).count()
+        bits = _bits_for_n(n_rows)
     planes = _planes_matrix(bits, tables, dim, seed)
     bvec = batch.select(
         F.col(id_col).alias("_bid"), as_double(F.col(vec_col)).alias("_bv")
@@ -1141,8 +1171,9 @@ def incremental_embedding_dedup(
     )
     # norms hoisted out of the per-candidate verify (bit-identical; see
     # near_duplicate_embeddings — same r07 finding, same economics);
-    # per-pair dot master-keyed for the same reason (r08)
-    pdot = pick_pair_dot(batch.sparkSession)
+    # per-pair dot keyed on master + corpus size for the same reason
+    # (r08; n free in auto-bits mode)
+    pdot = pick_pair_dot(batch.sparkSession, n_rows=n_rows)
     dup_ids = (
         cand.join(bvec.withColumn("_bn", norm(F.col("_bv"))), "_bid")
         .join(cvec.withColumn("_cn", norm(F.col("_cv"))), "_cid")

@@ -15,7 +15,9 @@ Usage: python scripts/ab_pair_dot.py [workdir]
 Env: PD_REPS (default 2), PD_PASSES (default 2), PD_CPUS (default 32),
 PD_SCALE (default x10), PD_MODES (default "fold,arrow" — set "arrow"
 to measure one mode's cells only, e.g. the x100 amortization point
-where the fold side is already on record).
+where the fold side is already on record), PD_MASTERS (default
+"local,cluster2" — restrict to one master's cells, e.g. a single
+crossover-bracketing cell).
 Prints one JSON line per cell and a final summary with the two
 cluster/local ratios — the number the r07 verdict asked for (target
 arrow ≤ ~1.2 at 10×, no local regression).
@@ -51,6 +53,10 @@ def main() -> int:
         "local": f"local[{cpus}]",
         "cluster2": f"local-cluster[2,{cpus // 2},24576]",
     }
+    keep = {
+        m for m in os.environ.get("PD_MASTERS", "local,cluster2").split(",") if m
+    }
+    masters = {k: v for k, v in masters.items() if k in keep}
     child_src = _CHILD.format(
         repo=REPO, corpus_queries=[QUERY], sf_queries=[], stream_queries=[]
     )

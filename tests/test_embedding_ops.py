@@ -306,3 +306,20 @@ class TestPairDotVerify:
         via_arrow = run()
         assert via_fold[0] and via_fold[1], "empty results prove nothing"
         assert via_arrow == via_fold
+
+    def test_pick_pair_dot_keying(self, spark, monkeypatch):
+        """The dot-choice policy itself (r08): fold on small-corpus
+        single-JVM local[N]; arrow on multi-process masters (keyed off
+        the master URL) or past the measured ~50k-row local crossover;
+        env override beats both axes."""
+        from citibike_analysis_spark.operators import similarity as S
+
+        assert spark.sparkContext.master.startswith("local[")  # precondition
+        monkeypatch.delenv("SPARK_GRAFT_PAIR_DOT", raising=False)
+        assert S.pick_pair_dot(spark) is S.dot
+        assert S.pick_pair_dot(spark, n_rows=10_000) is S.dot
+        assert S.pick_pair_dot(spark, n_rows=S._ARROW_DOT_MIN_ROWS) is S.pair_dot
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "arrow")
+        assert S.pick_pair_dot(spark) is S.pair_dot
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "fold")
+        assert S.pick_pair_dot(spark, n_rows=10**9) is S.dot
