@@ -165,11 +165,15 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cn", norm(F.col("_cv")))
+    # |queries|×|corpus| pairs — the same per-pair economics as the
+    # near-dup verify, same master-keyed dot (r08; corpus size unknown
+    # here without an extra count, so the size axis is skipped)
+    pdot = pick_pair_dot(corpus.sparkSession)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_qv"), F.col("_cv"))
+            pdot(F.col("_qv"), F.col("_cv"))
             / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
@@ -446,6 +450,100 @@ def build_lsh_index(
     )
 
 
+def _verify_index_stamp(
+    spark, table: str, bits: int, tables: int, dim: int, seed: int, action: str
+) -> DataFrame:
+    """Verify a persisted index's sign-convention/parameter stamp and
+    return the (stamp-column-free) index frame. A mismatch — or an
+    unstamped index, including an EMPTY one — raises with a rebuild
+    instruction: probing OR appending under a different convention
+    silently loses candidates (sign bits differ → wrong buckets)."""
+    idx = spark.table(table)
+    expect = _index_stamp(bits, tables, dim, seed)
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    got = props.get(_STAMP_PROP)
+    if got is None and "_stamp" in idx.columns:
+        # r04-built index: stamp rode as a per-row column; honor it (an
+        # empty legacy index has no row to vouch for its convention and
+        # falls through to the rebuild error below)
+        first = idx.select("_stamp").first()
+        got = first["_stamp"] if first is not None else None
+    if got is None:
+        raise ValueError(
+            f"LSH index table {table!r} has no signature stamp — it was "
+            "built before the sign-convention versioning (or not by "
+            "build_lsh_index); rebuild it with build_lsh_index"
+        )
+    if got != expect:
+        raise ValueError(
+            f"LSH index table {table!r} was built under stamp "
+            f"{got} but this {action} computes {expect} "
+            "(different sign convention or bits/tables/dim/seed) — "
+            "rebuild the index with build_lsh_index at these parameters"
+        )
+    if "_stamp" in idx.columns:
+        idx = idx.drop("_stamp")
+    return idx
+
+
+def append_to_lsh_index(
+    batch: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    num_buckets: int = 16,
+) -> None:
+    """Append an ingest batch to a persisted :func:`build_lsh_index`
+    table WITHOUT a full rebuild — the third leg of the index
+    lifecycle: build once / probe many / APPEND often.
+
+    At 100 TB the index is the durable asset and the crawl arrives in
+    batches: rebuilding tables over the whole corpus per batch costs a
+    full-corpus sign-bit pass plus a full rewrite, while this appends
+    at BATCH cost — the batch's (tables × bits) plane dots plus an
+    append into the bucketed layout (`sources/bucketed.py::
+    append_bucketed`; bucket spec mismatch is rejected by Spark at
+    write time, so the exchange-free probe join survives every
+    append). The stamp is verified FIRST: appending rows bucketed
+    under a different sign convention or (bits, tables, dim, seed)
+    would poison the index silently — probes would miss exactly the
+    appended vectors.
+
+    Caller contract: the batch's ids are NOVEL (pair with
+    :func:`incremental_embedding_dedup` / the admission path, which is
+    where an append belongs anyway). Appending an id twice duplicates
+    its candidacy — probes then return it once per duplicate row after
+    the candidate dedup, which is benign for near-dup detection but
+    wasteful; this function does not pay an anti-join to enforce what
+    the ingest pipeline already guarantees.
+    """
+    spark = batch.sparkSession
+    _verify_index_stamp(spark, table, bits, tables, dim, seed, "append")
+    from citibike_analysis_spark.sources.bucketed import append_bucketed
+
+    bv = batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    )
+    bucketed = _bucketize(
+        bv,
+        "neighbor_id",
+        "_cv",
+        _planes_matrix(bits, tables, dim, seed),
+        bits,
+        tables,
+    ).select("neighbor_id", "tbl", "bkt")
+    append_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
+    append_bucketed(bv, f"{table}__vecs", ["neighbor_id"], num_buckets)
+
+
 def lsh_index_topk(
     spark,
     table: str,
@@ -470,34 +568,7 @@ def lsh_index_topk(
     one — raises with a rebuild instruction instead (r04 ADVICE; moved
     from a per-row column to a table property in r05).
     """
-    idx = spark.table(table)
-    expect = _index_stamp(bits, tables, dim, seed)
-    props = {
-        r["key"]: r["value"]
-        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    }
-    got = props.get(_STAMP_PROP)
-    if got is None and "_stamp" in idx.columns:
-        # r04-built index: stamp rode as a per-row column; honor it (an
-        # empty legacy index has no row to vouch for its convention and
-        # falls through to the rebuild error below)
-        first = idx.select("_stamp").first()
-        got = first["_stamp"] if first is not None else None
-    if got is None:
-        raise ValueError(
-            f"LSH index table {table!r} has no signature stamp — it was "
-            "built before the sign-convention versioning (or not by "
-            "build_lsh_index); rebuild it with build_lsh_index"
-        )
-    if got != expect:
-        raise ValueError(
-            f"LSH index table {table!r} was built under stamp "
-            f"{got} but this probe computes {expect} "
-            "(different sign convention or bits/tables/dim/seed) — "
-            "rebuild the index with build_lsh_index at these parameters"
-        )
-    if "_stamp" in idx.columns:
-        idx = idx.drop("_stamp")
+    idx = _verify_index_stamp(spark, table, bits, tables, dim, seed, "probe")
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )

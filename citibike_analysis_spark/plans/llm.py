@@ -450,6 +450,75 @@ def q106_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q131_RUN_TAG = None  # lazy: one uuid per process (q115's race rationale)
+
+
+def q131_lsh_index_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable audit of the persisted-index LIFECYCLE (r08):
+    build-once / probe-many / APPEND-often. Builds the q44 LSH index on
+    the even half of the corpus, APPENDS the odd half
+    (`operators/similarity.py::append_to_lsh_index` — batch-cost
+    bucketed append, stamp-verified), probes the appended index, and
+    compares the (query, neighbor, rk) set EXACTLY against the direct
+    in-memory `lsh_topk` over the full corpus at the same parameters —
+    a deterministic equality (same planes, same corpus, same
+    tie-breaks), so the emitted boolean is exact, not a bound. Emits
+    one row (n_queries, n_corpus, incremental_matches_direct); the
+    oracle recomputes both counts and states the equality TRUE
+    verbatim. The k×|q| probe rows are collected driver-side for the
+    set compare — bounded audit-scale work (≤50 rows), same class as
+    the other audit collects. Index tables carry a per-process uuid
+    (two concurrent sweeps must not race one catalog name) and are
+    dropped in a finally: the audit proves the lifecycle from scratch
+    every run, never off residue."""
+    import uuid
+
+    from citibike_analysis_spark.operators.similarity import (
+        append_to_lsh_index,
+        build_lsh_index,
+        lsh_index_topk,
+        lsh_topk,
+    )
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    import hashlib
+
+    table = (
+        "q131_lsh_inc_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    params = dict(bits=6, tables=8)
+    try:
+        build_lsh_index(e.filter(F.col("vec_id") % 2 == 0), table, **params)
+        append_to_lsh_index(e.filter(F.col("vec_id") % 2 == 1), table, **params)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        via_index = key(
+            lsh_index_topk(spark, table, q, k=5, **params).collect()
+        )
+        direct = key(lsh_topk(e, q, k=5, **params).collect())
+        matches = bool(via_index) and via_index == direct
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__vecs")
+    return spark.createDataFrame(
+        [(q.count(), e.count(), matches)],
+        "n_queries bigint, n_corpus bigint, incremental_matches_direct boolean",
+    )
+
+
+Q131_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+       TRUE AS incremental_matches_direct
+"""
+
+
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
     for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
@@ -3731,5 +3800,10 @@ QUERIES: dict[str, QuerySpec] = {
         q129_streaming_dedup_replay,
         Q129_SQL,
         "§2.9 content-dedup streaming-batch-parity",
+    ),
+    "q131_lsh_index_lifecycle_audit": QuerySpec(
+        q131_lsh_index_lifecycle_audit,
+        Q131_SQL,
+        "§7 similarity-index-lifecycle-audit",
     ),
 }

@@ -74,6 +74,37 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def append_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Append into an EXISTING bucketed table.
+
+    The bucket spec must match the table's (same columns, same count) —
+    Spark rejects a mismatch at write time, which is the desired
+    failure: silently appending differently-bucketed files would break
+    the exchange-free join guarantee for every later reader. Appends
+    add new files per bucket id (multiple files per bucket are fine —
+    readers merge them); the per-bucket sort holds within each appended
+    file set, which preserves the sort-based merge optimization.
+
+    This is the incremental leg of the layout story: the initial
+    :func:`write_bucketed` pays the full shuffle once, then each ingest
+    batch appends at batch cost instead of rewriting the table.
+    """
+    writer = (
+        df.write.mode("append")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (bucket metadata rides on the catalog entry,
     which is why this goes through the table name, not the raw path)."""

@@ -323,3 +323,28 @@ class TestPairDotVerify:
         assert S.pick_pair_dot(spark) is S.pair_dot
         monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "fold")
         assert S.pick_pair_dot(spark, n_rows=10**9) is S.dot
+
+    def test_brute_force_topk_mode_parity(self, spark, monkeypatch):
+        """q38's exact top-k must produce identical (query, neighbor,
+        rk) and 6-decimal cosines under either dot mode: rank flips
+        would need two distinct neighbors' cosines within one ulp of
+        each other, and the deterministic id tie-break covers exact
+        ties."""
+        from citibike_analysis_spark.operators.similarity import brute_force_topk
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 40)
+
+        def run():
+            return sorted(
+                (r["query_id"], r["neighbor_id"], r["rk"],
+                 round(r["cosine_sim"], 6))
+                for r in brute_force_topk(emb, queries, k=7).collect()
+            )
+
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "fold")
+        via_fold = run()
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "arrow")
+        via_arrow = run()
+        assert via_fold and via_arrow == via_fold

@@ -504,3 +504,55 @@ class TestPersistedLshIndex:
         finally:
             spark.sql("DROP TABLE IF EXISTS lsh_idx_orphan")
             spark.sql("DROP TABLE IF EXISTS lsh_idx_orphan__vecs")
+
+    def test_append_equals_full_rebuild(self, spark):
+        """Index lifecycle (r08): build on half the corpus, append the
+        other half — probes must return EXACTLY what a full build over
+        the whole corpus returns, and the probe plan must stay
+        exchange-free on the index side (the append preserved the
+        bucket layout)."""
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_lsh_index,
+            build_lsh_index,
+            lsh_index_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        first, second = emb.filter(F.col("vec_id") % 2 == 0), emb.filter(
+            F.col("vec_id") % 2 == 1
+        )
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        try:
+            build_lsh_index(emb, "lsh_idx_full", **params)
+            build_lsh_index(first, "lsh_idx_inc", **params)
+            append_to_lsh_index(second, "lsh_idx_inc", **params)
+            key = lambda rows: sorted(
+                (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+            )
+            via_inc = lsh_index_topk(
+                spark, "lsh_idx_inc", queries, k=5, **params
+            ).collect()
+            via_full = lsh_index_topk(
+                spark, "lsh_idx_full", queries, k=5, **params
+            ).collect()
+            assert via_inc and key(via_inc) == key(via_full)
+            # appended files kept the bucket layout: index side still
+            # joins exchange-free
+            plan = (
+                lsh_index_topk(spark, "lsh_idx_inc", queries, k=5, **params)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning(tbl" not in plan
+            assert "Exchange hashpartitioning(neighbor_id" not in plan
+            # appending under different parameters must refuse (stamp)
+            try:
+                append_to_lsh_index(second, "lsh_idx_inc", bits=4, tables=8)
+                raise AssertionError("stamp mismatch accepted on append")
+            except ValueError as e:
+                assert "append computes" in str(e)
+        finally:
+            for t in ("lsh_idx_full", "lsh_idx_inc"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                spark.sql(f"DROP TABLE IF EXISTS {t}__vecs")
