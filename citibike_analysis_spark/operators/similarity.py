@@ -523,6 +523,13 @@ def append_to_lsh_index(
     the candidate dedup, which is benign for near-dup detection but
     wasteful; this function does not pay an anti-join to enforce what
     the ingest pipeline already guarantees.
+
+    Maintenance: each append adds one file set per bucket, so a
+    high-frequency ingest accumulates small files (read/listing
+    overhead grows, the join stays exchange-free). Periodically
+    re-run :func:`build_lsh_index` over the full corpus — one
+    bounded rewrite that resets file count per bucket to 1,
+    amortized across the appends it absorbs.
     """
     spark = batch.sparkSession
     _verify_index_stamp(spark, table, bits, tables, dim, seed, "append")

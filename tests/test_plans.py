@@ -326,3 +326,48 @@ def test_q130_catalog_prunes_the_listing_not_just_the_read(spark):
         map(tuple, q115_partition_pruned_events(spark, "/root/testdata/sf0.001").collect())
     )
     assert got == want
+
+
+def test_catalog_layout_add_partition_is_incremental(spark, tmp_path):
+    # the documented incremental-loader flow (register_partitioned_table
+    # docstring): a NEW day lands as one directory + one ADD PARTITION —
+    # no re-walk of the existing layout — and is immediately queryable
+    # through the catalog with the listing still pruned to the queried
+    # days only
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.sources.files import (
+        register_partitioned_table,
+        write_parquet_partitioned,
+    )
+
+    base = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}", float(i)) for i in range(30)],
+        "event_id long, event_date string, value double",
+    ).withColumn("event_date", F.to_date("event_date"))
+    write_parquet_partitioned(df, base, ["event_date"], files_per_partition=1)
+    table = "t_addpart_test"
+    try:
+        register_partitioned_table(spark, table, base, ["event_date"])
+        assert spark.table(table).count() == 30
+        # a new day arrives: its directory is written OUTSIDE the
+        # catalog's knowledge, then registered with one ADD PARTITION
+        newday = spark.createDataFrame(
+            [(100, float(100))], "event_id long, value double"
+        )
+        loc = f"{base}/event_date=2024-01-09"
+        newday.write.mode("overwrite").parquet(loc)
+        spark.sql(
+            f"ALTER TABLE {table} ADD PARTITION (event_date='2024-01-09') "
+            f"LOCATION '{loc}'"
+        )
+        got = spark.table(table).filter(F.col("event_date") == "2024-01-09")
+        assert [r["event_id"] for r in got.collect()] == [100]
+        # the single-day query's post-planning file index holds only the
+        # new day (catalog pruning covers ADDed partitions too)
+        scan = got._jdf.queryExecution().executedPlan().collectLeaves().head()
+        files = list(scan.relation().location().inputFiles())
+        assert files and all("event_date=2024-01-09" in f for f in files)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
