@@ -466,6 +466,121 @@ def contamination_flags(
     )
 
 
+def contamination_flags_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 4,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """Bloom-gated benchmark decontamination — identical output to
+    :func:`contamination_flags`, different scale shape.
+
+    Why: the exact form joins EVERY corpus n-gram against the
+    benchmark's distinct hash set — at 100 TB that is a shuffle (or a
+    broadcast of the full 8-byte-per-gram set) sized by the corpus's
+    gram count. A Bloom filter compresses the benchmark set to
+    ``bits_per_item`` bits per gram (16 bits → FPP ≈ 2e-3 at k=4) and
+    the membership probe is a MAP-SIDE, whole-stage-codegen bit test —
+    no join, no shuffle — so the overlap join only ever sees the tiny
+    bloom-positive slice. False positives are removed by the exact
+    hash join over that slice (output equality with the exact operator
+    is pytest-pinned); false negatives are impossible, so no
+    contaminated document can slip through.
+
+    Built from public DataFrame primitives (`bloom_filter_agg` is not
+    exposed in this build): k salted ``xxhash64(gram, i)`` bit
+    positions; the benchmark side ``bit_or``-aggregates its positions
+    into a dense ``array<long>`` bitmap (m/64 words, m rounded to a
+    power of two ≥ bits_per_item×|bench grams|); the bitmap rides to
+    every corpus task as ONE broadcast row, and the probe is a
+    conjunction of k ``element_at & (1<<bit)`` tests. Sizing contract:
+    the bitmap must fit a broadcast — by construction it does for the
+    eval-set-vs-crawl asymmetry this audit exists for (1e7 bench grams
+    → 20 MB bitmap; the corpus can be arbitrarily large because it is
+    never collected, joined, or shuffled before the gate).
+    """
+    import math
+
+    csh = (
+        corpus.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+        )
+        .select("_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
+    )
+    bsh = (
+        benchmark.select(tokens(F.col(text_col)).alias("_tk"))
+        .select(F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
+        .distinct()
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id").cast("long"))
+    n_b = bsh.count()  # index-build-side action, like the LSH auto-bits count
+    if n_b == 0:
+        # no benchmark grams: every document is clean (the exact
+        # operator's hits side is empty and the left join coalesces 0)
+        return ids.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_shared"),
+            F.lit(False).alias("contaminated"),
+        )
+    m = max(1024, 1 << math.ceil(math.log2(bits_per_item * n_b)))
+    words = m // 64
+
+    def positions(s: Column) -> list[Column]:
+        return [F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m)) for i in range(k)]
+
+    # benchmark → sparse (word, bits) rows → dense driver-side bitmap
+    # (bounded by m/64 longs — the broadcast-sized artifact)
+    sparse = (
+        bsh.select(F.explode(F.array(*positions(F.col("_s")))).alias("_p"))
+        .select(
+            (F.col("_p") / 64).cast("long").alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))").alias(
+                "_b"
+            ),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+        .collect()
+    )
+    dense = [0] * words
+    for r in sparse:
+        dense[r["_w"]] = r["_bits"]
+    spark = corpus.sparkSession
+    bitmap = spark.createDataFrame([(dense,)], "_bm array<bigint>")
+
+    probe = csh.join(F.broadcast(bitmap))
+    for i in range(k):
+        probe = probe.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64("_s", F.lit(i)), F.lit(m))
+        )
+    cond = None
+    for i in range(k):
+        cond_i = F.expr(
+            f"(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) != 0"
+        )
+        cond = cond_i if cond is None else (cond & cond_i)
+    candidates = probe.filter(cond).select("_id", F.xxhash64("_s").alias("_h"))
+
+    # exact verify of the bloom-positive slice only (removes the ~2e-3
+    # false positives; identical tail to contamination_flags)
+    bhash = bsh.select(F.xxhash64("_s").alias("_h")).distinct()
+    hits = candidates.join(bhash, "_h").groupBy("_id").agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        ids.join(hits, ids["doc_id"] == F.col("_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def dedup_chunks(
     df: DataFrame,
     id_col: str,

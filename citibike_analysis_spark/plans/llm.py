@@ -1354,6 +1354,28 @@ WHERE d.source <> '{_Q63_BENCH_SOURCE}'
 
 
 # --------------------------------------------------------------------------
+# q133 — BLOOM-GATED decontamination (r08): q63's exact semantics with
+# the 100 TB shape — the benchmark's gram set compresses to a
+# 16-bit-per-item Bloom bitmap broadcast as ONE array row; corpus grams
+# are gated by a map-side whole-stage-codegen bit test (no join, no
+# shuffle) and only the bloom-positive slice (FPP ≈ 2e-3) reaches the
+# exact hash join that removes false positives. Output is EQUAL to the
+# exact operator (false negatives impossible), so the oracle is q63's
+# verbatim. See operators/dedup.py::contamination_flags_bloom for the
+# sizing contract (bitmap ∝ eval-set grams, never corpus size).
+# --------------------------------------------------------------------------
+
+
+def q133_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import contamination_flags_bloom
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != _Q63_BENCH_SOURCE)
+    bench = d.filter(F.col("source") == _Q63_BENCH_SOURCE)
+    return contamination_flags_bloom(corpus, bench, "doc_id", "text", n=_Q63_N)
+
+
+# --------------------------------------------------------------------------
 # q64 — repetition scoring (the Gopher-rules repetition family):
 # duplicate-token fraction and most-common-bigram fraction per document.
 # Token counts are columnar; the bigram mode goes through explode +
@@ -3805,5 +3827,8 @@ QUERIES: dict[str, QuerySpec] = {
         q131_lsh_index_lifecycle_audit,
         Q131_SQL,
         "§7 similarity-index-lifecycle-audit",
+    ),
+    "q133_bloom_decontaminate": QuerySpec(
+        q133_bloom_decontaminate, Q63_SQL, "§7 dedup-decontaminate-bloom"
     ),
 }

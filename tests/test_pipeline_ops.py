@@ -1084,3 +1084,73 @@ class TestTemperatureMixture:
             temperature_mixture(df, "doc_id", "source", total_fraction=0.0)
         with pytest.raises(ValueError, match="alpha"):
             temperature_mixture(df, "doc_id", "source", alpha=0.0)
+
+
+class TestBloomDecontamination:
+    def test_equals_exact_operator_including_planted_hits(self, spark):
+        """r08: the bloom gate must be invisible in the OUTPUT — exact
+        equality with contamination_flags, with contamination actually
+        present (a clean-only fixture would pass a broken gate too)."""
+        from citibike_analysis_spark.operators.dedup import (
+            contamination_flags,
+            contamination_flags_bloom,
+        )
+
+        bench = spark.createDataFrame(
+            [(1000, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains a bench 5-gram -> contaminated
+                (1, "we saw the quick brown fox jumps over a fence"),
+                (2, "completely unrelated text with no shared phrases at all"),
+                (3, "quick brown fox jumps over the lazy dog tonight again"),
+            ],
+            "doc_id long, text string",
+        )
+        exact = sorted(
+            map(tuple, contamination_flags(corpus, bench, "doc_id", "text", n=5).collect())
+        )
+        bloom = sorted(
+            map(
+                tuple,
+                contamination_flags_bloom(corpus, bench, "doc_id", "text", n=5).collect(),
+            )
+        )
+        assert bloom == exact
+        assert sum(1 for r in exact if r[2]) == 2  # planted hits found
+
+    def test_sf_corpus_equality(self, spark):
+        from citibike_analysis_spark.operators.dedup import (
+            contamination_flags,
+            contamination_flags_bloom,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, "/root/testdata/sf0.01", "documents")
+        corpus = d.filter(F.col("source") != "src0")
+        bench = d.filter(F.col("source") == "src0")
+        a = sorted(
+            map(tuple, contamination_flags(corpus, bench, "doc_id", "text", n=5).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                contamination_flags_bloom(corpus, bench, "doc_id", "text", n=5).collect(),
+            )
+        )
+        assert a and a == b
+
+    def test_empty_benchmark_everything_clean(self, spark):
+        from citibike_analysis_spark.operators.dedup import contamination_flags_bloom
+
+        corpus = spark.createDataFrame(
+            [(1, "some text here"), (2, "other text there")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([], "doc_id long, text string")
+        rows = contamination_flags_bloom(corpus, bench, "doc_id", "text").collect()
+        assert len(rows) == 2
+        assert all(r["n_shared"] == 0 and r["contaminated"] is False for r in rows)
