@@ -504,15 +504,25 @@ def contamination_flags_bloom(
     """
     import math
 
+    # both sides reduce grams to 64-bit hashes IMMEDIATELY (the exact
+    # operator's economics: distinct/shuffle 8-byte longs, never gram
+    # strings — the string-keyed first cut paid a 40-byte-row bench
+    # shuffle that dominated its wall); the bloom's k salted positions
+    # hash the HASH (xxhash64(_h, i)), which inherits the same 64-bit
+    # collision bound already documented for the exact join
     csh = (
         corpus.select(
             F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
         )
         .select("_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
     )
-    bsh = (
+    # bsh feeds three branches (the sizing count, the bitmap build, the
+    # exact-verify hash set) — materialize once
+    bsh = _reuse(
         benchmark.select(tokens(F.col(text_col)).alias("_tk"))
         .select(F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
+        .select(F.xxhash64("_s").alias("_h"))
         .distinct()
     )
     ids = corpus.select(F.col(id_col).alias("doc_id").cast("long"))
@@ -528,13 +538,38 @@ def contamination_flags_bloom(
     m = max(1024, 1 << math.ceil(math.log2(bits_per_item * n_b)))
     words = m // 64
 
-    def positions(s: Column) -> list[Column]:
-        return [F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m)) for i in range(k)]
+    def positions(h: Column) -> list[Column]:
+        return [F.pmod(F.xxhash64(h, F.lit(i)), F.lit(m)) for i in range(k)]
 
-    # benchmark → sparse (word, bits) rows → dense driver-side bitmap
-    # (bounded by m/64 longs — the broadcast-sized artifact)
-    sparse = (
-        bsh.select(F.explode(F.array(*positions(F.col("_s")))).alias("_p"))
+    # benchmark → sparse (word, bits) rows → ONE dense bitmap row (m/64
+    # longs). Densification is a numpy scatter behind the declared
+    # Arrow seam (same exception class as _bucketize's matmul): the two
+    # pure-SQL forms both measured ~10 s at the 10× corpus — a
+    # collect() round-trips the array through py4j, and
+    # map_from_entries + transform(sequence) pays Spark's LINEAR-scan
+    # GetMapValue per index (quadratic in words) — while the scatter is
+    # O(words) vectorized with one ~MB Arrow row out.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    n_words = words
+
+    @pandas_udf("array<long>")
+    def _densify(ws, bs):
+        import pandas as pd
+
+        out = []
+        for w_arr, b_arr in zip(ws, bs):
+            dense = np.zeros(n_words, dtype=np.int64)
+            if len(w_arr):
+                dense[np.asarray(w_arr, dtype=np.int64)] = np.asarray(
+                    b_arr, dtype=np.int64
+                )
+            out.append(dense.tolist())
+        return pd.Series(out)
+
+    bitmap = (
+        bsh.select(F.explode(F.array(*positions(F.col("_h")))).alias("_p"))
         .select(
             (F.col("_p") / 64).cast("long").alias("_w"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))").alias(
@@ -543,18 +578,17 @@ def contamination_flags_bloom(
         )
         .groupBy("_w")
         .agg(F.bit_or("_b").alias("_bits"))
-        .collect()
+        .agg(
+            F.collect_list("_w").alias("_ws"),
+            F.collect_list("_bits").alias("_bs"),
+        )
+        .select(_densify("_ws", "_bs").alias("_bm"))
     )
-    dense = [0] * words
-    for r in sparse:
-        dense[r["_w"]] = r["_bits"]
-    spark = corpus.sparkSession
-    bitmap = spark.createDataFrame([(dense,)], "_bm array<bigint>")
 
     probe = csh.join(F.broadcast(bitmap))
     for i in range(k):
         probe = probe.withColumn(
-            f"_p{i}", F.pmod(F.xxhash64("_s", F.lit(i)), F.lit(m))
+            f"_p{i}", F.pmod(F.xxhash64("_h", F.lit(i)), F.lit(m))
         )
     cond = None
     for i in range(k):
@@ -563,12 +597,11 @@ def contamination_flags_bloom(
             f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) != 0"
         )
         cond = cond_i if cond is None else (cond & cond_i)
-    candidates = probe.filter(cond).select("_id", F.xxhash64("_s").alias("_h"))
+    candidates = probe.filter(cond).select("_id", "_h")
 
     # exact verify of the bloom-positive slice only (removes the ~2e-3
     # false positives; identical tail to contamination_flags)
-    bhash = bsh.select(F.xxhash64("_s").alias("_h")).distinct()
-    hits = candidates.join(bhash, "_h").groupBy("_id").agg(
+    hits = candidates.join(bsh, "_h").groupBy("_id").agg(
         F.count("*").alias("_n")
     )
     return (
