@@ -352,3 +352,44 @@ def test_percentile_approx_exact_regime_is_disc(spark, vals, p_pct, parts):
     got = df.agg(F.expr(f"percentile_approx(v, {p}, 10000)")).first()[0]
     want = sorted(vals)[max(0, math.ceil(p * len(vals)) - 1)]
     assert got == want, (vals, p, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated decontamination == exact (r08): randomized corpora with a
+# small shared vocabulary force real n-gram overlap, so the invariant —
+# bloom output EXACTLY equals contamination_flags — is exercised with
+# genuine hits, misses, short docs (< n tokens), and duplicate texts.
+# A naive python reference is unnecessary: the exact operator IS the
+# reference (its own parity is pinned against the DuckDB oracle).
+# ---------------------------------------------------------------------------
+
+_vocab = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc = st.lists(_vocab, min_size=0, max_size=12).map(" ".join)
+_docs = st.lists(_doc, min_size=0, max_size=8)
+
+
+@given(corpus_texts=_docs, bench_texts=_docs, n=st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_bloom_decontamination_equals_exact(spark, corpus_texts, bench_texts, n):
+    from citibike_analysis_spark.operators.dedup import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], schema
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)], schema
+    )
+    exact = sorted(
+        map(tuple, contamination_flags(corpus, bench, "doc_id", "text", n=n).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            contamination_flags_bloom(corpus, bench, "doc_id", "text", n=n).collect(),
+        )
+    )
+    assert bloom == exact
