@@ -19,6 +19,49 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 from pyspark.sql import SparkSession
 
 
+def rebuild_session(b) -> "SparkSession":
+    """Fresh session after a dead JVM/context — the cascade stopper.
+
+    Clearing only ``SparkSession._instantiatedSession/_activeSession``
+    is NOT enough (r09 ADVICE): ``SparkContext._active_spark_context``
+    still holds the stopped/dead context and (verified on PySpark
+    4.1.2) ``SparkContext.getOrCreate`` hands it back unchanged, so the
+    "fresh" session wraps the same corpse and the retry fails
+    identically — exactly the q57 GCLocker scenario the restart path
+    was built for. ``SparkContext.stop()`` clears the slot even when
+    the JVM side is gone (its py4j teardown is wrapped defensively), so
+    call it first; then clear the slot explicitly under the lock in
+    case ``stop()`` died before reaching it. Finally probe the gateway
+    JVM with a trivial round-trip: if the JVM process itself is dead,
+    drop ``_gateway``/``_jvm`` so ``getOrCreate`` launches a new JVM
+    instead of connecting to the closed socket forever.
+    """
+    from pyspark import SparkContext
+
+    try:
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            sc.stop()
+    except Exception:  # noqa: BLE001 - JVM already gone
+        pass
+    with SparkContext._lock:
+        SparkContext._active_spark_context = None
+    gw = SparkContext._gateway
+    if gw is not None:
+        try:
+            gw.jvm.java.lang.System.currentTimeMillis()
+        except Exception:  # noqa: BLE001 - gateway JVM dead
+            try:
+                gw.shutdown()
+            except Exception:  # noqa: BLE001
+                pass
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    return b.getOrCreate()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -85,9 +128,7 @@ def main() -> int:
                 alive = False
             if not alive:
                 print(f"RESTART session after {name}: {status[:120]}", flush=True)
-                SparkSession._instantiatedSession = None
-                SparkSession._activeSession = None
-                spark = b.getOrCreate()
+                spark = rebuild_session(b)
                 try:
                     status = run_one(spark, fn, name)
                 except Exception as exc2:  # noqa: BLE001
