@@ -457,7 +457,24 @@ def _verify_index_stamp(
     return the (stamp-column-free) index frame. A mismatch — or an
     unstamped index, including an EMPTY one — raises with a rebuild
     instruction: probing OR appending under a different convention
-    silently loses candidates (sign bits differ → wrong buckets)."""
+    silently loses candidates (sign bits differ → wrong buckets).
+
+    Also verifies the two-table layout's TEAR invariant (r09 ADVICE):
+    every bucket row must have its vector in ``__vecs``, because the
+    probe's inner join to ``__vecs`` silently DROPS bucket rows whose
+    vectors are absent — the one corrupt state an interrupted append
+    could leave with no detection. Each vector yields exactly
+    ``tables`` bucket rows, so ``rows(buckets) ≤ tables × rows(__vecs)``
+    iff no bucket row is vector-less (orphan vectors — the benign
+    direction :func:`append_to_lsh_index`'s write order can leave —
+    only push the right side UP). Two ``count(*)`` jobs per
+    verification: parquet footer-metadata scans, O(#files), dwarfed by
+    the probe's own data scan of the same table. Violation raises with
+    the recovery (rebuild). Known limit: a tear can hide behind an
+    equal-or-larger orphan-vector set (totals still balance) — the
+    count check is the cheap per-probe screen;
+    :func:`verify_lsh_index_consistency` is the authoritative id-level
+    audit for an index of unknown provenance."""
     idx = spark.table(table)
     expect = _index_stamp(bits, tables, dim, seed)
     props = {
@@ -486,7 +503,56 @@ def _verify_index_stamp(
         )
     if "_stamp" in idx.columns:
         idx = idx.drop("_stamp")
+    vt = f"{table}__vecs"
+    if "_cv" not in idx.columns and spark.catalog.tableExists(vt):
+        nb = idx.count()
+        nv = spark.table(vt).count()
+        if nb > tables * nv:
+            raise ValueError(
+                f"LSH index table {table!r} is TORN: {nb} bucket rows "
+                f"but only {nv} vectors in {vt!r} (expected ≤ "
+                f"{tables} × {nv}) — an append was interrupted after "
+                "writing bucket rows, so probes would silently drop the "
+                "vector-less candidates; rebuild with build_lsh_index "
+                "over the full corpus"
+            )
     return idx
+
+
+def verify_lsh_index_consistency(spark, table: str) -> int:
+    """Id-level deep check of a persisted index's buckets↔vectors link.
+
+    Raises if any bucket row's ``neighbor_id`` is missing from
+    ``__vecs`` (the torn state that silently loses recall — the probe
+    inner-joins to ``__vecs``); returns the count of ORPHAN vectors
+    (``__vecs`` rows with no bucket rows — benign for correctness:
+    they are never candidates; an interrupted append's residue to be
+    absorbed by the next rebuild/compaction). This is the on-demand
+    recovery audit for an index of unknown provenance; the per-probe
+    hot path runs only the O(#files) count invariant in
+    ``_verify_index_stamp`` because this anti-join re-shuffles the
+    corpus-sized buckets table (bucketed on (tbl,bkt), not on
+    neighbor_id — no co-location to exploit).
+    """
+    idx = spark.table(table)
+    vecs = spark.table(f"{table}__vecs")
+    missing = (
+        idx.select("neighbor_id")
+        .distinct()
+        .join(vecs.select("neighbor_id"), "neighbor_id", "left_anti")
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"LSH index table {table!r} is TORN: {missing} bucketed "
+            "ids have no vector in __vecs — probes silently drop them; "
+            "rebuild with build_lsh_index over the full corpus"
+        )
+    return (
+        vecs.select("neighbor_id")
+        .join(idx.select("neighbor_id").distinct(), "neighbor_id", "left_anti")
+        .count()
+    )
 
 
 def append_to_lsh_index(
@@ -524,6 +590,22 @@ def append_to_lsh_index(
     wasteful; this function does not pay an anti-join to enforce what
     the ingest pipeline already guarantees.
 
+    Crash ordering (r09 ADVICE): the two appends are not atomic, so
+    the write order is chosen to make the torn state RECOVERABLE
+    rather than silently corrupt. ``__vecs`` is written FIRST: a crash
+    between the writes leaves orphan vectors (rows in ``__vecs`` with
+    no bucket rows), which probes never surface as candidates —
+    correctness of everything already indexed is untouched, and the
+    batch is simply not yet indexed (re-ingest or rebuild absorbs it).
+    The reverse order would leave bucket rows whose vectors are absent
+    from ``__vecs``; the probe's inner join then silently DROPS those
+    candidates — undetected recall loss. Belt and braces, that torn
+    state (including one left by a pre-r09 append) is also detected:
+    the stamp verification every probe/append runs first enforces
+    ``rows(buckets) ≤ tables × rows(__vecs)`` and raises with a
+    rebuild instruction; :func:`verify_lsh_index_consistency` is the
+    id-level audit.
+
     Maintenance: each append adds one file set per bucket, so a
     high-frequency ingest accumulates small files (read/listing
     overhead grows, the join stays exchange-free). Periodically
@@ -547,8 +629,10 @@ def append_to_lsh_index(
         bits,
         tables,
     ).select("neighbor_id", "tbl", "bkt")
-    append_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
+    # __vecs FIRST — see "Crash ordering" above: torn = orphan vectors
+    # (benign, detectable), never vector-less bucket rows (silent loss)
     append_bucketed(bv, f"{table}__vecs", ["neighbor_id"], num_buckets)
+    append_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
 
 
 def lsh_index_topk(

@@ -556,3 +556,129 @@ class TestPersistedLshIndex:
             for t in ("lsh_idx_full", "lsh_idx_inc"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
                 spark.sql(f"DROP TABLE IF EXISTS {t}__vecs")
+
+    def test_torn_append_detection_and_crash_ordering(self, spark):
+        """r09 ADVICE: the two appends are not atomic. The dangerous
+        torn state (bucket rows without vectors — the probe's inner
+        join silently drops them) must RAISE at the next probe/append;
+        the state our vecs-first write order can actually leave
+        (orphan vectors) must keep probes exactly correct and be
+        reported by the deep audit."""
+        from citibike_analysis_spark.operators.similarity import (
+            _bucketize,
+            _planes_matrix,
+            as_double,
+            build_lsh_index,
+            lsh_index_topk,
+            verify_lsh_index_consistency,
+        )
+        from citibike_analysis_spark.sources.bucketed import append_bucketed
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        base, batch = emb.filter(F.col("vec_id") % 2 == 0), emb.filter(
+            F.col("vec_id") % 2 == 1
+        )
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        try:
+            build_lsh_index(base, "lsh_idx_torn", **params)
+            before = sorted(
+                (r["query_id"], r["neighbor_id"], r["rk"])
+                for r in lsh_index_topk(
+                    spark, "lsh_idx_torn", queries, k=5, **params
+                ).collect()
+            )
+            assert verify_lsh_index_consistency(spark, "lsh_idx_torn") == 0
+
+            # crash AFTER the first (vecs) write: orphan vectors only.
+            # Probes of the already-indexed content are unchanged and
+            # the audit counts (but does not raise on) the orphans.
+            bv = batch.select(
+                F.col("vec_id").alias("neighbor_id"),
+                as_double(F.col("embedding")).alias("_cv"),
+            )
+            append_bucketed(bv, "lsh_idx_torn__vecs", ["neighbor_id"], 16)
+            after = sorted(
+                (r["query_id"], r["neighbor_id"], r["rk"])
+                for r in lsh_index_topk(
+                    spark, "lsh_idx_torn", queries, k=5, **params
+                ).collect()
+            )
+            assert after == before
+            assert (
+                verify_lsh_index_consistency(spark, "lsh_idx_torn")
+                == batch.count()
+            )
+
+            # the deep audit also flags the MASKED tear the cheap count
+            # invariant cannot see: with |orphans| >= |torn batch| the
+            # totals still satisfy nb <= tables*nv (documented limit) —
+            # tear a batch the same size as the orphan set
+            leak = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(10_000)
+            )
+            lv = leak.select(
+                F.col("vec_id").alias("neighbor_id"),
+                as_double(F.col("embedding")).alias("_cv"),
+            )
+            lb = _bucketize(
+                lv, "neighbor_id", "_cv", _planes_matrix(6, 8, 64, 42), 6, 8
+            ).select("neighbor_id", "tbl", "bkt")
+            append_bucketed(lb, "lsh_idx_torn", ["tbl", "bkt"], 16)
+            try:
+                verify_lsh_index_consistency(spark, "lsh_idx_torn")
+                raise AssertionError("masked tear accepted by deep audit")
+            except ValueError as e:
+                assert "TORN" in str(e)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_torn")
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_torn__vecs")
+
+    def test_torn_append_raises_at_probe(self, spark):
+        """The pre-r09 write order's tear (bucket rows landed, vectors
+        did not) on an otherwise-clean index: the cheap count invariant
+        every probe/append runs must raise before the inner join gets a
+        chance to silently drop the vector-less candidates."""
+        from citibike_analysis_spark.operators.similarity import (
+            _bucketize,
+            _planes_matrix,
+            append_to_lsh_index,
+            as_double,
+            build_lsh_index,
+            lsh_index_topk,
+        )
+        from citibike_analysis_spark.sources.bucketed import append_bucketed
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        try:
+            build_lsh_index(base, "lsh_idx_torn2", **params)
+            bv = batch.select(
+                F.col("vec_id").alias("neighbor_id"),
+                as_double(F.col("embedding")).alias("_cv"),
+            )
+            bb = _bucketize(
+                bv, "neighbor_id", "_cv", _planes_matrix(6, 8, 64, 42), 6, 8
+            ).select("neighbor_id", "tbl", "bkt")
+            append_bucketed(bb, "lsh_idx_torn2", ["tbl", "bkt"], 16)
+            for act in (
+                lambda: lsh_index_topk(
+                    spark, "lsh_idx_torn2", queries, k=5, **params
+                ),
+                lambda: append_to_lsh_index(
+                    batch, "lsh_idx_torn2", **params
+                ),
+            ):
+                try:
+                    act()
+                    raise AssertionError("torn index accepted")
+                except ValueError as e:
+                    assert "TORN" in str(e)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_torn2")
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_torn2__vecs")
