@@ -68,7 +68,17 @@ def _mg_update(capacity: int):
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
-            toks, counts, n_seen, pruned = state.get
+            st = state.get
+            toks, counts, n_seen = st[0], st[1], st[2]
+            # tolerant unpack (r09 ADVICE): a pre-r08 state row has no
+            # 'pruned' field. In practice Spark's state-schema
+            # compatibility check rejects such a restart before this
+            # code runs (see track_frequent_tokens docstring), but if a
+            # 3-field row ever does arrive, the conservative reading is
+            # pruned=True — "cannot prove every count is exact" — so an
+            # exact-regime consumer fails safe instead of trusting
+            # counts whose prune history is unknown.
+            pruned = bool(st[3]) if len(st) > 3 and st[3] is not None else True
             counters = dict(zip(toks, counts))
         else:
             counters, n_seen, pruned = {}, 0, False
@@ -119,6 +129,19 @@ def track_frequent_tokens(
     proves nothing). Use with ``outputMode("update")``; downstream exact recount
     (the batch pass 2) runs over the landed corpus when a candidate
     crosses the gate.
+
+    CHECKPOINT COMPATIBILITY (r09 ADVICE): adding ``pruned`` to the
+    state schema in r08 was a checkpoint-BREAKING change. A stream
+    restarted from a pre-change checkpoint fails Spark's state-schema
+    compatibility check (``StateSchemaNotCompatible`` — new nullable
+    field or not, arbitrary-state rows are compared structurally);
+    start such a stream from a FRESH checkpoint and let the batch
+    recount pass re-establish counts over the landed corpus. Defense
+    in depth: if a 3-field state row ever does reach the update
+    function, it unpacks tolerantly with ``pruned=True`` — the
+    conservative reading, since the old rows carry no prune history —
+    so exact-regime consumers (q121's guard) fail safe rather than
+    certify unknown counts as exact.
     """
     stream = docs.select(
         F.explode(tokens(F.col(text_col))).alias("token")

@@ -343,6 +343,41 @@ def test_mg_pruned_flag_is_sticky_once_capacity_exceeded(spark, dirs):
     assert all(r["pruned"] is True for r in rows)  # sticky across batches
 
 
+def test_mg_update_unpacks_legacy_3field_state_as_pruned():
+    """r09 ADVICE: the r08 `pruned` field changed the
+    applyInPandasWithState state schema — a pre-change checkpoint is
+    rejected by Spark's compatibility check (documented in
+    track_frequent_tokens), but the update function itself must also
+    read a 3-field legacy row tolerantly, and the only safe reading of
+    counts with no prune history is pruned=True (lower bounds, never
+    certified exact). Pure-python: fakes GroupState, no stream."""
+    import pandas as pd
+
+    from citibike_analysis_spark.streaming.sketches import _mg_update
+
+    class FakeState:
+        def __init__(self, legacy):
+            self.exists = True
+            self.get = legacy  # 3-field pre-r08 row: no `pruned`
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    st = FakeState((["a", "b"], [3, 1], 4))
+    out = list(
+        _mg_update(capacity=64)(
+            (0,), iter([pd.DataFrame({"token": ["a"]})]), st
+        )
+    )
+    assert len(out) == 1
+    emitted = out[0]
+    assert set(emitted["pruned"]) == {True}  # conservative: unknown history
+    assert dict(zip(emitted["token"], emitted["count_lb"])) == {"a": 4, "b": 1}
+    # and the re-written state carries the sticky flag forward
+    assert st.updated[3] is True
+
+
 def test_late_in_watermark_sample_extends_session_start(spark, dirs):
     """r04 review: a sample arriving in a LATER micro-batch with an
     event time within gap BEFORE the open session's start must extend
