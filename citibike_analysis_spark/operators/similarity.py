@@ -118,20 +118,32 @@ def pick_pair_dot(spark, n_rows: int | None = None) -> "Callable[[Column, Column
       spending an extra count on it.
 
     Outputs are identical at the 6-decimal rounding every consumer
-    applies (pytest-pinned), so the keying can only change wall time,
-    never a result. ``SPARK_GRAFT_PAIR_DOT`` = ``fold`` | ``arrow``
-    overrides (the A/B instrument)."""
+    COMPARES at (r09: rank windows and θ gates operate on
+    ``round(sim, 6)``, pytest-pinned equal across both paths), so the
+    keying provably cannot change a result — only wall time.
+    ``SPARK_GRAFT_PAIR_DOT`` = ``fold`` | ``arrow`` overrides (the A/B
+    instrument)."""
     import os
 
     mode = os.environ.get("SPARK_GRAFT_PAIR_DOT")
     if mode is None:
-        # "local[N]" is the one single-JVM master; "local-cluster[...]"
-        # (no bracket after "local") and every real cluster URL are
-        # multi-process
-        single_jvm = spark.sparkContext.master.startswith("local[")
+        single_jvm = _is_single_jvm_master(spark.sparkContext.master)
         big = n_rows is not None and n_rows >= _ARROW_DOT_MIN_ROWS
         mode = "fold" if (single_jvm and not big) else "arrow"
     return dot if mode == "fold" else pair_dot
+
+
+def _is_single_jvm_master(master: str) -> bool:
+    """True iff tasks share the driver's JVM (warm-JIT fold territory).
+
+    ``local``, ``local[N]``, ``local[N,maxFailures]`` and ``local[*]``
+    are the single-JVM masters; ``local-cluster[...]`` (no bracket
+    directly after "local") and every real cluster URL (spark://,
+    yarn, k8s://...) run executors in separate processes. r08 keyed on
+    ``startswith("local[")`` alone, which classified the bare
+    ``local`` string as multi-process — harmless for results but a
+    pointless Arrow tax on a 1-core master (r09 VERDICT nit)."""
+    return master == "local" or master.startswith("local[")
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -154,8 +166,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query (self-matches excluded).
 
-    Output: (query_id, neighbor_id, cosine_sim, rk). Ties broken by
-    neighbor id — fully deterministic.
+    Output: (query_id, neighbor_id, cosine_sim, rk) with ``cosine_sim``
+    at the engine's 6-decimal output precision; the rank orders that
+    same rounded value (ties → neighbor id), so the top-k selection is
+    deterministic AND independent of the fold/Arrow dot path (r09
+    ADVICE — the two differ in the last ULP).
     """
     # norms hoisted to the per-side frames (one fold per ROW instead of
     # two per PAIR; bit-identical — see near_duplicate_embeddings)
@@ -169,12 +184,23 @@ def brute_force_topk(
     # near-dup verify, same master-keyed dot (r08; corpus size unknown
     # here without an extra count, so the size axis is skipped)
     pdot = pick_pair_dot(corpus.sparkSession)
+    # cosine rounded to the 6-decimal consumer precision BEFORE the
+    # rank window (r09 ADVICE): the fold and the Arrow einsum can
+    # differ in the last ULP, so ranking unrounded sims made a
+    # knife-edge rank-k selection master-dependent; at the rounded
+    # precision the two paths are pytest-pinned identical, and ties
+    # within it break deterministically on neighbor_id. Same
+    # both-sides-rounded convention as the q116 gate — the oracle
+    # ranks round(sim, 6) too.
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            pdot(F.col("_qv"), F.col("_cv"))
-            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+            F.round(
+                pdot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -974,19 +1000,25 @@ def semantic_dedup_pairs(
     a, b = assigned.alias("a"), assigned.alias("b")
     # per-PAIR dot over Σ|cluster|² within-cluster pairs — the same
     # economics as near_duplicate_embeddings' verify, same master-keyed
-    # choice (r08; outputs identical at the rounding, pytest-pinned)
+    # choice (r08). The θ gate compares the ROUNDED cosine (r09 ADVICE:
+    # the fold/einsum paths differ in the last ULP, so an unrounded
+    # gate made knife-edge admissions master-dependent; at the
+    # 6-decimal consumer precision the paths are pinned identical) —
+    # the oracle gates round(sim, 6) ≥ θ in lockstep (q116 convention).
     pdot = pick_pair_dot(corpus.sparkSession)
     return (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid")) & (F.col("a._id") < F.col("b._id")),
         )
-        .withColumn("cosine_sim", pdot(F.col("a._nv"), F.col("b._nv")))
+        .withColumn(
+            "cosine_sim", F.round(pdot(F.col("a._nv"), F.col("b._nv")), 6)
+        )
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select(
             F.col("a._id").cast("long").alias("id_a"),
             F.col("b._id").cast("long").alias("id_b"),
-            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "cosine_sim",
         )
     )
 
@@ -1232,7 +1264,9 @@ def near_duplicate_embeddings(
     # r08 A/B: arrow cluster/local 1.09 vs fold 5.6× and flapping; the
     # local crossover sits between 20k and 200k vectors and auto-bits
     # mode already paid the count). A 1000-executor deployment is the
-    # multi-process case.
+    # multi-process case. The θ gate compares the ROUNDED cosine (r09
+    # ADVICE — see semantic_dedup_pairs; oracle gates round(sim,6) ≥ θ
+    # in lockstep).
     pdot = pick_pair_dot(corpus.sparkSession, n_rows=n_rows)
     return (
         cand.join(
@@ -1249,14 +1283,17 @@ def near_duplicate_embeddings(
         )
         .withColumn(
             "cosine_sim",
-            pdot(F.col("_va"), F.col("_vb"))
-            / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)),
+            F.round(
+                pdot(F.col("_va"), F.col("_vb"))
+                / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)),
+                6,
+            ),
         )
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select(
             F.col("id_a").cast("long"),
             F.col("id_b").cast("long"),
-            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "cosine_sim",
         )
     )
 
@@ -1334,15 +1371,19 @@ def incremental_embedding_dedup(
     # norms hoisted out of the per-candidate verify (bit-identical; see
     # near_duplicate_embeddings — same r07 finding, same economics);
     # per-pair dot keyed on master + corpus size for the same reason
-    # (r08; n free in auto-bits mode)
+    # (r08; n free in auto-bits mode). Admission gates on the ROUNDED
+    # cosine (r09 ADVICE — see semantic_dedup_pairs; oracle in lockstep)
     pdot = pick_pair_dot(batch.sparkSession, n_rows=n_rows)
     dup_ids = (
         cand.join(bvec.withColumn("_bn", norm(F.col("_bv"))), "_bid")
         .join(cvec.withColumn("_cn", norm(F.col("_cv"))), "_cid")
         .withColumn(
             "_cos",
-            pdot(F.col("_bv"), F.col("_cv"))
-            / F.greatest(F.col("_bn") * F.col("_cn"), F.lit(1e-300)),
+            F.round(
+                pdot(F.col("_bv"), F.col("_cv"))
+                / F.greatest(F.col("_bn") * F.col("_cn"), F.lit(1e-300)),
+                6,
+            ),
         )
         .filter(F.col("_cos") >= F.lit(threshold))
         .select("_bid")

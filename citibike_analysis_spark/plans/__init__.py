@@ -68,6 +68,7 @@ _EPOCH = {
     # r05: re-registered as the production fixed-batch θ=0.9 auto-bits
     # admission form; earlier greens verified the SF-proportional
     # loose-banding form (now q113)
+    # (r09 bump below supersedes)
     "q103_incremental_embedding_dedup": 5,
     # r07: cut swapped to percentile_approx (the declared 100 TB form,
     # r06 verdict task #3); earlier greens verified the exact
@@ -79,7 +80,7 @@ _EPOCH = {
     # the original 0.25); q127's deterministic flag now asserts
     # LAYOUT-independence (second sample over a repartitioned frame —
     # the r06 green verified the weaker same-layout claim)
-    "q106_ann_lsh_recall_audit": 7,
+    "q106_ann_lsh_recall_audit": 7,  # r09 bump below supersedes
     "q127_cluster_balanced_sample_audit": 7,
     # r08: exact-regime guard now asserts the sketch's sticky `pruned`
     # flag instead of the final counter-set size (the r08 ADVICE hole:
@@ -89,10 +90,25 @@ _EPOCH = {
     "q121_streaming_heavy_hitters_replay": 8,
     # r08: verify-stage per-pair dot became master-keyed (Arrow einsum
     # on multi-process masters, warm-JIT fold on local[N] — outputs
-    # pytest-pinned identical at the 6-decimal rounding); re-sign the
-    # plan under the mode-selection code even though the driver's
-    # local[N] session exercises the same fold path r07 signed
-    "q39_embedding_near_dup": 8,
+    # pytest-pinned identical at the 6-decimal rounding); r09 bump
+    # below supersedes this entry.
+    # r09: rank windows and θ gates in the four pick_pair_dot
+    # consumers (brute_force_topk, near_duplicate_embeddings,
+    # semantic_dedup_pairs, incremental_embedding_dedup) now compare
+    # the ROUNDED cosine, and every affected oracle gates/ranks
+    # round(sim, 6) in lockstep — the r08 ADVICE hole: unrounded
+    # comparisons made knife-edge rank-k picks and θ admissions
+    # depend on the fold-vs-Arrow summation order. Earlier greens
+    # verified the unrounded-compare forms.
+    "q38_ann_topk": 9,
+    "q39_embedding_near_dup": 9,
+    "q77_semantic_dedup": 9,
+    "q103_incremental_embedding_dedup": 9,
+    "q105_neardup_calibration": 9,
+    "q106_ann_lsh_recall_audit": 9,
+    "q107_ann_ivf_recall_audit": 9,
+    "q109_semdedup_precision_audit": 9,
+    "q113_incremental_dedup_calibration": 9,
 }
 
 

@@ -273,9 +273,12 @@ WITH e AS (
 ), q AS (
   SELECT vec_id, v FROM e WHERE vec_id < 10
 ), scored AS (
+  -- rank over round(sim, 6), matching the engine (r09: both sides
+  -- rank at the 6-decimal consumer precision so knife-edge rank-k
+  -- picks cannot depend on summation order; ties break on neighbor_id)
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_dot_product(q.v, e.v)
-           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+         round(list_dot_product(q.v, e.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
   FROM q JOIN e ON q.vec_id <> e.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, sim,
@@ -284,7 +287,7 @@ WITH e AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
-       round(sim, 6) AS cosine_sim,
+       sim AS cosine_sim,
        CAST(rk AS BIGINT) AS rk
 FROM ranked
 WHERE rk <= 5
@@ -338,8 +341,10 @@ SELECT CAST(a.vec_id AS BIGINT) AS id_a,
        round(list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+-- θ gate on round(sim, 6), matching the engine (r09 rounded-compare
+-- convention — see near_duplicate_embeddings)
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
 """
 
 
@@ -374,8 +379,8 @@ SELECT CAST(a.vec_id AS BIGINT) AS id_a,
        round(list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
 """
 
 
@@ -613,12 +618,16 @@ def q109_semdedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     exact = (
         a.join(b, F.col("a._id") < F.col("b._id"))
         .withColumn("_c_raw", cosine(F.col("a._v"), F.col("b._v")))
-        # gate on the UNROUNDED cosine like the oracle and the audited
-        # operator; gating on the rounded value admitted pairs in
-        # [θ−5e-7, θ) that the oracle excludes (review finding — the
-        # q105/q39 exact legs use this same convention)
-        .filter(F.col("_c_raw") >= 0.45)
+        # gate on the ROUNDED cosine like the oracle and the audited
+        # operator — all three sides must share ONE convention (the
+        # r06 review finding was about a one-sided mismatch, not about
+        # rounding itself). r09 moved the convention to rounded-compare
+        # everywhere: the θ gate in semantic_dedup_pairs now rounds
+        # before comparing so knife-edge admissions cannot depend on
+        # the fold-vs-Arrow dot path, and this exact leg + Q109_SQL
+        # gate round(sim, 6) ≥ θ in lockstep.
         .withColumn("_ce", F.round(F.col("_c_raw"), 6))
+        .filter(F.col("_ce") >= 0.45)
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "_ce"
         )
@@ -652,8 +661,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
        true AS precision_exact,
        true AS recall_ge_02
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
 """
 
 
@@ -2850,8 +2859,8 @@ SELECT CAST(b.vec_id AS BIGINT) AS vec_id
 FROM b
 WHERE NOT EXISTS (
   SELECT 1 FROM c
-  WHERE list_dot_product(b.v, c.v)
-        / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v)))
+  WHERE round(list_dot_product(b.v, c.v)
+        / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
         >= 0.9
 )
 """
@@ -2898,8 +2907,8 @@ SELECT CAST(b.vec_id AS BIGINT) AS vec_id
 FROM b
 WHERE NOT EXISTS (
   SELECT 1 FROM c
-  WHERE list_dot_product(b.v, c.v)
-        / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v)))
+  WHERE round(list_dot_product(b.v, c.v)
+        / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
         >= 0.45
 )
 """

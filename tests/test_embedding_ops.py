@@ -324,6 +324,24 @@ class TestPairDotVerify:
         monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "fold")
         assert S.pick_pair_dot(spark, n_rows=10**9) is S.dot
 
+    def test_single_jvm_master_classification(self):
+        """r09 VERDICT nit: bare `local` (no brackets) is just as
+        single-JVM as `local[N]` — the r08 predicate classified it as
+        multi-process and paid the Arrow tax on a 1-core master."""
+        from citibike_analysis_spark.operators.similarity import (
+            _is_single_jvm_master,
+        )
+
+        single = ["local", "local[4]", "local[*]", "local[4,2]"]
+        multi = [
+            "local-cluster[2,16,24576]",
+            "spark://host:7077",
+            "yarn",
+            "k8s://https://host:443",
+        ]
+        assert all(_is_single_jvm_master(m) for m in single)
+        assert not any(_is_single_jvm_master(m) for m in multi)
+
     def test_brute_force_topk_mode_parity(self, spark, monkeypatch):
         """q38's exact top-k must produce identical (query, neighbor,
         rk) and 6-decimal cosines under either dot mode: rank flips
