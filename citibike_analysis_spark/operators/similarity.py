@@ -67,27 +67,53 @@ def pair_dot(a: Column, b: Column) -> Column:
     either side NULL yields NULL (verify paths never produce one — the
     candidates inner-join vectors — but a surprise null must not crash
     the whole Arrow batch with a numpy stack error).
+
+    Memory bound (r09 VERDICT #1): the einsum runs over fixed-size
+    CHUNKS of the Arrow batch, so the Python worker's densified
+    float64 copies are O(chunk × dim) — ~4 MB at the 4096 default —
+    regardless of how large a batch ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` delivers (a deployment that raises it from
+    the 10k default to 1M would otherwise allocate ~1 GB of numpy
+    temporaries per concurrent task here). The JVM side was already
+    batch-bounded (ArrowEvalPython streams one batch per task through
+    the socket, in-flight ≈ 2 batches); this closes the Python half,
+    making the seam's per-task memory a function of two documented
+    knobs and NEVER of the candidate-set size. Chunking cannot change
+    a value: each pair's dot is computed independently (einsum row =
+    one pair), so the split points are arithmetic no-ops — pinned by
+    the mode-parity pytest pins.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _dots(xa: pd.Series, xb: pd.Series) -> pd.Series:
-        la, lb = xa.tolist(), xb.tolist()
-        out: list[float | None] = [None] * len(la)
-        live = [
-            i for i in range(len(la))
-            if la[i] is not None and lb[i] is not None
-        ]
-        if live:
+        n = len(xa)
+        out: list[float | None] = [None] * n
+        for lo in range(0, n, _PAIR_DOT_CHUNK):
+            la = xa.iloc[lo : lo + _PAIR_DOT_CHUNK].tolist()
+            lb = xb.iloc[lo : lo + _PAIR_DOT_CHUNK].tolist()
+            live = [
+                i for i in range(len(la))
+                if la[i] is not None and lb[i] is not None
+            ]
+            if not live:
+                continue
             A = np.asarray([la[i] for i in live], dtype=np.float64)
             B = np.asarray([lb[i] for i in live], dtype=np.float64)
             d = np.einsum("ij,ij->i", A, B)
             for i, v in zip(live, d):
-                out[i] = float(v)
+                out[lo + i] = float(v)
         return pd.Series(out, dtype="float64")
 
     return _dots(a, b)
+
+
+# Python-side densification chunk for pair_dot: 4096 pairs × 64 dims ×
+# 8 B × 2 sides ≈ 4 MB of float64 temporaries per chunk — small enough
+# to be irrelevant next to the Arrow batch itself, large enough that
+# the einsum stays BLAS-efficient (measured flat 2k–64k).
+_PAIR_DOT_CHUNK = 4096
 
 
 # the measured local-mode crossover for the per-pair dot (r08, same-day
@@ -634,10 +660,12 @@ def append_to_lsh_index(
 
     Maintenance: each append adds one file set per bucket, so a
     high-frequency ingest accumulates small files (read/listing
-    overhead grows, the join stays exchange-free). Periodically
-    re-run :func:`build_lsh_index` over the full corpus — one
-    bounded rewrite that resets file count per bucket to 1,
-    amortized across the appends it absorbs.
+    overhead grows, the join stays exchange-free). Periodically run
+    :func:`compact_lsh_index` — a pure-I/O rewrite (no sign-bit
+    recompute) that resets each bucket to one file and preserves the
+    stamp, amortized across the appends it absorbs; a full
+    :func:`build_lsh_index` rebuild is only needed when the corpus
+    has grown enough that auto-bits would choose a different banding.
     """
     spark = batch.sparkSession
     _verify_index_stamp(spark, table, bits, tables, dim, seed, "append")
@@ -659,6 +687,102 @@ def append_to_lsh_index(
     # (benign, detectable), never vector-less bucket rows (silent loss)
     append_bucketed(bv, f"{table}__vecs", ["neighbor_id"], num_buckets)
     append_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
+
+
+def compact_lsh_index(spark, table: str) -> dict:
+    """Rewrite a persisted LSH index so each bucket holds ONE file set
+    again — the maintenance leg :func:`append_to_lsh_index`'s contract
+    promises (r09 VERDICT #3).
+
+    Every append adds one parquet file per non-empty bucket to BOTH
+    tables, so a high-frequency ingest accumulates small files: the
+    probe join stays exchange-free (bucket layout is unchanged) but
+    each probe's scan pays listing + footer + open cost per file —
+    at a 100 TB ingest cadence (say 96 appends/day) the file count,
+    not the data size, becomes the probe's constant. Compaction is the
+    bounded rewrite that resets it: read each table, rewrite through
+    the SAME bucket spec (count + columns read from the catalog, so a
+    drifted caller cannot change the layout), swap via rename. Unlike
+    a full :func:`build_lsh_index` rebuild it never recomputes sign
+    bits — pure I/O, no plane dots — and it preserves the parameter
+    stamp verbatim, so probes before/after are identical by
+    construction (pytest-pinned; the post-compaction plan is asserted
+    exchange-free by the same test).
+
+    Crash windows (session-scoped catalog, same posture as
+    ``write_bucketed``): the compacted copy is built under
+    ``<t>__compacting`` first — a crash before the swap leaves the
+    live table untouched (the orphan-clearing pre-drop absorbs the
+    residue on retry). The swap itself is two catalog renames; a crash
+    between them leaves ``<t>__old`` plus ``<t>__compacting`` and no
+    ``<t>`` — recover by renaming ``<t>__old`` back. Returns per-table
+    file counts before/after (the rehearsal's degradation metric).
+    """
+    from citibike_analysis_spark.sources.bucketed import (
+        _clear_table_and_orphaned_location,
+        write_bucketed,
+    )
+
+    out: dict[str, dict[str, int]] = {}
+    for t, bucket_cols in ((table, ["tbl", "bkt"]), (f"{table}__vecs", ["neighbor_id"])):
+        desc = spark.sql(f"DESCRIBE FORMATTED {t}").collect()
+        props = {r["col_name"]: r["data_type"] for r in desc}
+        nb = int(props["Num Buckets"])
+        cat_cols = [c.strip("[] `") for c in props["Bucket Columns"].split(",")]
+        if cat_cols != bucket_cols:
+            raise ValueError(
+                f"{t!r} is bucketed on {cat_cols}, expected {bucket_cols} — "
+                "not a build_lsh_index layout; refusing to compact"
+            )
+        files_before = len(spark.table(t).inputFiles())
+        tmp, old = f"{t}__compacting", f"{t}__old"
+        # one shuffle by the EXISTING bucket spec. The repartition is
+        # what makes the rewrite COMPACT: a bucketed write emits one
+        # file per (task × bucket-present), so without co-locating each
+        # bucket's rows in one task first, N input tasks would re-emit
+        # up to N files per bucket — repartition(nb, cols) uses the
+        # same Murmur3 HashPartitioning as the bucket spec, so each
+        # output task holds exactly one bucket id and writes one file.
+        # Read the raw parquet LOCATION, not the catalog table: reading
+        # the bucketed table advertises hashpartitioning(cols, nb), so
+        # EnsureRequirements ELIDES the repartition exchange — while
+        # the actual scan (autoBucketedScan disables bucketing when no
+        # join needs it) splits by file size, leaving each task ~all
+        # bucket ids and the write emitting tasks×buckets files again
+        # (measured: 48 → 47 "compacted" files; via the raw path 48 →
+        # ≤16). The location read sees the same rows with no partition
+        # metadata, so the shuffle is real.
+        loc = props["Location"]
+        write_bucketed(
+            spark.read.parquet(loc).repartition(
+                nb, *[F.col(c) for c in bucket_cols]
+            ),
+            tmp,
+            bucket_cols,
+            nb,
+        )
+        stamp = None
+        if t == table:
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect():
+                if r["key"] == _STAMP_PROP:
+                    stamp = r["value"]
+            if stamp is not None:
+                spark.sql(
+                    f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                    f"('{_STAMP_PROP}' = '{stamp}')"
+                )
+        _clear_table_and_orphaned_location(spark, old)
+        spark.sql(f"ALTER TABLE {t} RENAME TO {old}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        spark.sql(f"DROP TABLE {old}")
+        # renames move the managed location; refresh so the next probe
+        # lists the compacted files, not a cached index
+        spark.catalog.refreshTable(t)
+        out[t] = {
+            "files_before": files_before,
+            "files_after": len(spark.table(t).inputFiles()),
+        }
+    return out
 
 
 def lsh_index_topk(

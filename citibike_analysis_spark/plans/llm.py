@@ -524,6 +524,81 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_
 """
 
 
+def q134_lsh_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable audit of the index lifecycle's FOURTH leg
+    (r09 VERDICT #3): build / append / probe / COMPACT. Builds the q44
+    index on the even half, appends the odd half in TWO batches (each
+    append adds one file set per bucket to both tables — the
+    small-file accumulation `append_to_lsh_index` documents), probes,
+    then runs `compact_lsh_index` and asserts (a) the probe set is
+    EXACTLY unchanged — compaction is pure I/O: same rows, same
+    stamp, same bucket layout, so equality is deterministic, not a
+    bound — and (b) the buckets table's file count strictly shrank
+    and landed at ≤ its bucket count (one file set per non-empty
+    bucket, the defined compact state). Raw file counts are NOT
+    emitted: they depend on task parallelism at build time, which is
+    environment-shaped; the booleans are the invariants. One row
+    (n_queries, n_corpus, probe_unchanged, files_compacted); oracle
+    states the counts and both TRUEs verbatim. Per-process uuid +
+    finally-drop, same as q131."""
+    import hashlib
+    import uuid
+
+    from citibike_analysis_spark.operators.similarity import (
+        append_to_lsh_index,
+        build_lsh_index,
+        compact_lsh_index,
+        lsh_index_topk,
+    )
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    table = (
+        "q134_lsh_cmp_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    params = dict(bits=6, tables=8)
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+    )
+    try:
+        build_lsh_index(e.filter(F.col("vec_id") % 2 == 0), table, **params)
+        append_to_lsh_index(
+            e.filter(F.col("vec_id") % 4 == 1), table, **params
+        )
+        append_to_lsh_index(
+            e.filter(F.col("vec_id") % 4 == 3), table, **params
+        )
+        before = key(lsh_index_topk(spark, table, q, k=5, **params).collect())
+        stats = compact_lsh_index(spark, table)
+        after = key(lsh_index_topk(spark, table, q, k=5, **params).collect())
+        probe_unchanged = bool(before) and before == after
+        b = stats[table]
+        files_compacted = (
+            b["files_after"] < b["files_before"] and b["files_after"] <= 16
+        )
+    finally:
+        for suffix in ("", "__vecs"):
+            for state in ("", "__compacting", "__old"):
+                spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}{state}")
+    return spark.createDataFrame(
+        [(q.count(), e.count(), probe_unchanged, files_compacted)],
+        "n_queries bigint, n_corpus bigint, "
+        "probe_unchanged boolean, files_compacted boolean",
+    )
+
+
+Q134_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+       TRUE AS probe_unchanged,
+       TRUE AS files_compacted
+"""
+
+
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
     for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
@@ -3839,5 +3914,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q133_bloom_decontaminate": QuerySpec(
         q133_bloom_decontaminate, Q63_SQL, "§7 dedup-decontaminate-bloom"
+    ),
+    "q134_lsh_compaction_audit": QuerySpec(
+        q134_lsh_compaction_audit,
+        Q134_SQL,
+        "§7 similarity-index-compaction-audit",
     ),
 }

@@ -635,6 +635,80 @@ class TestPersistedLshIndex:
             spark.sql("DROP TABLE IF EXISTS lsh_idx_torn")
             spark.sql("DROP TABLE IF EXISTS lsh_idx_torn__vecs")
 
+    def test_compact_lsh_index_resets_files_and_preserves_probes(self, spark):
+        """r09 VERDICT #3: after N appends the index carries N+1 file
+        sets per bucket; compact_lsh_index must (a) strictly shrink the
+        buckets table's file count to ≤ its bucket count, (b) leave
+        every probe EXACTLY unchanged (pure I/O — same rows, stamp,
+        layout), (c) keep the probe exchange-free, and (d) keep the
+        stamp alive so later appends still verify."""
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_lsh_index,
+            build_lsh_index,
+            compact_lsh_index,
+            lsh_index_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        t = "lsh_idx_cmp"
+        try:
+            build_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), t, **params)
+            append_to_lsh_index(
+                emb.filter(F.col("vec_id") % 4 == 1), t, **params
+            )
+            append_to_lsh_index(
+                emb.filter(F.col("vec_id") % 4 == 3), t, **params
+            )
+            before_files = len(spark.table(t).inputFiles())
+            before = key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            )
+            assert before, "empty probe proves nothing"
+
+            stats = compact_lsh_index(spark, t)
+            assert stats[t]["files_before"] == before_files
+            assert stats[t]["files_after"] < stats[t]["files_before"]
+            assert stats[t]["files_after"] <= 16  # one file set per bucket
+            assert (
+                stats[f"{t}__vecs"]["files_after"]
+                < stats[f"{t}__vecs"]["files_before"]
+            )
+
+            after = key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            )
+            assert after == before
+            plan = (
+                lsh_index_topk(spark, t, queries, k=5, **params)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning(tbl" not in plan
+            assert "Exchange hashpartitioning(neighbor_id" not in plan
+            # stamp survived the swap: a post-compaction append still
+            # verifies (and a mismatched one still refuses)
+            append_to_lsh_index(
+                emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(50_000)
+                ),
+                t,
+                **params,
+            )
+            try:
+                append_to_lsh_index(queries, t, bits=4, tables=8)
+                raise AssertionError("stamp lost in compaction")
+            except ValueError as e:
+                assert "append computes" in str(e)
+        finally:
+            for suffix in ("", "__vecs"):
+                for state in ("", "__compacting", "__old"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}{state}")
+
     def test_torn_append_raises_at_probe(self, spark):
         """The pre-r09 write order's tear (bucket rows landed, vectors
         did not) on an otherwise-clean index: the cheap count invariant
