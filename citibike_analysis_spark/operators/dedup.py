@@ -466,6 +466,35 @@ def contamination_flags(
     )
 
 
+def bloom_m_bits(n_items: int, bits_per_item: int = 16) -> int:
+    """Bitmap size (bits) for the bloom gate: ``bits_per_item`` per
+    benchmark gram, rounded up to a power of two, floor 1024. Exported
+    so instruments (``scripts/ab_bloom_gate.py``) measure the EXACT
+    filter the operator ships instead of re-deriving the sizing inline
+    (r09 ADVICE — an inline copy silently desynchronizes)."""
+    import math
+
+    return max(1024, 1 << math.ceil(math.log2(bits_per_item * n_items)))
+
+
+def bloom_positions(h: Column, m: int, k: int = 4) -> list[Column]:
+    """The gate's k salted bit positions for a 64-bit gram hash:
+    ``pmod(xxhash64(h, i), m)`` for i in 0..k-1. Shared by the operator
+    and its FPP instrument — see :func:`bloom_m_bits`."""
+    return [F.pmod(F.xxhash64(h, F.lit(i)), F.lit(m)) for i in range(k)]
+
+
+def bloom_bit_test(bitmap_col: str, pos_col: str) -> Column:
+    """Membership test of one position against the dense ``array<long>``
+    bitmap: word = pos DIV 64 (1-indexed for element_at), bit =
+    pos MOD 64. Shared by the operator and its FPP instrument — see
+    :func:`bloom_m_bits`."""
+    return F.expr(
+        f"(element_at({bitmap_col}, CAST({pos_col} DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({pos_col}, 64) AS INT))) != 0"
+    )
+
+
 def contamination_flags_bloom(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -502,8 +531,6 @@ def contamination_flags_bloom(
     → 20 MB bitmap; the corpus can be arbitrarily large because it is
     never collected, joined, or shuffled before the gate).
     """
-    import math
-
     # both sides reduce grams to 64-bit hashes IMMEDIATELY (the exact
     # operator's economics: distinct/shuffle 8-byte longs, never gram
     # strings — the string-keyed first cut paid a 40-byte-row bench
@@ -535,11 +562,11 @@ def contamination_flags_bloom(
             F.lit(0).cast("long").alias("n_shared"),
             F.lit(False).alias("contaminated"),
         )
-    m = max(1024, 1 << math.ceil(math.log2(bits_per_item * n_b)))
+    m = bloom_m_bits(n_b, bits_per_item)
     words = m // 64
 
     def positions(h: Column) -> list[Column]:
-        return [F.pmod(F.xxhash64(h, F.lit(i)), F.lit(m)) for i in range(k)]
+        return bloom_positions(h, m, k)
 
     # benchmark → sparse (word, bits) rows → ONE dense bitmap row (m/64
     # longs). Densification is a numpy scatter behind the declared
@@ -586,16 +613,11 @@ def contamination_flags_bloom(
     )
 
     probe = csh.join(F.broadcast(bitmap))
-    for i in range(k):
-        probe = probe.withColumn(
-            f"_p{i}", F.pmod(F.xxhash64("_h", F.lit(i)), F.lit(m))
-        )
+    for i, pos in enumerate(positions(F.col("_h"))):
+        probe = probe.withColumn(f"_p{i}", pos)
     cond = None
     for i in range(k):
-        cond_i = F.expr(
-            f"(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1) & "
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) != 0"
-        )
+        cond_i = bloom_bit_test("_bm", f"_p{i}")
         cond = cond_i if cond is None else (cond & cond_i)
     candidates = probe.filter(cond).select("_id", "_h")
 

@@ -576,7 +576,13 @@ def verify_lsh_index_consistency(spark, table: str) -> int:
 
     Raises if any bucket row's ``neighbor_id`` is missing from
     ``__vecs`` (the torn state that silently loses recall — the probe
-    inner-joins to ``__vecs``); returns the count of ORPHAN vectors
+    inner-joins to ``__vecs``) or if any ``neighbor_id`` appears more
+    than once in ``__vecs`` (the double-ingest state a crash-recovery
+    re-append without ``assume_novel=False`` leaves behind — benign
+    for probe VALUES since the probe dedupes vectors on read, but
+    non-canonical: storage and the count-invariant screen inflate;
+    heal with :func:`compact_lsh_index`, which dedupes while
+    rewriting — r09 ADVICE); returns the count of ORPHAN vectors
     (``__vecs`` rows with no bucket rows — benign for correctness:
     they are never candidates; an interrupted append's residue to be
     absorbed by the next rebuild/compaction). This is the on-demand
@@ -600,6 +606,21 @@ def verify_lsh_index_consistency(spark, table: str) -> int:
             "ids have no vector in __vecs — probes silently drop them; "
             "rebuild with build_lsh_index over the full corpus"
         )
+    dup = (
+        vecs.groupBy("neighbor_id")
+        .count()
+        .filter(F.col("count") > F.lit(1))
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"LSH index table {table!r} has {dup} DUPLICATED ids in "
+            "__vecs (a batch was re-ingested without "
+            "assume_novel=False after an interrupted append) — probe "
+            "values are unaffected (vectors are deduped on read) but "
+            "the layout is non-canonical; run compact_lsh_index to "
+            "dedupe while rewriting"
+        )
     return (
         vecs.select("neighbor_id")
         .join(idx.select("neighbor_id").distinct(), "neighbor_id", "left_anti")
@@ -617,6 +638,7 @@ def append_to_lsh_index(
     dim: int = 64,
     seed: int = 42,
     num_buckets: int = 16,
+    assume_novel: bool = True,
 ) -> None:
     """Append an ingest batch to a persisted :func:`build_lsh_index`
     table WITHOUT a full rebuild — the third leg of the index
@@ -634,13 +656,21 @@ def append_to_lsh_index(
     would poison the index silently — probes would miss exactly the
     appended vectors.
 
-    Caller contract: the batch's ids are NOVEL (pair with
-    :func:`incremental_embedding_dedup` / the admission path, which is
-    where an append belongs anyway). Appending an id twice duplicates
-    its candidacy — probes then return it once per duplicate row after
-    the candidate dedup, which is benign for near-dup detection but
-    wasteful; this function does not pay an anti-join to enforce what
-    the ingest pipeline already guarantees.
+    Caller contract: with the default ``assume_novel=True`` the batch's
+    ids are NOVEL (pair with :func:`incremental_embedding_dedup` / the
+    admission path, which is where an append belongs anyway) — the
+    happy path pays no anti-join to enforce what the ingest pipeline
+    already guarantees. ``assume_novel=False`` is the RECOVERY mode:
+    the batch is left-anti-joined against the existing ``__vecs`` ids
+    first (one column-pruned scan of the id column; the batch side
+    shuffles, the bucketed index side does not), making the append
+    idempotent — this is how a batch is safely re-ingested after a
+    crash, because a blind re-append would duplicate its ids in
+    ``__vecs`` and duplicated vectors join the probe once per copy at
+    distinct ``rk`` values, eating top-k slots (r09 ADVICE; the probe
+    additionally dedupes ``__vecs`` on read as belt-and-braces, and
+    :func:`verify_lsh_index_consistency` raises on the duplicate
+    state with a compaction instruction).
 
     Crash ordering (r09 ADVICE): the two appends are not atomic, so
     the write order is chosen to make the torn state RECOVERABLE
@@ -648,7 +678,9 @@ def append_to_lsh_index(
     between the writes leaves orphan vectors (rows in ``__vecs`` with
     no bucket rows), which probes never surface as candidates —
     correctness of everything already indexed is untouched, and the
-    batch is simply not yet indexed (re-ingest or rebuild absorbs it).
+    batch is simply not yet indexed. Recover by re-ingesting the batch
+    with ``assume_novel=False`` (idempotent; a bare re-ingest would
+    duplicate the orphaned ids) or by a full rebuild.
     The reverse order would leave bucket rows whose vectors are absent
     from ``__vecs``; the probe's inner join then silently DROPS those
     candidates — undetected recall loss. Belt and braces, that torn
@@ -675,6 +707,19 @@ def append_to_lsh_index(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
     )
+    if not assume_novel:
+        # idempotent recovery: drop ids already present. The anti-join
+        # shuffles only the (small) batch — the __vecs side is bucketed
+        # on neighbor_id and only its id column is read.
+        bv = bv.join(
+            spark.table(f"{table}__vecs").select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
+        # the anti-join is lazily evaluated inside BOTH writes below;
+        # materialize the survivor set once so the second write cannot
+        # see a different __vecs state than the first one appended to
+        bv = bv.localCheckpoint(eager=True)
     bucketed = _bucketize(
         bv,
         "neighbor_id",
@@ -709,14 +754,23 @@ def compact_lsh_index(spark, table: str) -> dict:
     construction (pytest-pinned; the post-compaction plan is asserted
     exchange-free by the same test).
 
+    Compaction also CANONICALIZES: exact-duplicate bucket rows and
+    duplicated ``__vecs`` ids (the residue of a blind re-ingest after
+    an interrupted append — r09 ADVICE) are dropped during the
+    rewrite. Probe results are unchanged by construction: the probe
+    dedupes candidates and vectors on read, so removing the duplicate
+    source rows removes only wasted I/O.
+
     Crash windows (session-scoped catalog, same posture as
     ``write_bucketed``): the compacted copy is built under
     ``<t>__compacting`` first — a crash before the swap leaves the
     live table untouched (the orphan-clearing pre-drop absorbs the
     residue on retry). The swap itself is two catalog renames; a crash
     between them leaves ``<t>__old`` plus ``<t>__compacting`` and no
-    ``<t>`` — recover by renaming ``<t>__old`` back. Returns per-table
-    file counts before/after (the rehearsal's degradation metric).
+    ``<t>`` — SELF-HEALED at the next invocation's entry: a leftover
+    ``<t>__old`` with no live ``<t>`` is renamed back before
+    compacting (r09 ADVICE). Returns per-table file counts
+    before/after (the rehearsal's degradation metric).
     """
     from citibike_analysis_spark.sources.bucketed import (
         _clear_table_and_orphaned_location,
@@ -725,6 +779,11 @@ def compact_lsh_index(spark, table: str) -> dict:
 
     out: dict[str, dict[str, int]] = {}
     for t, bucket_cols in ((table, ["tbl", "bkt"]), (f"{table}__vecs", ["neighbor_id"])):
+        if not spark.catalog.tableExists(t) and spark.catalog.tableExists(f"{t}__old"):
+            # a prior compaction crashed between its two renames —
+            # restore the pre-swap table and proceed (r09 ADVICE)
+            spark.sql(f"ALTER TABLE {t}__old RENAME TO {t}")
+            spark.catalog.refreshTable(t)
         desc = spark.sql(f"DESCRIBE FORMATTED {t}").collect()
         props = {r["col_name"]: r["data_type"] for r in desc}
         nb = int(props["Num Buckets"])
@@ -752,15 +811,22 @@ def compact_lsh_index(spark, table: str) -> dict:
         # (measured: 48 → 47 "compacted" files; via the raw path 48 →
         # ≤16). The location read sees the same rows with no partition
         # metadata, so the shuffle is real.
+        # schema passed explicitly: a stamped-but-empty index has zero
+        # files at the location and bare schema inference would fail
+        # with an unrelated error (r09 ADVICE)
         loc = props["Location"]
-        write_bucketed(
-            spark.read.parquet(loc).repartition(
-                nb, *[F.col(c) for c in bucket_cols]
-            ),
-            tmp,
-            bucket_cols,
-            nb,
+        raw = spark.read.schema(spark.table(t).schema).parquet(loc)
+        # dropDuplicates AFTER the repartition: HashPartitioning on the
+        # bucket cols satisfies the aggregate's clustering requirement
+        # (bucket cols ⊆ dedup cols), so the dedup rides the same
+        # single shuffle the compact rewrite already pays
+        compacted = raw.repartition(nb, *[F.col(c) for c in bucket_cols])
+        compacted = (
+            compacted.dropDuplicates(["neighbor_id"])
+            if t != table
+            else compacted.dropDuplicates()
         )
+        write_bucketed(compacted, tmp, bucket_cols, nb)
         stamp = None
         if t == table:
             for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect():
@@ -844,7 +910,15 @@ def lsh_index_topk(
             .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"])
         )
-        vecs = spark.table(f"{table}__vecs")
+        # dropDuplicates on the bucket key guards against a recovered
+        # double-ingest (a crash between append_to_lsh_index's two
+        # writes followed by a re-ingest duplicates ids in __vecs;
+        # candidate dedup alone would still emit the duplicate pair at
+        # distinct rk values, eating top-k slots — r09 ADVICE). The
+        # table is bucketed on neighbor_id, so the aggregate reuses the
+        # bucket layout instead of adding an exchange (plan-asserted by
+        # the probe's exchange-free pytest).
+        vecs = spark.table(f"{table}__vecs").dropDuplicates(["neighbor_id"])
         scored = (
             vecs.join(F.broadcast(cand), "neighbor_id")
             .join(F.broadcast(qv), "query_id")

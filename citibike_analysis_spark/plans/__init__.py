@@ -62,14 +62,12 @@ _SENTINELS = ("q01_pricing_summary", "q20_interesting_suppliers", "q23_round_hal
 # variant of the r03 rotate-out-forever bug). Map: query -> first round
 # whose driver rows may sign it.
 _EPOCH = {
-    # r04: re-registered as the production θ=0.9 auto-bits re-ingest
-    # form; r01-r03 greens verified the θ=0.45 form (now q105).
-    # r08 bump below (master-keyed pair dot) supersedes this entry.
-    # r05: re-registered as the production fixed-batch θ=0.9 auto-bits
-    # admission form; earlier greens verified the SF-proportional
-    # loose-banding form (now q113)
-    # (r09 bump below supersedes)
-    "q103_incremental_embedding_dedup": 5,
+    # q103 epoch history (r09 entry below is current): r04 re-registered
+    # as the production θ=0.9 auto-bits re-ingest form (r01-r03 greens
+    # verified the θ=0.45 form, now q105); r05 re-registered as the
+    # fixed-batch admission form (earlier greens verified the
+    # SF-proportional loose-banding form, now q113); r08 master-keyed
+    # pair dot.
     # r07: cut swapped to percentile_approx (the declared 100 TB form,
     # r06 verdict task #3); earlier greens verified the exact
     # interpolated cut, which now lives inside q118's audit leg
@@ -77,10 +75,10 @@ _EPOCH = {
     "q116_importance_resample": 7,
     # r07: q106's floor became size-keyed (flag column renamed — r06's
     # green verified the flat 0.30 bound, itself an r06 tightening of
-    # the original 0.25); q127's deterministic flag now asserts
-    # LAYOUT-independence (second sample over a repartitioned frame —
-    # the r06 green verified the weaker same-layout claim)
-    "q106_ann_lsh_recall_audit": 7,  # r09 bump below supersedes
+    # the original 0.25; the r09 entry below is current); q127's
+    # deterministic flag now asserts LAYOUT-independence (second sample
+    # over a repartitioned frame — the r06 green verified the weaker
+    # same-layout claim)
     "q127_cluster_balanced_sample_audit": 7,
     # r08: exact-regime guard now asserts the sketch's sticky `pruned`
     # flag instead of the final counter-set size (the r08 ADVICE hole:
@@ -109,6 +107,24 @@ _EPOCH = {
     "q107_ann_ivf_recall_audit": 9,
     "q109_semdedup_precision_audit": 9,
     "q113_incremental_dedup_calibration": 9,
+}
+
+# Designed no-oracle queries and the hash-verified audit that carries
+# their value check. Invariant (pinned by tests/test_registry.py):
+# bumping the epoch of a no-oracle query must bump its paired audit's
+# epoch at least as far — otherwise the audit keeps signing the OLD
+# semantics while the query itself re-enters the window under the new
+# ones (q77→q109 moved together in r09; this map encodes that rule).
+_AUDIT_OF = {
+    "q36_minhash_dedup": "q108_minhash_recall_audit",
+    "q37_simhash_pairs": "q112_simhash_identity_audit",
+    "q44_ann_lsh": "q106_ann_lsh_recall_audit",
+    "q49_ann_ivf": "q107_ann_ivf_recall_audit",
+    "q50_winnow_pairs": "q110_winnow_guarantee_audit",
+    "q76_kmeans_clusters": "q114_kmeans_audit",
+    "q77_semantic_dedup": "q109_semdedup_precision_audit",
+    "q82_pca_project": "q111_pca_variance_audit",
+    "q104_scalable_picks": "q56_interesting_suppliers_scalable",
 }
 
 

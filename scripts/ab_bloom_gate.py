@@ -114,14 +114,19 @@ bsh = (bench.select(tokens(F.col("text")).alias("_tk"))
             .select(F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
             .select(F.xxhash64("_s").alias("_h")).distinct())
 import math
+from citibike_analysis_spark.operators.dedup import (
+    bloom_bit_test, bloom_m_bits, bloom_positions,
+)
 n_b = bsh.count()
-m = max(1024, 1 << math.ceil(math.log2(bits_per_item * n_b)))
+# sizing/positions/bit-test come from the OPERATOR's exported helpers,
+# so the measured FPP is the gate actually shipped (r09 ADVICE: an
+# inline re-derivation silently desynchronizes on any operator change)
+m = bloom_m_bits(n_b, bits_per_item)
 # the operator's own gate, re-derived up to the candidate stage (the
 # public output filters FPs away, so the instrument must recompute the
 # bit test): flag each probe row member/positive and aggregate counts
 flags = csh.join(bsh.withColumn("_member", F.lit(True)), "_h", "left")
-positions = lambda h: [F.pmod(F.xxhash64(h, F.lit(i)), F.lit(m)) for i in range(k)]
-sparse = (bsh.select(F.explode(F.array(*positions(F.col("_h")))).alias("_p"))
+sparse = (bsh.select(F.explode(F.array(*bloom_positions(F.col("_h"), m, k))).alias("_p"))
              .select((F.col("_p") / 64).cast("long").alias("_w"),
                      F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p,64) AS INT))").alias("_b"))
              .groupBy("_w").agg(F.bit_or("_b").alias("_bits")))
@@ -130,13 +135,11 @@ rows = {{int(r["_w"]): int(r["_bits"]) for r in sparse.collect()}}
 dense = [rows.get(i, 0) for i in range(words)]
 bm = spark.createDataFrame([(dense,)], "bm: array<long>")
 p = flags.join(F.broadcast(bm))
-for i in range(k):
-    p = p.withColumn("_p%d" % i, F.pmod(F.xxhash64("_h", F.lit(i)), F.lit(m)))
+for i, pos in enumerate(bloom_positions(F.col("_h"), m, k)):
+    p = p.withColumn("_p%d" % i, pos)
 cond = None
 for i in range(k):
-    ci = F.expr(
-        ("(element_at(bm, CAST(_p%d DIV 64 AS INT) + 1) & "
-         "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p%d, 64) AS INT))) != 0") % (i, i))
+    ci = bloom_bit_test("bm", "_p%d" % i)
     cond = ci if cond is None else (cond & ci)
 agg = p.agg(
     F.count("*").alias("probes"),

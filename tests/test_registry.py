@@ -129,12 +129,47 @@ def test_epoch_invalidates_pre_replacement_signatures():
 
 
 def test_epoch_reset_queries_reenter_the_window():
+    """An epoch-bumped query must sit inside the driver window until it
+    earns an epoch-valid signature. For oracle-backed queries that means
+    a hash green; for designed no-oracle queries (q77 et al.) a
+    rows-only green IS the signature — mirroring ``signed()`` in
+    ``all_queries`` — so they legitimately rotate into the tail (r09
+    lesson: the unexempted form of this assert went red the moment the
+    driver signed q77's rows-only row)."""
     from citibike_analysis_spark.plans import _EPOCH
 
-    names = list(all_queries())
+    reg = all_queries()
+    names = list(reg)
     green = _driver_green()
     for name in _EPOCH:
-        if name in names and not green.get(name, (0, False))[1]:
+        if name not in names:
+            continue
+        signed = name in green and (green[name][1] or reg[name].oracle is None)
+        if not signed:
             assert names.index(name) < WINDOW, (
                 f"{name} epoch-reset but outside the driver window"
+            )
+
+
+def test_no_oracle_epoch_bump_drags_its_audit():
+    """Bumping the epoch of a designed no-oracle query must bump its
+    paired hash-verified audit at least as far — the audit carries the
+    value check, so leaving it behind would keep signing the OLD
+    semantics (q77→q109 moved together in r09; _AUDIT_OF encodes it)."""
+    from citibike_analysis_spark.plans import _AUDIT_OF, _EPOCH
+
+    reg = all_queries()
+    no_oracle = {n for n in reg if reg[n].oracle is None}
+    # every designed no-oracle query has a declared audit, and the
+    # audit is itself oracle-backed
+    assert no_oracle == set(_AUDIT_OF), (
+        f"no-oracle queries without a declared audit pairing: "
+        f"{no_oracle ^ set(_AUDIT_OF)}"
+    )
+    for name, audit in _AUDIT_OF.items():
+        assert reg[audit].oracle is not None, f"{audit} is not hash-verified"
+        if name in _EPOCH:
+            assert _EPOCH.get(audit, 0) >= _EPOCH[name], (
+                f"{name} epoch {_EPOCH[name]} outruns its audit {audit} "
+                f"(epoch {_EPOCH.get(audit, 0)})"
             )
