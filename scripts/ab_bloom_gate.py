@@ -70,7 +70,11 @@ spark = get_spark(app_name="ab_bloom", master=f"local[{cpus}]",
                   shuffle_partitions={cpus}, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(corpus_dir + "/documents.parquet")
-bench = docs.sample(frac, seed=7).select("doc_id", "text")
+# fraction MUST be a keyword: sample(0.1, seed=7) binds 0.1 to
+# withReplacement and PySpark's overload shim silently DROPS the seed
+# (plan shows a fresh random seed per DataFrame), which made cells
+# disagree on rows across passes/modes until r10 pinned it
+bench = docs.sample(fraction=frac, seed=7).select("doc_id", "text")
 fn = contamination_flags_bloom if mode == "bloom" else contamination_flags
 
 def run():
@@ -102,7 +106,7 @@ spark = get_spark(app_name="bloom_fpp", master=f"local[{cpus}]",
                   shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(corpus_dir + "/documents.parquet")
-bench = docs.sample(frac, seed=7).select("doc_id", "text")
+bench = docs.sample(fraction=frac, seed=7).select("doc_id", "text")
 
 # rebuild the operator's own probe frames (same building blocks) and
 # count: total probes, true-member probes, bloom-positive probes
