@@ -173,3 +173,35 @@ def test_no_oracle_epoch_bump_drags_its_audit():
                 f"{name} epoch {_EPOCH[name]} outruns its audit {audit} "
                 f"(epoch {_EPOCH.get(audit, 0)})"
             )
+
+
+def test_no_seed_dropping_sample_calls():
+    """r10 lesson: ``df.sample(0.1, seed=7)`` binds 0.1 to
+    ``withReplacement`` and PySpark's overload shim SILENTLY DROPS the
+    seed — the plan gets a fresh random seed per DataFrame, so results
+    differ across JVMs while looking stable within one (this burned
+    ab_bloom_gate's cross-mode row assert). Any seeded sample must pass
+    ``fraction=`` as a keyword; positional-fraction calls are banned
+    repo-wide (engine + scripts — harness determinism is what the A/B
+    protocol rests on)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    bad = []
+    for sub in ("citibike_analysis_spark", "scripts"):
+        for p in (root / sub).rglob("*.py"):
+            for i, line in enumerate(p.read_text().splitlines(), 1):
+                m = re.search(r"\.sample\(\s*([^)]*)", line)
+                if not m:
+                    continue
+                args = m.group(1)
+                first = args.split(",")[0].strip()
+                # positional first arg that is not an explicit keyword
+                # and not a boolean withReplacement → fraction slot
+                if first and "=" not in first and first not in ("True", "False"):
+                    bad.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+    assert not bad, (
+        "positional-fraction df.sample() calls (the seed is silently "
+        "dropped — use fraction= keyword):\n" + "\n".join(bad)
+    )
