@@ -661,16 +661,23 @@ def append_to_lsh_index(
     admission path, which is where an append belongs anyway) — the
     happy path pays no anti-join to enforce what the ingest pipeline
     already guarantees. ``assume_novel=False`` is the RECOVERY mode:
-    the batch is left-anti-joined against the existing ``__vecs`` ids
-    first (one column-pruned scan of the id column; the batch side
-    shuffles, the bucketed index side does not), making the append
-    idempotent — this is how a batch is safely re-ingested after a
-    crash, because a blind re-append would duplicate its ids in
-    ``__vecs`` and duplicated vectors join the probe once per copy at
-    distinct ``rk`` values, eating top-k slots (r09 ADVICE; the probe
-    additionally dedupes ``__vecs`` on read as belt-and-braces, and
-    :func:`verify_lsh_index_consistency` raises on the duplicate
-    state with a compaction instruction).
+    the batch is left-anti-joined PER TABLE — vectors against the
+    existing ``__vecs`` ids, bucket rows against the bucket table's
+    ids (two column-pruned id scans; each anti-join shuffles the
+    index table's id column once — the rare-path price of converging
+    recovery, which is why the happy path skips it) — making the
+    append idempotent AND completing: re-ingesting after a crash
+    between the two writes
+    appends nothing to ``__vecs`` (the ids landed) but DOES land the
+    missing bucket rows, restoring the orphans' candidacy. A single
+    anti-join against ``__vecs`` alone would skip the orphaned ids
+    entirely and leave the batch probe-invisible forever — safe but
+    not a recovery. The blind re-append it replaces would duplicate
+    ids in ``__vecs``, and duplicated vectors join the probe once per
+    copy at distinct ``rk`` values, eating top-k slots (r09 ADVICE;
+    the probe additionally dedupes ``__vecs`` on read as
+    belt-and-braces, and :func:`verify_lsh_index_consistency` raises
+    on the duplicate state with a compaction instruction).
 
     Crash ordering (r09 ADVICE): the two appends are not atomic, so
     the write order is chosen to make the torn state RECOVERABLE
@@ -679,8 +686,10 @@ def append_to_lsh_index(
     no bucket rows), which probes never surface as candidates —
     correctness of everything already indexed is untouched, and the
     batch is simply not yet indexed. Recover by re-ingesting the batch
-    with ``assume_novel=False`` (idempotent; a bare re-ingest would
-    duplicate the orphaned ids) or by a full rebuild.
+    with ``assume_novel=False`` (idempotent per table: the orphaned
+    ids' vectors are skipped, their missing bucket rows land — the
+    index converges to the clean post-append state; a bare re-ingest
+    would instead duplicate the orphaned ids) or by a full rebuild.
     The reverse order would leave bucket rows whose vectors are absent
     from ``__vecs``; the probe's inner join then silently DROPS those
     candidates — undetected recall loss. Belt and braces, that torn
@@ -707,21 +716,27 @@ def append_to_lsh_index(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
     )
+    bv_buckets = bv
     if not assume_novel:
-        # idempotent recovery: drop ids already present. The anti-join
-        # shuffles only the (small) batch — the __vecs side is bucketed
-        # on neighbor_id and only its id column is read.
+        # idempotent PER-TABLE recovery: each table drops only the ids
+        # IT already holds, so a torn append (vectors landed, bucket
+        # rows didn't) converges instead of being skipped. The
+        # anti-joins shuffle only the (small) batch — the bucketed
+        # index sides read just their id column. Materialize each
+        # survivor set eagerly so the writes below cannot observe a
+        # catalog state their own sibling write just changed.
         bv = bv.join(
             spark.table(f"{table}__vecs").select("neighbor_id"),
             "neighbor_id",
             "left_anti",
-        )
-        # the anti-join is lazily evaluated inside BOTH writes below;
-        # materialize the survivor set once so the second write cannot
-        # see a different __vecs state than the first one appended to
-        bv = bv.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
+        bv_buckets = bv_buckets.join(
+            spark.table(table).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
     bucketed = _bucketize(
-        bv,
+        bv_buckets,
         "neighbor_id",
         "_cv",
         _planes_matrix(bits, tables, dim, seed),

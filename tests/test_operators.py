@@ -754,19 +754,23 @@ class TestPersistedLshIndex:
                 as_double(F.col("embedding")).alias("_cv"),
             )
             append_bucketed(bv, f"{t}__vecs", ["neighbor_id"], 16)
-            # (a) documented recovery: idempotent re-ingest. The orphaned
-            # ids are skipped (no duplicates), the rest of the batch —
-            # here none, the whole batch was orphaned — appends cleanly;
-            # the bucket rows for the orphans are still missing, so
-            # recover the batch's CANDIDACY with a second idempotent
-            # pass over... no: assume_novel=False skips orphaned ids
-            # entirely, so their bucket rows never land. The recovery
-            # for a torn VECS write is re-bucketing, which the blind
-            # path below exercises; assume_novel=False's contract is
-            # narrower: it never CREATES duplicates.
+            # (a) documented recovery: the idempotent re-ingest is
+            # PER-TABLE (r10) — the orphaned ids' vectors are skipped
+            # (no duplicates) while their missing bucket rows land, so
+            # the index CONVERGES to the clean appended state: probe
+            # equality with the full build, not just absence of
+            # duplicates
             append_to_lsh_index(batch, t, assume_novel=False, **params)
             vec_ids = spark.table(f"{t}__vecs").groupBy("neighbor_id").count()
             assert vec_ids.filter(F.col("count") > 1).count() == 0
+            assert key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            ) == clean
+            # and a SECOND recovery pass is a no-op on both tables
+            nb, nv = spark.table(t).count(), spark.table(f"{t}__vecs").count()
+            append_to_lsh_index(batch, t, assume_novel=False, **params)
+            assert spark.table(t).count() == nb
+            assert spark.table(f"{t}__vecs").count() == nv
             # (b) blind re-ingest: duplicates land, probe still clean
             append_to_lsh_index(batch, t, **params)
             dup_ids = (
