@@ -889,6 +889,16 @@ def lsh_index_topk(
     buckets), so a mismatch — or an unstamped index, including an EMPTY
     one — raises with a rebuild instruction instead (r04 ADVICE; moved
     from a per-row column to a table property in r05).
+
+    Candidate-small contract (r07; made concrete by measurement in
+    r10): the candidate frame is explicitly broadcast, and its size is
+    ~|corpus|/2^bits × tables rows per query — FIXED ``bits`` on a
+    GROWING corpus walks this probe into a broadcast the driver heap
+    cannot afford (measured: bits=6 at 200k vecs → ~10M-pair candidate
+    frames → `Not enough memory to build and broadcast` at the default
+    8 GB heap; bits=9 at the same corpus probes in 2.8 s). Size
+    ``bits`` to the corpus when calling with explicit parameters —
+    production near-dup paths inherit this from auto-bits sizing.
     """
     idx = _verify_index_stamp(spark, table, bits, tables, dim, seed, "probe")
     qv = queries.select(

@@ -28,7 +28,11 @@ per-rep cache clear, min reported (the scale_rehearsal convention).
 Usage: python scripts/ab_compact.py [workdir]
 Env: AC_SCALE (default x10), AC_APPENDS (default 32), AC_REPS
 (default 3), AC_CPUS (default 32), AC_K (default 10), AC_NQ (default
-500 query vectors).
+500 query vectors), AC_BITS (default 6 — SIZE IT to the corpus: the
+probe's candidate set is explicit-bits-sized, ~n/2^bits vecs per
+bucket x 8 tables per query; bits=6 at 200k vecs broadcasts ~10M-pair
+candidate frames per probe and tips an 8g heap by the third point —
+the r10 x100 lesson; production callers get this from auto-bits).
 Prints one JSON line per point and a summary with degraded/fresh and
 compacted/degraded probe-wall ratios + file counts.
 """
@@ -56,16 +60,16 @@ from citibike_analysis_spark.operators.similarity import (
     lsh_index_topk,
 )
 
-corpus_dir, n_appends, reps, k, nq = (
+corpus_dir, n_appends, reps, k, nq, bits = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
-    int(sys.argv[5]),
+    int(sys.argv[5]), int(sys.argv[6]),
 )
 spark = get_spark(app_name="ab_compact", master="local[{cpus}]",
                   shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
 emb = spark.read.parquet(corpus_dir + "/embeddings.parquet")
 queries = emb.filter(F.col("vec_id") < nq)
-params = dict(bits=6, tables=8)
+params = dict(bits=bits, tables=8)
 table = "ab_compact_idx"
 
 def files():
@@ -133,6 +137,7 @@ def main() -> int:
             os.environ.get("AC_REPS", "3"),
             os.environ.get("AC_K", "10"),
             os.environ.get("AC_NQ", "500"),
+            os.environ.get("AC_BITS", "6"),
         ],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
