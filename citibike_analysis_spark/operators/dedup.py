@@ -471,9 +471,17 @@ def bloom_m_bits(n_items: int, bits_per_item: int = 16) -> int:
     benchmark gram, rounded up to a power of two, floor 1024. Exported
     so instruments (``scripts/ab_bloom_gate.py``) measure the EXACT
     filter the operator ships instead of re-deriving the sizing inline
-    (r09 ADVICE — an inline copy silently desynchronizes)."""
+    (r09 ADVICE — an inline copy silently desynchronizes).
+
+    ``n_items <= 0`` returns the 1024 floor (r10 ADVICE: the operator
+    guards its own empty-benchmark case before calling, but the helper
+    is public and the FPP instrument calls it on a sampled gram count —
+    an unlucky empty sample crashed with an opaque ``math domain
+    error`` from ``log2(0)`` instead of degrading to the floor)."""
     import math
 
+    if n_items <= 0:
+        return 1024
     return max(1024, 1 << math.ceil(math.log2(bits_per_item * n_items)))
 
 

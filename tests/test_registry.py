@@ -184,23 +184,42 @@ def test_no_seed_dropping_sample_calls():
     ``fraction=`` as a keyword; positional-fraction calls are banned
     repo-wide (engine + scripts — harness determinism is what the A/B
     protocol rests on)."""
+    import ast
     import pathlib
-    import re
 
     root = pathlib.Path(__file__).resolve().parents[1]
     bad = []
+    # receivers whose .sample() is NOT a DataFrame API (stdlib/numpy
+    # RNGs take positional args by design); anything else flags — the
+    # ban stays conservative for unknown receivers (r10 ADVICE: the
+    # old single-line regex missed multi-line calls and would have
+    # false-positived random.sample)
+    exempt_receivers = {"random", "rng", "np_rng"}
     for sub in ("citibike_analysis_spark", "scripts"):
         for p in (root / sub).rglob("*.py"):
-            for i, line in enumerate(p.read_text().splitlines(), 1):
-                m = re.search(r"\.sample\(\s*([^)]*)", line)
-                if not m:
+            tree = ast.parse(p.read_text(), filename=str(p))
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "sample"
+                ):
                     continue
-                args = m.group(1)
-                first = args.split(",")[0].strip()
-                # positional first arg that is not an explicit keyword
-                # and not a boolean withReplacement → fraction slot
-                if first and "=" not in first and first not in ("True", "False"):
-                    bad.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+                recv = node.func.value
+                if isinstance(recv, ast.Name) and recv.id in exempt_receivers:
+                    continue
+                # positional args that are not a literal boolean
+                # withReplacement occupy the fraction slot → the seed
+                # keyword is silently dropped by PySpark's overload shim
+                positional_fraction = any(
+                    not (isinstance(a, ast.Constant) and isinstance(a.value, bool))
+                    for a in node.args
+                )
+                if positional_fraction:
+                    bad.append(
+                        f"{p.relative_to(root)}:{node.lineno}: "
+                        f"{ast.unparse(node)[:100]}"
+                    )
     assert not bad, (
         "positional-fraction df.sample() calls (the seed is silently "
         "dropped — use fraction= keyword):\n" + "\n".join(bad)
