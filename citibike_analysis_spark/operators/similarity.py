@@ -491,6 +491,15 @@ def build_lsh_index(
     # table bucketed by neighbor_id for shuffle-free re-attachment.
     write_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
     write_bucketed(cv, f"{table}__vecs", ["neighbor_id"], num_buckets)
+    # a rebuild supersedes any pending removals — stale tombstones from
+    # the prior incarnation would mask fresh ids. Safe at any crash
+    # point: the stamp below lands LAST, so a partially-built index
+    # raises at probe/append until the rebuild is re-run.
+    from citibike_analysis_spark.sources.bucketed import (
+        _clear_table_and_orphaned_location,
+    )
+
+    _clear_table_and_orphaned_location(corpus.sparkSession, f"{table}__tombs")
     # stamp at TABLE altitude, not per row: a constant column costs index
     # bytes per (vector × table) row and a limit-1 Spark job per probe,
     # and an EMPTY index would vacuously pass a row-level check (review
@@ -504,12 +513,16 @@ def build_lsh_index(
 
 def _verify_index_stamp(
     spark, table: str, bits: int, tables: int, dim: int, seed: int, action: str
-) -> DataFrame:
+) -> tuple[DataFrame, int | None]:
     """Verify a persisted index's sign-convention/parameter stamp and
-    return the (stamp-column-free) index frame. A mismatch — or an
-    unstamped index, including an EMPTY one — raises with a rebuild
-    instruction: probing OR appending under a different convention
-    silently loses candidates (sign bits differ → wrong buckets).
+    return ``(idx, n_vectors)``: the (stamp-column-free) index frame
+    plus the ``__vecs`` row count when the tear check computed it
+    (None on the legacy single-table layout) — the probe's broadcast
+    preflight reuses that count instead of paying a second job. A
+    mismatch — or an unstamped index, including an EMPTY one — raises
+    with a rebuild instruction: probing OR appending under a different
+    convention silently loses candidates (sign bits differ → wrong
+    buckets).
 
     Also verifies the two-table layout's TEAR invariant (r09 ADVICE):
     every bucket row must have its vector in ``__vecs``, because the
@@ -556,6 +569,7 @@ def _verify_index_stamp(
     if "_stamp" in idx.columns:
         idx = idx.drop("_stamp")
     vt = f"{table}__vecs"
+    nv: int | None = None
     if "_cv" not in idx.columns and spark.catalog.tableExists(vt):
         nb = idx.count()
         nv = spark.table(vt).count()
@@ -568,7 +582,7 @@ def _verify_index_stamp(
                 "vector-less candidates; rebuild with build_lsh_index "
                 "over the full corpus"
             )
-    return idx
+    return idx, nv
 
 
 def verify_lsh_index_consistency(spark, table: str) -> int:
@@ -582,10 +596,19 @@ def verify_lsh_index_consistency(spark, table: str) -> int:
     for probe VALUES since the probe dedupes vectors on read, but
     non-canonical: storage and the count-invariant screen inflate;
     heal with :func:`compact_lsh_index`, which dedupes while
-    rewriting — r09 ADVICE); returns the count of ORPHAN vectors
-    (``__vecs`` rows with no bucket rows — benign for correctness:
-    they are never candidates; an interrupted append's residue to be
-    absorbed by the next rebuild/compaction). This is the on-demand
+    rewriting — r09 ADVICE) or if a pending tombstone id is NULL (a
+    NULL never equi-joins, so the probe's anti-join mask would
+    silently skip it — the one deleted-but-present state that is NOT
+    masked; :func:`remove_from_lsh_index` rejects NULLs at write, so
+    a NULL tombstone means hand-edited state — r11); returns the
+    count of ORPHAN vectors (``__vecs`` rows with no bucket rows —
+    benign for correctness: they are never candidates; an interrupted
+    append's residue to be absorbed by the next rebuild/compaction).
+    Tombstoned ids are EXCLUDED from the orphan count: a compaction
+    that crashed between its two table swaps leaves removed ids as
+    vectors-without-buckets, which is a pending deletion doing its
+    job (probes mask it; the next compaction purges it), not an
+    anomaly. This is the on-demand
     recovery audit for an index of unknown provenance; the per-probe
     hot path runs only the O(#files) count invariant in
     ``_verify_index_stamp`` because this anti-join re-shuffles the
@@ -621,11 +644,26 @@ def verify_lsh_index_consistency(spark, table: str) -> int:
             "the layout is non-canonical; run compact_lsh_index to "
             "dedupe while rewriting"
         )
-    return (
-        vecs.select("neighbor_id")
-        .join(idx.select("neighbor_id").distinct(), "neighbor_id", "left_anti")
-        .count()
+    orphans = vecs.select("neighbor_id").join(
+        idx.select("neighbor_id").distinct(), "neighbor_id", "left_anti"
     )
+    tt = f"{table}__tombs"
+    if spark.catalog.tableExists(tt):
+        tombs = spark.table(tt)
+        nulls = tombs.filter(F.col("neighbor_id").isNull()).count()
+        if nulls:
+            raise ValueError(
+                f"LSH index table {table!r} has {nulls} NULL id(s) in "
+                f"{tt!r} — a NULL tombstone never equi-joins, so the "
+                "probe's mask silently skips it (the row stays "
+                "candidate-visible); remove_from_lsh_index rejects "
+                "NULLs, so this state was hand-edited — fix the "
+                "tombstone table or rebuild"
+            )
+        # tombstoned vectors-without-buckets = a deletion in progress
+        # (crash between compaction's two swaps), not an anomaly
+        orphans = orphans.join(F.broadcast(tombs), "neighbor_id", "left_anti")
+    return orphans.count()
 
 
 def append_to_lsh_index(
@@ -661,15 +699,21 @@ def append_to_lsh_index(
     admission path, which is where an append belongs anyway) — the
     happy path pays no anti-join to enforce what the ingest pipeline
     already guarantees. ``assume_novel=False`` is the RECOVERY mode:
-    the batch is left-anti-joined PER TABLE — vectors against the
-    existing ``__vecs`` ids, bucket rows against the bucket table's
-    ids (two column-pruned id scans; each anti-join shuffles the
-    index table's id column once — the rare-path price of converging
-    recovery, which is why the happy path skips it) — making the
-    append idempotent AND completing: re-ingesting after a crash
-    between the two writes
+    the batch is left-anti-joined at the finest grain that exists —
+    vectors against the existing ``__vecs`` ids, bucket rows against
+    the bucket table's ``(neighbor_id, tbl)`` PAIRS (two pruned
+    scans; each anti-join shuffles the index table's key columns once
+    — the rare-path price of converging recovery, which is why the
+    happy path skips it) — making the append idempotent AND
+    completing: re-ingesting after a crash between the two writes
     appends nothing to ``__vecs`` (the ids landed) but DOES land the
-    missing bucket rows, restoring the orphans' candidacy. A single
+    missing bucket rows, restoring the orphans' candidacy — and that
+    holds even if a task-committing writer (FileOutputCommitter v2,
+    some object-store committers) crash-committed only SOME tables'
+    bucket rows for an id (r10 ADVICE: the earlier id-grain anti-join
+    skipped such an id, leaving it partially indexed — reduced recall
+    — forever; within one table the bucket key is a pure function of
+    the id, so an (id, tbl) row either committed or did not). A single
     anti-join against ``__vecs`` alone would skip the orphaned ids
     entirely and leave the batch probe-invisible forever — safe but
     not a recovery. The blind re-append it replaces would duplicate
@@ -716,37 +760,129 @@ def append_to_lsh_index(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("_cv"),
     )
-    bv_buckets = bv
-    if not assume_novel:
-        # idempotent PER-TABLE recovery: each table drops only the ids
-        # IT already holds, so a torn append (vectors landed, bucket
-        # rows didn't) converges instead of being skipped. The
-        # anti-joins shuffle only the (small) batch — the bucketed
-        # index sides read just their id column. Materialize each
-        # survivor set eagerly so the writes below cannot observe a
-        # catalog state their own sibling write just changed.
-        bv = bv.join(
-            spark.table(f"{table}__vecs").select("neighbor_id"),
-            "neighbor_id",
-            "left_anti",
-        ).localCheckpoint(eager=True)
-        bv_buckets = bv_buckets.join(
-            spark.table(table).select("neighbor_id"),
-            "neighbor_id",
-            "left_anti",
-        ).localCheckpoint(eager=True)
+    tt = f"{table}__tombs"
+    if spark.catalog.tableExists(tt):
+        # a batch id that is TOMBSTONED (removed via
+        # remove_from_lsh_index, not yet purged by compaction) would
+        # append fine and then be probe-invisible — the silently-lost
+        # write. Refuse loudly: re-adding a removed id requires
+        # compact_lsh_index first (which purges the tombstones).
+        overlap = (
+            bv.select("neighbor_id")
+            .join(F.broadcast(spark.table(tt)), "neighbor_id", "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"{overlap} batch id(s) are tombstoned in {tt!r} — an "
+                "appended tombstoned id would be probe-invisible; run "
+                "compact_lsh_index to purge the tombstones first, then "
+                "re-append"
+            )
     bucketed = _bucketize(
-        bv_buckets,
+        bv,
         "neighbor_id",
         "_cv",
         _planes_matrix(bits, tables, dim, seed),
         bits,
         tables,
     ).select("neighbor_id", "tbl", "bkt")
+    if not assume_novel:
+        # idempotent PER-(id, TABLE) recovery: the vectors side drops
+        # the ids __vecs already holds; the buckets side drops the
+        # (neighbor_id, tbl) pairs already present, so a torn append
+        # (vectors landed, bucket rows didn't — or, under a
+        # task-committing writer, only SOME tables' bucket rows
+        # landed; r10 ADVICE) converges instead of being skipped or
+        # partially indexed forever. (id, tbl) is the finest grain
+        # that exists: within one table the bucket key is a pure
+        # function of the id, so one (id, tbl) row either committed
+        # or didn't. The anti-joins shuffle only the (small) batch —
+        # the bucketed index sides read just two pruned columns.
+        # Materialize each survivor set eagerly so the writes below
+        # cannot observe a catalog state their own sibling write just
+        # changed.
+        bv = bv.join(
+            spark.table(f"{table}__vecs").select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        bucketed = bucketed.join(
+            spark.table(table).select("neighbor_id", "tbl"),
+            ["neighbor_id", "tbl"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
     # __vecs FIRST — see "Crash ordering" above: torn = orphan vectors
     # (benign, detectable), never vector-less bucket rows (silent loss)
     append_bucketed(bv, f"{table}__vecs", ["neighbor_id"], num_buckets)
     append_bucketed(bucketed, table, ["tbl", "bkt"], num_buckets)
+
+
+def remove_from_lsh_index(
+    spark,
+    table: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove ids from a persisted :func:`build_lsh_index` table — the
+    FIFTH leg of the index lifecycle (r10 VERDICT #4): build / probe /
+    append / compact / REMOVE. The decontamination and
+    right-to-be-forgotten operation a production corpus index needs:
+    when documents are retracted from the training set, their vectors
+    must stop surfacing as neighbors WITHOUT a full-corpus rebuild.
+
+    Mechanism: TOMBSTONES, not a rewrite. The ids land in a sibling
+    ``<table>__tombs`` table (one append-mode write — removal cost is
+    O(|ids|), never O(|corpus|); at a 100 TB index an eager anti-join
+    rewrite of both tables per removal batch would pay the full-index
+    I/O that :func:`compact_lsh_index` exists to amortize). Probes
+    anti-join the tombstone set against the vectors side (broadcast —
+    removal-batch-sized; the exchange-free probe plan is unchanged),
+    so removed ids are neighbor-invisible from the moment this
+    returns; a probe after removal equals a probe of a fresh build
+    without those ids EXACTLY (same planes, same candidates minus the
+    removed, same rounding/tie-breaks — pinned by q135 and pytest).
+    The next :func:`compact_lsh_index` ABSORBS the tombstones: the
+    rewrite anti-joins both tables and drops ``__tombs``, restoring
+    the tombstone-free probe plan and reclaiming the bytes.
+
+    Crash shape: ONE write, job-atomic under Spark's default commit
+    protocol — there is no torn-delete state (the r09 append lesson's
+    two-write problem doesn't arise). A crashed removal leaves no
+    committed tombstones; a re-run is idempotent (duplicate tombstone
+    rows are harmless to the anti-join and deduped at compaction).
+    The stamp and the ``rows(buckets) ≤ tables × rows(__vecs)``
+    screen are untouched (tombstoned rows stay physically present
+    until compaction).
+
+    Interlocks: NULL ids are rejected (a NULL never equi-joins, so a
+    NULL tombstone would silently mask nothing); the legacy
+    single-table layout is refused (rebuild first);
+    :func:`append_to_lsh_index` refuses a batch that re-adds a
+    tombstoned id (it would be probe-invisible — compact first).
+    Returns the number of (distinct, non-null) ids tombstoned.
+    """
+    if not spark.catalog.tableExists(table):
+        raise ValueError(f"LSH index table {table!r} does not exist")
+    if "_cv" in spark.table(table).columns:
+        raise ValueError(
+            f"LSH index table {table!r} uses the legacy single-table "
+            "layout — removal needs the two-table layout; rebuild with "
+            "build_lsh_index"
+        )
+    tombs = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    counts = tombs.agg(
+        F.count("*").alias("n"), F.count("neighbor_id").alias("nn")
+    ).collect()[0]
+    if counts["n"] != counts["nn"]:
+        raise ValueError(
+            "remove_from_lsh_index: NULL id in the removal set — a NULL "
+            "tombstone never equi-joins, so it would silently mask "
+            "nothing; drop the NULLs and decide their fate explicitly"
+        )
+    tt = f"{table}__tombs"
+    tombs.write.mode("append").format("parquet").saveAsTable(tt)
+    return counts["n"]
 
 
 def compact_lsh_index(spark, table: str) -> dict:
@@ -772,9 +908,26 @@ def compact_lsh_index(spark, table: str) -> dict:
     Compaction also CANONICALIZES: exact-duplicate bucket rows and
     duplicated ``__vecs`` ids (the residue of a blind re-ingest after
     an interrupted append — r09 ADVICE) are dropped during the
-    rewrite. Probe results are unchanged by construction: the probe
-    dedupes candidates and vectors on read, so removing the duplicate
-    source rows removes only wasted I/O.
+    rewrite, and pending TOMBSTONES (:func:`remove_from_lsh_index`)
+    are ABSORBED — both tables are anti-joined against ``__tombs``
+    during the same single-shuffle rewrite and the tombstone table is
+    dropped once both swaps land (drop is LAST: a crash anywhere
+    earlier leaves the tombstones pending — probes keep masking them,
+    and the next compaction absorbs them; between the two table swaps
+    the worst state is orphan vectors, the benign direction). Probe
+    results are unchanged by construction: the probe dedupes
+    candidates, dedupes vectors, and masks tombstones on read, so
+    removing the duplicate/tombstoned source rows removes only wasted
+    I/O and the mask's broadcast anti-join.
+
+    Duplicate-id safety (r10 ADVICE): dropping ``__vecs`` duplicates
+    by id picks an arbitrary row per id — sound ONLY while duplicate
+    ids are byte-identical re-ingests (the one state the append
+    lifecycle can produce: a blind re-append of the same batch). If
+    an id is ever present with TWO DIFFERENT vectors — an upstream
+    bug this layout cannot represent — compaction now RAISES instead
+    of silently keeping an arbitrary one (one extra distinct-count
+    pass over ``__vecs``, maintenance-scale).
 
     Crash windows (session-scoped catalog, same posture as
     ``write_bucketed``): the compacted copy is built under
@@ -831,6 +984,31 @@ def compact_lsh_index(spark, table: str) -> dict:
         # with an unrelated error (r09 ADVICE)
         loc = props["Location"]
         raw = spark.read.schema(spark.table(t).schema).parquet(loc)
+        if spark.catalog.tableExists(f"{table}__tombs"):
+            # absorb pending removals into the same rewrite (broadcast
+            # anti-join — the tombstone set is removal-batch-sized)
+            raw = raw.join(
+                F.broadcast(spark.table(f"{table}__tombs")),
+                "neighbor_id",
+                "left_anti",
+            )
+        if t != table:
+            # r10 ADVICE: the id-grain dedup below keeps an arbitrary
+            # row per id — assert the rows it chooses among are
+            # byte-identical first
+            chk = raw.agg(
+                F.countDistinct("neighbor_id").alias("ids"),
+                F.countDistinct("neighbor_id", "_cv").alias("pairs"),
+            ).collect()[0]
+            if chk["pairs"] != chk["ids"]:
+                raise ValueError(
+                    f"{t!r} holds {chk['pairs'] - chk['ids']} id(s) with "
+                    "MORE THAN ONE distinct vector — re-ingest duplicates "
+                    "must be byte-identical (append never mutates a "
+                    "vector); compacting would keep an arbitrary copy. "
+                    "Rebuild with build_lsh_index over the corrected "
+                    "corpus"
+                )
         # dropDuplicates AFTER the repartition: HashPartitioning on the
         # bucket cols satisfies the aggregate's clustering requirement
         # (bucket cols ⊆ dedup cols), so the dedup rides the same
@@ -863,7 +1041,46 @@ def compact_lsh_index(spark, table: str) -> dict:
             "files_before": files_before,
             "files_after": len(spark.table(t).inputFiles()),
         }
+    # tombstones are purged LAST — both rewrites committed, so the
+    # physical rows are gone; a crash before this line leaves the
+    # (now no-op) tombstones pending for the next compaction
+    if spark.catalog.tableExists(f"{table}__tombs"):
+        _clear_table_and_orphaned_location(spark, f"{table}__tombs")
     return out
+
+
+#: Probe-side candidate-broadcast cap (rows). The r10 measurement:
+#: ~10M bare (query_id, neighbor_id) candidate pairs OOM the broadcast
+#: BUILD on the engine-default 8 GB heap (`Not enough memory to build
+#: and broadcast`); 2M rows ≈ 32 MB of bare pairs — a 5× margin under
+#: the measured failure point even after the broadcast relation's
+#: object overhead. Above the cap the probe uses shuffle joins (same
+#: results, exchange-free on the bucketed index sides).
+#: ``SPARK_GRAFT_CAND_BROADCAST_MAX`` overrides (instruments/tests).
+_CAND_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _cand_broadcast_max_rows() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_CAND_BROADCAST_MAX", _CAND_BROADCAST_MAX_ROWS)
+    )
+
+
+def _cand_pair_estimate(
+    n_vectors: int | None, bits: int, tables: int, n_queries: int
+) -> float:
+    """Expected candidate rows of an index probe under uniform bucket
+    occupancy: each query meets ~``n_vectors / 2^bits`` corpus vectors
+    per table. Skewed buckets make this an underestimate, which is why
+    the cap carries a 5× margin below the measured OOM point. ``None``
+    vector count (legacy single-table layout) estimates infinite —
+    that layout carries vectors through its dedup shuffle anyway, so
+    it never took the explicit-broadcast path this estimate guards."""
+    if n_vectors is None:
+        return float("inf")
+    return n_vectors / float(1 << bits) * tables * n_queries
 
 
 def lsh_index_topk(
@@ -890,17 +1107,32 @@ def lsh_index_topk(
     one — raises with a rebuild instruction instead (r04 ADVICE; moved
     from a per-row column to a table property in r05).
 
-    Candidate-small contract (r07; made concrete by measurement in
-    r10): the candidate frame is explicitly broadcast, and its size is
-    ~|corpus|/2^bits × tables rows per query — FIXED ``bits`` on a
-    GROWING corpus walks this probe into a broadcast the driver heap
-    cannot afford (measured: bits=6 at 200k vecs → ~10M-pair candidate
-    frames → `Not enough memory to build and broadcast` at the default
-    8 GB heap; bits=9 at the same corpus probes in 2.8 s). Size
-    ``bits`` to the corpus when calling with explicit parameters —
-    production near-dup paths inherit this from auto-bits sizing.
+    Candidate-small contract (r07; measured in r10; GUARDED in r11):
+    the candidate frame is explicitly broadcast on the happy path, and
+    its size is ~|corpus|/2^bits × tables rows per query — FIXED
+    ``bits`` on a GROWING corpus walks this probe into a broadcast the
+    driver heap cannot afford (measured: bits=6 at 200k vecs →
+    ~10M-pair candidate frames → `Not enough memory to build and
+    broadcast` at the default 8 GB heap; bits=9 at the same corpus
+    probes in 2.8 s). The probe now PREFLIGHTS that estimate —
+    ``n_vectors / 2^bits × tables × n_queries`` from the counts the
+    stamp verification already pays plus one query-side count — and
+    above :data:`_CAND_BROADCAST_MAX_ROWS` (override:
+    ``SPARK_GRAFT_CAND_BROADCAST_MAX``) switches to SHUFFLE joins
+    instead of OOMing mid-query: the bucketed layout keeps both index
+    sides exchange-free (buckets on (tbl,bkt), vectors on
+    neighbor_id), so only the query/candidate side shuffles —
+    spill-safe at any size. Outputs are identical either way
+    (pytest-pinned); only the physical strategy changes. Sizing
+    ``bits`` to the corpus (auto-bits in the production near-dup
+    paths) keeps the estimate under the cap and the faster broadcast
+    plan. Reference anchor: the J5 O(n²) lesson
+    (/root/reference/notebooks/CitiBike-1.ipynb:222-240) — pair-stage
+    memory must never scale with an UNCHECKED pair count.
     """
-    idx = _verify_index_stamp(spark, table, bits, tables, dim, seed, "probe")
+    idx, n_vecs = _verify_index_stamp(
+        spark, table, bits, tables, dim, seed, "probe"
+    )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
@@ -925,12 +1157,22 @@ def lsh_index_topk(
             .select("query_id", "neighbor_id", "cosine_sim")
         )
     else:
+        # broadcast preflight (r10 measured / r11 guard — see
+        # docstring): estimate the candidate row count from the
+        # already-paid __vecs count plus one column-pruned query count;
+        # above the cap, drop the explicit broadcasts and let the
+        # bucketed layout carry the join (index sides exchange-free,
+        # query/candidate sides shuffle — disk-spillable, never a
+        # driver-heap build)
+        n_q = queries.select(id_col).count()
+        est = _cand_pair_estimate(n_vecs, bits, tables, n_q)
+        hint = F.broadcast if est <= _cand_broadcast_max_rows() else (lambda d: d)
         # bare-pair candidates (16-byte shuffle rows, the lsh_topk
         # economics), then shuffle-free vector re-attachment: the
         # __vecs sibling is bucketed on neighbor_id and the deduped
-        # candidate list broadcasts
+        # candidate list broadcasts (or, above the cap, shuffles)
         cand = (
-            idx.join(F.broadcast(q), ["tbl", "bkt"])
+            idx.join(hint(q), ["tbl", "bkt"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"])
@@ -944,9 +1186,23 @@ def lsh_index_topk(
         # bucket layout instead of adding an exchange (plan-asserted by
         # the probe's exchange-free pytest).
         vecs = spark.table(f"{table}__vecs").dropDuplicates(["neighbor_id"])
+        # tombstone mask (r11 — the deletion leg): ids removed via
+        # remove_from_lsh_index but not yet physically purged by
+        # compaction are anti-joined out HERE, at the vectors side —
+        # their bucket rows then die at the inner join below, so a
+        # tombstoned id can never surface as a candidate. The tombstone
+        # set is removal-batch-sized → broadcast (no new shuffle; the
+        # probe's exchange-free plan assertions hold with pending
+        # tombstones). Tombstone-free indexes pay one catalog
+        # existence check — no job.
+        tt = f"{table}__tombs"
+        if spark.catalog.tableExists(tt):
+            vecs = vecs.join(
+                F.broadcast(spark.table(tt)), "neighbor_id", "left_anti"
+            )
         scored = (
-            vecs.join(F.broadcast(cand), "neighbor_id")
-            .join(F.broadcast(qv), "query_id")
+            vecs.join(hint(cand), "neighbor_id")
+            .join(hint(qv), "query_id")
             .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
             .select("query_id", "neighbor_id", "cosine_sim")
         )

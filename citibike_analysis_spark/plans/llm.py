@@ -599,6 +599,86 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_
 """
 
 
+def q135_lsh_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable audit of the index lifecycle's FIFTH leg
+    (r10 VERDICT #4): build / append / probe / compact / REMOVE.
+    Builds the q44 index over the full corpus, tombstones every
+    ``vec_id % 10 == 3`` via `remove_from_lsh_index` (batch-cost
+    append to ``__tombs``, no rewrite), and asserts (a) the probe
+    after removal equals EXACTLY the probe of a fresh
+    `build_lsh_index` over the corpus WITHOUT those ids — a
+    deterministic equality (same planes, same candidate set minus the
+    removed, same rounding/tie-breaks), so the boolean is exact, not
+    a bound — and (b) `compact_lsh_index` ABSORBS the tombstones
+    (physical purge: ``__vecs`` row count drops to the kept count,
+    the tombstone table is gone) while preserving that same probe
+    set. One row (n_queries, n_corpus, n_removed,
+    removal_matches_fresh_build, purge_preserves_probe); the oracle
+    recomputes the three counts and states both TRUEs verbatim. The
+    k×|q| probe rows are collected driver-side for the set compares —
+    bounded audit-scale work, same class as q131/q134. Per-process
+    uuid + finally-drop (including ``__tombs`` and the compaction's
+    transient names), same as q131."""
+    import hashlib
+    import uuid
+
+    from citibike_analysis_spark.operators.similarity import (
+        build_lsh_index,
+        compact_lsh_index,
+        lsh_index_topk,
+        remove_from_lsh_index,
+    )
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    table = (
+        "q135_lsh_rm_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    ref = f"{table}_ref"
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    removed = e.filter(F.col("vec_id") % 10 == 3)
+    kept = e.filter(F.col("vec_id") % 10 != 3)
+    params = dict(bits=6, tables=8)
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+    )
+    try:
+        build_lsh_index(e, table, **params)
+        build_lsh_index(kept, ref, **params)
+        n_removed = remove_from_lsh_index(spark, table, removed)
+        after_rm = key(lsh_index_topk(spark, table, q, k=5, **params).collect())
+        fresh = key(lsh_index_topk(spark, ref, q, k=5, **params).collect())
+        removal_matches = bool(after_rm) and after_rm == fresh
+        compact_lsh_index(spark, table)
+        purged = key(lsh_index_topk(spark, table, q, k=5, **params).collect())
+        purge_preserves = (
+            purged == fresh
+            and not spark.catalog.tableExists(f"{table}__tombs")
+            and spark.table(f"{table}__vecs").count() == kept.count()
+        )
+    finally:
+        for tb in (table, ref):
+            for state in ("", "__vecs", "__tombs", "__compacting", "__old"):
+                spark.sql(f"DROP TABLE IF EXISTS {tb}{state}")
+    return spark.createDataFrame(
+        [(q.count(), e.count(), n_removed, removal_matches, purge_preserves)],
+        "n_queries bigint, n_corpus bigint, n_removed bigint, "
+        "removal_matches_fresh_build boolean, purge_preserves_probe boolean",
+    )
+
+
+Q135_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 = 3) AS BIGINT) AS n_removed,
+       TRUE AS removal_matches_fresh_build,
+       TRUE AS purge_preserves_probe
+"""
+
+
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
     for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
@@ -3919,5 +3999,10 @@ QUERIES: dict[str, QuerySpec] = {
         q134_lsh_compaction_audit,
         Q134_SQL,
         "§7 similarity-index-compaction-audit",
+    ),
+    "q135_lsh_deletion_audit": QuerySpec(
+        q135_lsh_deletion_audit,
+        Q135_SQL,
+        "§7 similarity-index-deletion-audit",
     ),
 }

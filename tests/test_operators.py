@@ -465,6 +465,79 @@ class TestPersistedLshIndex:
             spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
             spark.sql("DROP TABLE IF EXISTS lsh_idx_test__vecs")
 
+    def test_candidate_broadcast_preflight_rule(self):
+        """r10 VERDICT #1 / r11: the sizing rule the measurement pinned.
+        The measured OOM point (bits=6 at a 200k-vector corpus, ~10M
+        candidate pairs at 8 GB heap) must sit ABOVE the cap; the
+        measured-good point (bits=9, same corpus — probed in 2.8 s)
+        must keep the broadcast plan at probe-batch query counts."""
+        from citibike_analysis_spark.operators.similarity import (
+            _CAND_BROADCAST_MAX_ROWS,
+            _cand_pair_estimate,
+        )
+
+        oom_point = _cand_pair_estimate(200_000, 6, 8, 400)
+        assert oom_point == 10_000_000  # the measured failure scale
+        assert oom_point > _CAND_BROADCAST_MAX_ROWS
+        good_point = _cand_pair_estimate(200_000, 9, 8, 400)
+        assert good_point <= _CAND_BROADCAST_MAX_ROWS
+        # legacy single-table layout (no __vecs count): never broadcast
+        assert _cand_pair_estimate(None, 6, 8, 1) == float("inf")
+
+    def test_probe_falls_back_to_shuffle_joins_above_broadcast_cap(
+        self, spark, monkeypatch
+    ):
+        """r10 VERDICT #1 / r11 guard: with the candidate estimate over
+        the cap the probe must (a) return EXACTLY the broadcast-path
+        result and (b) plan with NO explicit broadcast — all joins
+        shuffle (spill-safe), with the bucketed index sides still
+        exchange-free. Auto-broadcast is disabled for the plan check so
+        the dropped hints are observable on this tiny corpus."""
+        from citibike_analysis_spark.operators.similarity import (
+            build_lsh_index,
+            lsh_index_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            build_lsh_index(emb, "lsh_idx_cap", **params)
+            broadcast_path = key(
+                lsh_index_topk(spark, "lsh_idx_cap", queries, k=5, **params)
+                .collect()
+            )
+            assert broadcast_path, "empty probe proves nothing"
+
+            monkeypatch.setenv("SPARK_GRAFT_CAND_BROADCAST_MAX", "0")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            fallback = lsh_index_topk(
+                spark, "lsh_idx_cap", queries, k=5, **params
+            )
+            assert key(fallback.collect()) == broadcast_path
+            # fresh (unexecuted) probe for the plan string — a collected
+            # AQE plan prints Final + Initial sections, double-counting
+            plan = (
+                lsh_index_topk(spark, "lsh_idx_cap", queries, k=5, **params)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "BroadcastExchange" not in plan
+            # the bucketed sides stay exchange-free even in shuffle
+            # mode: only the query side repartitions on (tbl, bkt), and
+            # only the candidate side on neighbor_id — never a
+            # partitioning of the index scans themselves
+            assert plan.count("Exchange hashpartitioning(tbl") <= 1
+            assert plan.count("Exchange hashpartitioning(neighbor_id") <= 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_cap")
+            spark.sql("DROP TABLE IF EXISTS lsh_idx_cap__vecs")
+
     def test_build_succeeds_over_orphaned_warehouse_location(self, spark):
         """r07 verdict #1: an interrupted build leaves the managed
         LOCATION on disk with no catalog entry (the catalog is
@@ -708,6 +781,174 @@ class TestPersistedLshIndex:
             for suffix in ("", "__vecs"):
                 for state in ("", "__compacting", "__old"):
                     spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}{state}")
+
+    def test_remove_from_lsh_index_lifecycle(self, spark):
+        """r10 VERDICT #4 (the deletion leg): removal must make ids
+        neighbor-invisible IMMEDIATELY (probe after delete ≡ probe of a
+        fresh build without those ids — exact, not a bound), at batch
+        cost (tombstones, no index rewrite); append must refuse a
+        tombstoned id; compaction must absorb the tombstones (physical
+        purge, tombstone table dropped, probe unchanged) after which
+        the id may be re-appended."""
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_lsh_index,
+            build_lsh_index,
+            compact_lsh_index,
+            lsh_index_topk,
+            remove_from_lsh_index,
+            verify_lsh_index_consistency,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        removed = emb.filter(F.col("vec_id") % 10 == 3)
+        kept = emb.filter(F.col("vec_id") % 10 != 3)
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        t, ref = "lsh_idx_rm", "lsh_idx_rm_ref"
+        try:
+            build_lsh_index(emb, t, **params)
+            full = key(lsh_index_topk(spark, t, queries, k=5, **params).collect())
+            build_lsh_index(kept, ref, **params)
+            n = remove_from_lsh_index(spark, t, removed)
+            assert n == removed.count()
+            after_rm = key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            )
+            fresh = key(
+                lsh_index_topk(spark, ref, queries, k=5, **params).collect()
+            )
+            assert after_rm and after_rm == fresh
+            assert after_rm != full, "removal changed nothing — fixture blind"
+            # deletion is idempotent and pending tombstones are not an
+            # audit anomaly
+            remove_from_lsh_index(spark, t, removed)
+            assert verify_lsh_index_consistency(spark, t) == 0
+            # re-adding a tombstoned id must refuse loudly
+            try:
+                append_to_lsh_index(removed, t, **params)
+                raise AssertionError("tombstoned re-append accepted")
+            except ValueError as e:
+                assert "tombstoned" in str(e)
+            # compaction absorbs: physical purge, tombstones dropped,
+            # probe unchanged
+            compact_lsh_index(spark, t)
+            assert not spark.catalog.tableExists(f"{t}__tombs")
+            assert key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            ) == fresh
+            assert (
+                spark.table(f"{t}__vecs").count() == kept.count()
+            ), "compaction did not physically purge the tombstoned rows"
+            # post-purge the id is free again: re-append restores the
+            # full-corpus probe
+            append_to_lsh_index(removed, t, **params)
+            assert key(
+                lsh_index_topk(spark, t, queries, k=5, **params).collect()
+            ) == full
+        finally:
+            for tb in (t, ref):
+                for s in ("", "__vecs", "__tombs", "__compacting", "__old"):
+                    spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+
+    def test_remove_from_lsh_index_guards(self, spark):
+        """The deletion leg's failure modes: NULL removal ids are
+        rejected at write (a NULL tombstone never equi-joins — it would
+        silently mask nothing); a hand-edited NULL tombstone makes the
+        deep audit raise; the crash window between compaction's two
+        swaps (removed ids purged from buckets, still in __vecs) reads
+        as a pending deletion, not as orphan anomalies; a rebuild
+        clears stale tombstones; an id present with two DIFFERENT
+        vectors makes compaction refuse instead of keeping an
+        arbitrary copy (r10 ADVICE)."""
+        from citibike_analysis_spark.operators.similarity import (
+            as_double,
+            build_lsh_index,
+            compact_lsh_index,
+            lsh_index_topk,
+            remove_from_lsh_index,
+            verify_lsh_index_consistency,
+        )
+        from citibike_analysis_spark.sources.bucketed import append_bucketed
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        params = dict(bits=6, tables=8)
+        t = "lsh_idx_rmg"
+        try:
+            build_lsh_index(emb, t, **params)
+            # (a) NULL ids rejected at write
+            nulls = spark.createDataFrame(
+                [(None,), (7,)], "vec_id: bigint"
+            )
+            try:
+                remove_from_lsh_index(spark, t, nulls)
+                raise AssertionError("NULL removal id accepted")
+            except ValueError as e:
+                assert "NULL" in str(e)
+            assert not spark.catalog.tableExists(f"{t}__tombs")
+            # (b) a hand-edited NULL tombstone raises at the deep audit
+            spark.createDataFrame(
+                [(None,)], "neighbor_id: bigint"
+            ).write.mode("overwrite").format("parquet").saveAsTable(
+                f"{t}__tombs"
+            )
+            try:
+                verify_lsh_index_consistency(spark, t)
+                raise AssertionError("NULL tombstone accepted by audit")
+            except ValueError as e:
+                assert "NULL" in str(e)
+            spark.sql(f"DROP TABLE {t}__tombs")
+            # (c) the compaction crash window: buckets purged, __vecs
+            # not — tombstoned vectors-without-buckets are a pending
+            # deletion (orphans == 0), and probes keep masking
+            removed = emb.filter(F.col("vec_id") % 10 == 3)
+            remove_from_lsh_index(spark, t, removed)
+            idsel = [r[0] for r in removed.select("vec_id").collect()]
+            from citibike_analysis_spark.sources.bucketed import write_bucketed
+
+            purged = spark.table(t).filter(~F.col("neighbor_id").isin(idsel))
+            write_bucketed(purged, f"{t}_half", ["tbl", "bkt"], 16)
+            # swap the half-compacted buckets in under the live name,
+            # preserving the stamp the rewrite would have carried
+            stamp = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+            }["cbs.lsh.stamp"]
+            spark.sql(f"DROP TABLE {t}")
+            spark.sql(f"ALTER TABLE {t}_half RENAME TO {t}")
+            spark.sql(
+                f"ALTER TABLE {t} SET TBLPROPERTIES ('cbs.lsh.stamp' = "
+                f"'{stamp}')"
+            )
+            spark.catalog.refreshTable(t)
+            assert verify_lsh_index_consistency(spark, t) == 0
+            probe = lsh_index_topk(spark, t, queries, k=5, **params)
+            got_ids = {r["neighbor_id"] for r in probe.collect()}
+            assert not (got_ids & set(idsel))
+            # (d) rebuild clears stale tombstones
+            build_lsh_index(emb, t, **params)
+            assert not spark.catalog.tableExists(f"{t}__tombs")
+            # (e) changed-vector duplicate refuses compaction
+            mut = emb.filter(F.col("vec_id") == 2).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.transform(
+                    as_double(F.col("embedding")), lambda x: x + F.lit(1.0)
+                ).alias("_cv"),
+            )
+            append_bucketed(mut, f"{t}__vecs", ["neighbor_id"], 16)
+            try:
+                compact_lsh_index(spark, t)
+                raise AssertionError("changed-vector duplicate compacted")
+            except ValueError as e:
+                assert "distinct vector" in str(e)
+        finally:
+            for s in ("", "__vecs", "__tombs", "__compacting", "__old", "_half"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
 
     def test_double_ingest_recovery(self, spark):
         """r09 ADVICE (medium): a crash between append's two writes
