@@ -33,7 +33,12 @@ contamination is real and the bench gram set scales with the corpus.
 
 Usage: python scripts/ab_bloom_gate.py [workdir]
 Env: BG_SCALE (x10|x100, default x10), BG_BENCH_FRAC (default 0.1),
-BG_REPS (default 2), BG_PASSES (default 2), BG_CPUS (default 32).
+BG_REPS (default 2), BG_PASSES (default 2), BG_CPUS (default 32),
+BG_MASTER (default local[BG_CPUS]; "cluster2" expands to
+local-cluster[2,BG_CPUS/2,24576] — the r10 verdict's process-boundary
+cell: exact/shuffle really crosses executor sockets there, so the
+bloom's shuffle-row cut gets a chance to buy wall time it cannot buy
+in one JVM where "shuffle" is a memcpy).
 Prints one JSON line per cell plus a summary with the
 bloom-vs-exact-shuffle ratio and the measured FPP.
 """
@@ -66,7 +71,12 @@ mode, corpus_dir, frac, reps = (
 extra = {{}}
 if mode != "exact/bcast":
     extra["spark.sql.autoBroadcastJoinThreshold"] = "-1"
-spark = get_spark(app_name="ab_bloom", master=f"local[{cpus}]",
+master = {master!r}
+if master.startswith("local-cluster"):
+    # the bracket is the worker's capacity; executors must still ASK
+    # for it (cluster_rehearsal convention)
+    extra["spark.executor.memory"] = "24g"
+spark = get_spark(app_name="ab_bloom", master=master,
                   shuffle_partitions={cpus}, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(corpus_dir + "/documents.parquet")
@@ -187,8 +197,11 @@ def main() -> int:
     reps = os.environ.get("BG_REPS", "2")
     passes = int(os.environ.get("BG_PASSES", "2"))
     cpus = int(os.environ.get("BG_CPUS", "32"))
+    master = os.environ.get("BG_MASTER", f"local[{cpus}]")
+    if master == "cluster2":
+        master = f"local-cluster[2,{cpus // 2},24576]"
 
-    child = _CHILD.format(repo=REPO, cpus=cpus)
+    child = _CHILD.format(repo=REPO, cpus=cpus, master=master)
     cells: dict[str, dict] = {}
     for p in range(passes):
         for mode in ("exact/bcast", "exact/shuffle", "bloom"):
@@ -210,6 +223,7 @@ def main() -> int:
     print(json.dumps({"fpp": fpp}), flush=True)
     summary = {
         "scale": scale,
+        "master": master,
         "bench_frac": float(frac),
         "cells": {m: cells[m]["sec"] for m in cells},
         "bloom_over_exact_shuffle": round(
