@@ -539,19 +539,26 @@ def contamination_flags_bloom(
     → 20 MB bitmap; the corpus can be arbitrarily large because it is
     never collected, joined, or shuffled before the gate).
 
-    Measured regime (r10, `scripts/ab_bloom_gate.py` + SCALE.md): on a
-    SINGLE NODE prefer :func:`contamination_flags` — the gate loses a
-    flat ~1.35–1.39× to the hashed exact shuffle join at both 11M and
-    111M probe grams, because a local[N] shuffle of 8-byte longs is
-    memory-speed while the gate's k hashes + bit tests are paid per
-    probe. What the gate buys is SHUFFLE-ROW REDUCTION — measured
-    9.34× (111.1M probe rows → 11.9M bloom-positive) at 10.7% true
-    contamination + 5.25e-4 observed FPP (= analytic; x10 read
-    2.27e-4 vs 2.36e-4, so the bits_per_item=16/k=4 sizing math holds
-    by measurement) — which converts to wall time only when the
-    shuffle crosses a NETWORK: use this form on multi-node
-    deployments where corpus ≫ benchmark and the probe-gram shuffle
-    is the bottleneck; use the exact form everywhere else.
+    Measured regime (r10 single-JVM + r11 process-boundary cells,
+    `scripts/ab_bloom_gate.py` + SCALE.md): on a SINGLE NODE prefer
+    :func:`contamination_flags` — the gate loses a flat ~1.35–1.39×
+    to the hashed exact shuffle join at both 11M and 111M probe
+    grams, because a local[N] shuffle of 8-byte longs is memory-speed
+    while the gate's k hashes + bit tests are paid per probe. What
+    the gate buys is SHUFFLE-ROW REDUCTION — measured 9.34× (111.1M
+    probe rows → 11.9M bloom-positive) at 10.7% true contamination +
+    5.25e-4 observed FPP (= analytic; x10 read 2.27e-4 vs 2.36e-4, so
+    the bits_per_item=16/k=4 sizing math holds by measurement) —
+    which converts to wall time as the shuffle crosses real process
+    boundaries: MEASURED under local-cluster[2,16] at x100 the gate
+    reaches statistical parity with the exact shuffle (ratio 1.056
+    min-basis, per-pass 1.37/0.98 inside the seam's ±15% band) —
+    the exact join slowed 1.32× crossing the socket boundary while
+    the gate stayed flat, so each further boundary (network,
+    node count) falls on the exact join's 9.34×-larger volume. Use
+    this form on multi-node deployments where corpus ≫ benchmark and
+    the probe-gram shuffle is the bottleneck; use the exact form on
+    single nodes and memory-local shuffles.
     """
     # both sides reduce grams to 64-bit hashes IMMEDIATELY (the exact
     # operator's economics: distinct/shuffle 8-byte longs, never gram
