@@ -376,6 +376,16 @@ def lsh_topk(
     p = 1 - θ/π. Per table the bucket key prunes candidates ~2^bits-fold;
     the candidate join is an equi-join on (table, bucket). Tune
     bits↑/tables↓ for throughput, bits↓/tables↑ for recall.
+
+    Candidate sizing: this in-memory one-shot form broadcasts its
+    candidate list under the same ~|corpus|/2^bits × tables × |queries|
+    economics as the persisted probe — but has no pre-paid corpus count
+    to preflight with, so the caller owns sizing ``bits`` to the corpus
+    (the auto-bits production paths do; see
+    :func:`near_duplicate_embeddings`). For repeated probes of a large
+    corpus use :func:`build_lsh_index` + :func:`lsh_index_topk`, whose
+    probe preflights the estimate and falls back to shuffle joins above
+    the broadcast cap (r11).
     """
     planes = _planes_matrix(bits, tables, dim, seed)
 
