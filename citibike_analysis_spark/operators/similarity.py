@@ -871,6 +871,16 @@ def remove_from_lsh_index(
     :func:`append_to_lsh_index` refuses a batch that re-adds a
     tombstoned id (it would be probe-invisible — compact first).
     Returns the number of (distinct, non-null) ids tombstoned.
+
+    UPDATE recipe (replacing a vector under an existing id, e.g. on
+    re-crawl/re-embed): ``remove(ids)`` → ``compact_lsh_index`` →
+    ``append(new batch)``. The compact step is REQUIRED, and the
+    append interlock enforces it: tombstones mask by id, so appending
+    a new vector while the old id is tombstoned would mask BOTH
+    copies, and appending without removing first would leave two live
+    vectors racing for the probe's per-id dedup. Batch updates
+    amortize the compaction across the whole re-embed set — the same
+    economics as the append leg's small-file absorption.
     """
     if not spark.catalog.tableExists(table):
         raise ValueError(f"LSH index table {table!r} does not exist")
@@ -1641,6 +1651,245 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+#: Scoring/assignment convention of the persisted IVF index. Bumped if
+#: the argmax trick, tie-break, or rounding in _assign_nearest /
+#: _train_centroids ever changes: lists assigned under one convention
+#: probed under another would silently lose candidates (same failure
+#: class as the LSH _SIG_CONVENTION).
+_IVF_CONVENTION = "spherical-lloyd-v1"
+
+#: catalog property carrying the IVF stamp on persisted lists tables
+_IVF_STAMP_PROP = "cbs.ivf.stamp"
+
+
+def _ivf_stamp(cents) -> str:
+    """Fingerprint of the convention + the EXACT centroid values. The
+    LSH stamp hashes parameters because planes are derivable from them;
+    IVF centroids are trained from data, so the values themselves are
+    the parameterization — hashing them means a probe detects a
+    cents/lists MISMATCH (e.g. a hand-rebuilt ``__cents`` sibling)
+    rather than trusting two tables to have moved together. Doubles
+    round-trip parquet exactly, so build-time and probe-time hashes
+    agree bit-for-bit."""
+    import hashlib
+    import json
+
+    payload = json.dumps([[cid, list(v)] for cid, v in cents])
+    return hashlib.md5(f"{_IVF_CONVENTION}:{payload}".encode()).hexdigest()[:16]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    train_iters: int = 4,
+    train_on: DataFrame | None = None,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the IVF assignment of a corpus as a BUCKETED catalog
+    table keyed on ``cid`` — the build-once / probe-many form of
+    :func:`ivf_topk`, completing the second ANN family's lifecycle
+    (the sign-LSH family got its persisted form in
+    :func:`build_lsh_index`).
+
+    What this buys at 100 TB, beyond the LSH index's economics: IVF
+    assigns each vector to exactly ONE list, so the lists table holds
+    each vector ONCE (the LSH layout needs a ``__vecs`` sibling
+    because each id appears ``tables`` times in its buckets table) —
+    a single table, a single append, no torn two-write state at all.
+    Training cost (the Lloyd iterations) is paid once at build time;
+    probes pay only |queries| × nlist centroid scores plus the probed
+    lists' verify.
+
+    ``train_on`` (default: the corpus) trains the centroids on a
+    SUBSAMPLE — the standard IVF practice at corpus scale (training
+    passes scan ``train_on`` per iteration, so a 1% sample makes
+    training ~100× cheaper while the full corpus is still assigned and
+    indexed) — and is also what makes append-equals-rebuild an exact
+    equality: ``build(even) + append(odd)`` ≡ ``build(full,
+    train_on=even)`` because both assign the full corpus under
+    centroids trained on the even half (q136 pins this).
+
+    Layout: ``<table>`` = (neighbor_id, _cv, cid) bucketed+sorted on
+    cid (a probe of ANY size joins the lists side exchange-free);
+    ``<table>__cents`` = the nlist × dim centroids (a few KB). The
+    stamp (see :func:`_ivf_stamp`) rides ``<table>``'s catalog
+    properties and binds the lists to the exact centroid values.
+    """
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    t = (
+        c
+        if train_on is None
+        else train_on.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("_cv"),
+        )
+    )
+    cents = _train_centroids(t, "neighbor_id", "_cv", nlist, train_iters)
+    lists = _assign_nearest(c, "neighbor_id", "_cv", cents).select(
+        "neighbor_id", "_cv", "cid"
+    )
+    from citibike_analysis_spark.sources.bucketed import (
+        _clear_table_and_orphaned_location,
+        write_bucketed,
+    )
+
+    write_bucketed(lists, table, ["cid"], num_buckets)
+    ct = f"{table}__cents"
+    _clear_table_and_orphaned_location(spark, ct)
+    _cent_df(spark, cents).write.mode("overwrite").format("parquet").saveAsTable(ct)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{_IVF_STAMP_PROP}' = '{_ivf_stamp(cents)}')"
+    )
+
+
+def _load_ivf_cents(spark, table: str, action: str):
+    """Load and stamp-verify a persisted IVF index's centroids. Raises
+    on an unstamped lists table (not built by build_ivf_index, or a
+    crashed build — the stamp lands last) and on a stamp/centroid
+    mismatch (the ``__cents`` sibling no longer matches the centroids
+    the lists were assigned under — probing would route queries to the
+    wrong lists silently)."""
+    cents = [
+        (r["cid"], list(r["_cvec"]))
+        for r in spark.table(f"{table}__cents").orderBy("cid").collect()
+    ]
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    got = props.get(_IVF_STAMP_PROP)
+    if got is None:
+        raise ValueError(
+            f"IVF index table {table!r} has no stamp — it was not built "
+            "by build_ivf_index (or the build crashed before stamping); "
+            "rebuild with build_ivf_index"
+        )
+    expect = _ivf_stamp(cents)
+    if got != expect:
+        raise ValueError(
+            f"IVF index table {table!r} was stamped {got} but its "
+            f"__cents sibling hashes to {expect} — the lists were "
+            "assigned under DIFFERENT centroids than the ones stored "
+            f"(a {action} would route queries to the wrong lists); "
+            "rebuild with build_ivf_index"
+        )
+    return cents
+
+
+def ivf_index_topk(
+    spark,
+    table: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_ivf_index`
+    table. Identical output to :func:`ivf_topk` over the same corpus
+    at the same (nlist, train_iters) — pytest-pinned: the stored
+    centroids ARE the trained centroids (deterministic training), and
+    the probe replays ivf_topk's exact scoring expressions.
+
+    Plan shape: centroids broadcast from the driver (nlist × dim — the
+    MLlib KMeans-centers contract), each query scores all nlist and
+    keeps its ``nprobe`` best lists (rank window over queries ×
+    nlist), then the probe frame joins the lists table on ``cid`` —
+    the lists side reads its buckets with NO Exchange, any probe size.
+    The probe frame broadcast is preflighted like the LSH probe's
+    (r11): probe rows carry the d-dim query vector (~32× a bare pair
+    at dim 64), so the cap is :func:`_cand_broadcast_max_rows` ÷ 32;
+    above it the join shuffles the probe side only (the lists side
+    stays exchange-free by bucketing).
+    """
+    cents = _load_ivf_cents(spark, table, "probe")
+    lists = spark.table(table)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(_cent_df(spark, cents)))
+        .withColumn(
+            "_d",
+            dot(F.col("_qv"), F.col("_cvec"))
+            / (norm(F.col("_qv")) * norm(F.col("_cvec"))),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"), "cid")
+    )
+    n_q = queries.select(id_col).count()
+    hint = (
+        F.broadcast
+        if n_q * nprobe <= _cand_broadcast_max_rows() // 32
+        else (lambda d: d)
+    )
+    scored = (
+        lists.withColumn("_cn", norm(F.col("_cv")))
+        .join(hint(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_qv"), F.col("_cv"))
+            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> None:
+    """Append an ingest batch to a persisted :func:`build_ivf_index`
+    table WITHOUT retraining — the standard IVF ingest move: new
+    vectors are assigned to their nearest EXISTING centroid (the
+    stored, stamp-verified ones), so an append costs |batch| × nlist
+    scores plus one bucketed append. Centroids drift from optimal as
+    the corpus distribution shifts; rebuild (optionally
+    ``train_on`` a fresh sample) when recall audits say so — the same
+    maintenance posture as the LSH index's auto-bits rebuild note.
+
+    Crash shape: ONE table, ONE job-atomic write — no torn two-write
+    state exists (the reason the LSH append needed its crash-ordering
+    contract does not arise here; a crashed append leaves nothing
+    committed and a plain re-ingest is the recovery).
+    """
+    spark = batch.sparkSession
+    cents = _load_ivf_cents(spark, table, "append")
+    bv = batch.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    assigned = _assign_nearest(bv, "neighbor_id", "_cv", cents).select(
+        "neighbor_id", "_cv", "cid"
+    )
+    from citibike_analysis_spark.sources.bucketed import append_bucketed
+
+    append_bucketed(assigned, table, ["cid"], num_buckets)
 
 
 def near_duplicate_embeddings(

@@ -679,6 +679,74 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_
 """
 
 
+def q136_ivf_index_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable audit of the persisted IVF index lifecycle
+    (r11 — the second ANN family's build/probe/append, mirroring the
+    LSH family's q131). Two indexes over the same corpus: REFERENCE =
+    `build_ivf_index(full, train_on=even half)` (the train-on-sample
+    production knob); INCREMENTAL = `build_ivf_index(even half)` then
+    `append_to_ivf_index(odd half)` (assign-to-existing-centroids, no
+    retrain). Both assign the full corpus under centroids trained on
+    the even half, so their probes must be EXACTLY equal — a
+    deterministic equality (deterministic training, stored centroids,
+    same scoring expressions), not a bound. (Equality with the
+    in-memory :func:`ivf_topk` is deliberately NOT part of this audit
+    — in-memory trains on the full corpus, different centroids by
+    design; that equality is pinned by pytest on a full-corpus
+    build.)
+    One row (n_queries, n_corpus, incremental_matches_reference);
+    oracle states the counts and TRUE. Probe rows collected
+    driver-side for the set compare — bounded audit-scale (≤50 rows).
+    Per-process uuid + finally-drop, same as q131."""
+    import hashlib
+    import uuid
+
+    from citibike_analysis_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    table = (
+        "q136_ivf_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    ref = f"{table}_ref"
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+    )
+    try:
+        build_ivf_index(e, ref, nlist=16, train_iters=4, train_on=even)
+        build_ivf_index(even, table, nlist=16, train_iters=4)
+        append_to_ivf_index(odd, table)
+        via_inc = key(ivf_index_topk(spark, table, q, k=5, nprobe=6).collect())
+        via_ref = key(ivf_index_topk(spark, ref, q, k=5, nprobe=6).collect())
+        matches = bool(via_inc) and via_inc == via_ref
+    finally:
+        for tb in (table, ref):
+            for state in ("", "__cents"):
+                spark.sql(f"DROP TABLE IF EXISTS {tb}{state}")
+    return spark.createDataFrame(
+        [(q.count(), e.count(), matches)],
+        "n_queries bigint, n_corpus bigint, "
+        "incremental_matches_reference boolean",
+    )
+
+
+Q136_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+       TRUE AS incremental_matches_reference
+"""
+
+
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
     for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
@@ -4004,5 +4072,10 @@ QUERIES: dict[str, QuerySpec] = {
         q135_lsh_deletion_audit,
         Q135_SQL,
         "§7 similarity-index-deletion-audit",
+    ),
+    "q136_ivf_index_lifecycle_audit": QuerySpec(
+        q136_ivf_index_lifecycle_audit,
+        Q136_SQL,
+        "§7 similarity-ivf-index-lifecycle-audit",
     ),
 }

@@ -950,6 +950,81 @@ class TestPersistedLshIndex:
             for s in ("", "__vecs", "__tombs", "__compacting", "__old", "_half"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
 
+    def test_persisted_ivf_index_lifecycle(self, spark):
+        """r11: the second ANN family's persisted lifecycle. (a) A
+        full-corpus build probes EXACTLY like the in-memory ivf_topk at
+        the same (nlist, train_iters) — deterministic training + stored
+        centroids + identical scoring expressions; (b) build(even) +
+        append(odd) ≡ build(full, train_on=even) — the train-on-sample
+        knob makes append-equals-rebuild exact; (c) the lists side
+        joins exchange-free (bucketed on cid); (d) a hand-rebuilt
+        __cents sibling that no longer matches the lists' stamp is
+        refused at probe AND append."""
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            ivf_index_topk,
+            ivf_topk,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        t, ref, inc = "ivf_idx_full", "ivf_idx_ref", "ivf_idx_inc"
+        try:
+            build_ivf_index(emb, t, nlist=16, train_iters=4)
+            via_index = key(
+                ivf_index_topk(spark, t, queries, k=5, nprobe=6).collect()
+            )
+            direct = key(
+                ivf_topk(
+                    emb, queries, k=5, nlist=16, nprobe=6, train_iters=4
+                ).collect()
+            )
+            assert via_index and via_index == direct
+
+            build_ivf_index(emb, ref, train_on=even)
+            build_ivf_index(even, inc)
+            append_to_ivf_index(odd, inc)
+            via_inc = key(
+                ivf_index_topk(spark, inc, queries, k=5, nprobe=6).collect()
+            )
+            via_ref = key(
+                ivf_index_topk(spark, ref, queries, k=5, nprobe=6).collect()
+            )
+            assert via_inc and via_inc == via_ref
+
+            plan = (
+                ivf_index_topk(spark, t, queries, k=5, nprobe=6)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning(cid" not in plan
+
+            # poison the __cents sibling: stamp mismatch must refuse
+            spark.table(f"{t}__cents").limit(8).write.mode(
+                "overwrite"
+            ).format("parquet").saveAsTable(f"{t}__cents_new")
+            spark.sql(f"DROP TABLE {t}__cents")
+            spark.sql(f"ALTER TABLE {t}__cents_new RENAME TO {t}__cents")
+            for op in (
+                lambda: ivf_index_topk(spark, t, queries, k=5, nprobe=6),
+                lambda: append_to_ivf_index(odd, t),
+            ):
+                try:
+                    op()
+                    raise AssertionError("centroid mismatch accepted")
+                except ValueError as e:
+                    assert "DIFFERENT centroids" in str(e)
+        finally:
+            for tb in (t, ref, inc):
+                for s in ("", "__cents", "__cents_new"):
+                    spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+
     def test_double_ingest_recovery(self, spark):
         """r09 ADVICE (medium): a crash between append's two writes
         followed by a re-ingest used to duplicate ids in __vecs, and
