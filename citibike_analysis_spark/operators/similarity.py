@@ -890,13 +890,21 @@ def remove_from_lsh_index(
             "layout — removal needs the two-table layout; rebuild with "
             "build_lsh_index"
         )
+    return _tombstone_ids(spark, table, ids, id_col, "remove_from_lsh_index")
+
+
+def _tombstone_ids(spark, table: str, ids: DataFrame, id_col: str, op: str) -> int:
+    """Shared tombstone write of the two index families' removal legs:
+    distinct the ids, reject NULLs (a NULL never equi-joins — it would
+    silently mask nothing), append to ``<table>__tombs`` (one
+    job-atomic write). Returns the distinct id count."""
     tombs = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
     counts = tombs.agg(
         F.count("*").alias("n"), F.count("neighbor_id").alias("nn")
     ).collect()[0]
     if counts["n"] != counts["nn"]:
         raise ValueError(
-            "remove_from_lsh_index: NULL id in the removal set — a NULL "
+            f"{op}: NULL id in the removal set — a NULL "
             "tombstone never equi-joins, so it would silently mask "
             "nothing; drop the NULLs and decide their fate explicitly"
         )
@@ -962,111 +970,140 @@ def compact_lsh_index(spark, table: str) -> dict:
     """
     from citibike_analysis_spark.sources.bucketed import (
         _clear_table_and_orphaned_location,
-        write_bucketed,
     )
 
     out: dict[str, dict[str, int]] = {}
     for t, bucket_cols in ((table, ["tbl", "bkt"]), (f"{table}__vecs", ["neighbor_id"])):
-        if not spark.catalog.tableExists(t) and spark.catalog.tableExists(f"{t}__old"):
-            # a prior compaction crashed between its two renames —
-            # restore the pre-swap table and proceed (r09 ADVICE)
-            spark.sql(f"ALTER TABLE {t}__old RENAME TO {t}")
-            spark.catalog.refreshTable(t)
-        desc = spark.sql(f"DESCRIBE FORMATTED {t}").collect()
-        props = {r["col_name"]: r["data_type"] for r in desc}
-        nb = int(props["Num Buckets"])
-        cat_cols = [c.strip("[] `") for c in props["Bucket Columns"].split(",")]
-        if cat_cols != bucket_cols:
-            raise ValueError(
-                f"{t!r} is bucketed on {cat_cols}, expected {bucket_cols} — "
-                "not a build_lsh_index layout; refusing to compact"
-            )
-        files_before = len(spark.table(t).inputFiles())
-        tmp, old = f"{t}__compacting", f"{t}__old"
-        # one shuffle by the EXISTING bucket spec. The repartition is
-        # what makes the rewrite COMPACT: a bucketed write emits one
-        # file per (task × bucket-present), so without co-locating each
-        # bucket's rows in one task first, N input tasks would re-emit
-        # up to N files per bucket — repartition(nb, cols) uses the
-        # same Murmur3 HashPartitioning as the bucket spec, so each
-        # output task holds exactly one bucket id and writes one file.
-        # Read the raw parquet LOCATION, not the catalog table: reading
-        # the bucketed table advertises hashpartitioning(cols, nb), so
-        # EnsureRequirements ELIDES the repartition exchange — while
-        # the actual scan (autoBucketedScan disables bucketing when no
-        # join needs it) splits by file size, leaving each task ~all
-        # bucket ids and the write emitting tasks×buckets files again
-        # (measured: 48 → 47 "compacted" files; via the raw path 48 →
-        # ≤16). The location read sees the same rows with no partition
-        # metadata, so the shuffle is real.
-        # schema passed explicitly: a stamped-but-empty index has zero
-        # files at the location and bare schema inference would fail
-        # with an unrelated error (r09 ADVICE)
-        loc = props["Location"]
-        raw = spark.read.schema(spark.table(t).schema).parquet(loc)
-        if spark.catalog.tableExists(f"{table}__tombs"):
-            # absorb pending removals into the same rewrite (broadcast
-            # anti-join — the tombstone set is removal-batch-sized)
-            raw = raw.join(
-                F.broadcast(spark.table(f"{table}__tombs")),
-                "neighbor_id",
-                "left_anti",
-            )
-        if t != table:
-            # r10 ADVICE: the id-grain dedup below keeps an arbitrary
-            # row per id — assert the rows it chooses among are
-            # byte-identical first
-            chk = raw.agg(
-                F.countDistinct("neighbor_id").alias("ids"),
-                F.countDistinct("neighbor_id", "_cv").alias("pairs"),
-            ).collect()[0]
-            if chk["pairs"] != chk["ids"]:
-                raise ValueError(
-                    f"{t!r} holds {chk['pairs'] - chk['ids']} id(s) with "
-                    "MORE THAN ONE distinct vector — re-ingest duplicates "
-                    "must be byte-identical (append never mutates a "
-                    "vector); compacting would keep an arbitrary copy. "
-                    "Rebuild with build_lsh_index over the corrected "
-                    "corpus"
-                )
-        # dropDuplicates AFTER the repartition: HashPartitioning on the
-        # bucket cols satisfies the aggregate's clustering requirement
-        # (bucket cols ⊆ dedup cols), so the dedup rides the same
-        # single shuffle the compact rewrite already pays
-        compacted = raw.repartition(nb, *[F.col(c) for c in bucket_cols])
-        compacted = (
-            compacted.dropDuplicates(["neighbor_id"])
-            if t != table
-            else compacted.dropDuplicates()
+        out[t] = _compact_one_table(
+            spark,
+            t,
+            bucket_cols,
+            tombs=f"{table}__tombs",
+            dedup_ids=(t != table),
+            stamp_prop=_STAMP_PROP if t == table else None,
+            owner="build_lsh_index",
         )
-        write_bucketed(compacted, tmp, bucket_cols, nb)
-        stamp = None
-        if t == table:
-            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect():
-                if r["key"] == _STAMP_PROP:
-                    stamp = r["value"]
-            if stamp is not None:
-                spark.sql(
-                    f"ALTER TABLE {tmp} SET TBLPROPERTIES "
-                    f"('{_STAMP_PROP}' = '{stamp}')"
-                )
-        _clear_table_and_orphaned_location(spark, old)
-        spark.sql(f"ALTER TABLE {t} RENAME TO {old}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
-        spark.sql(f"DROP TABLE {old}")
-        # renames move the managed location; refresh so the next probe
-        # lists the compacted files, not a cached index
-        spark.catalog.refreshTable(t)
-        out[t] = {
-            "files_before": files_before,
-            "files_after": len(spark.table(t).inputFiles()),
-        }
     # tombstones are purged LAST — both rewrites committed, so the
     # physical rows are gone; a crash before this line leaves the
     # (now no-op) tombstones pending for the next compaction
     if spark.catalog.tableExists(f"{table}__tombs"):
         _clear_table_and_orphaned_location(spark, f"{table}__tombs")
     return out
+
+
+def _compact_one_table(
+    spark,
+    t: str,
+    bucket_cols: list[str],
+    tombs: str | None,
+    dedup_ids: bool,
+    stamp_prop: str | None,
+    owner: str,
+) -> dict[str, int]:
+    """One table's compact rewrite — the shared core of
+    :func:`compact_lsh_index` (two tables) and
+    :func:`compact_ivf_index` (one). Self-heals the half-swapped crash
+    state, verifies the catalog's bucket spec against the expected one,
+    absorbs pending tombstones, optionally dedupes by id (with the r10
+    identical-vector assert when vectors ride the table), carries the
+    named stamp property, and swaps via rename. Returns
+    files_before/files_after."""
+    from citibike_analysis_spark.sources.bucketed import (
+        _clear_table_and_orphaned_location,
+        write_bucketed,
+    )
+
+    if not spark.catalog.tableExists(t) and spark.catalog.tableExists(f"{t}__old"):
+        # a prior compaction crashed between its two renames —
+        # restore the pre-swap table and proceed (r09 ADVICE)
+        spark.sql(f"ALTER TABLE {t}__old RENAME TO {t}")
+        spark.catalog.refreshTable(t)
+    desc = spark.sql(f"DESCRIBE FORMATTED {t}").collect()
+    props = {r["col_name"]: r["data_type"] for r in desc}
+    nb = int(props["Num Buckets"])
+    cat_cols = [c.strip("[] `") for c in props["Bucket Columns"].split(",")]
+    if cat_cols != bucket_cols:
+        raise ValueError(
+            f"{t!r} is bucketed on {cat_cols}, expected {bucket_cols} — "
+            f"not a {owner} layout; refusing to compact"
+        )
+    files_before = len(spark.table(t).inputFiles())
+    tmp, old = f"{t}__compacting", f"{t}__old"
+    # one shuffle by the EXISTING bucket spec. The repartition is
+    # what makes the rewrite COMPACT: a bucketed write emits one
+    # file per (task × bucket-present), so without co-locating each
+    # bucket's rows in one task first, N input tasks would re-emit
+    # up to N files per bucket — repartition(nb, cols) uses the
+    # same Murmur3 HashPartitioning as the bucket spec, so each
+    # output task holds exactly one bucket id and writes one file.
+    # Read the raw parquet LOCATION, not the catalog table: reading
+    # the bucketed table advertises hashpartitioning(cols, nb), so
+    # EnsureRequirements ELIDES the repartition exchange — while
+    # the actual scan (autoBucketedScan disables bucketing when no
+    # join needs it) splits by file size, leaving each task ~all
+    # bucket ids and the write emitting tasks×buckets files again
+    # (measured: 48 → 47 "compacted" files; via the raw path 48 →
+    # ≤16). The location read sees the same rows with no partition
+    # metadata, so the shuffle is real.
+    # schema passed explicitly: a stamped-but-empty index has zero
+    # files at the location and bare schema inference would fail
+    # with an unrelated error (r09 ADVICE)
+    loc = props["Location"]
+    raw = spark.read.schema(spark.table(t).schema).parquet(loc)
+    if tombs is not None and spark.catalog.tableExists(tombs):
+        # absorb pending removals into the same rewrite (broadcast
+        # anti-join — the tombstone set is removal-batch-sized)
+        raw = raw.join(
+            F.broadcast(spark.table(tombs)), "neighbor_id", "left_anti"
+        )
+    if dedup_ids and "_cv" in raw.columns:
+        # r10 ADVICE: the id-grain dedup below keeps an arbitrary
+        # row per id — assert the rows it chooses among are
+        # byte-identical first
+        chk = raw.agg(
+            F.countDistinct("neighbor_id").alias("ids"),
+            F.countDistinct("neighbor_id", "_cv").alias("pairs"),
+        ).collect()[0]
+        if chk["pairs"] != chk["ids"]:
+            raise ValueError(
+                f"{t!r} holds {chk['pairs'] - chk['ids']} id(s) with "
+                "MORE THAN ONE distinct vector — re-ingest duplicates "
+                "must be byte-identical (append never mutates a "
+                f"vector); compacting would keep an arbitrary copy. "
+                f"Rebuild with {owner} over the corrected corpus"
+            )
+    # dropDuplicates AFTER the repartition: HashPartitioning on the
+    # bucket cols satisfies the aggregate's clustering requirement
+    # (bucket cols ⊆ dedup cols), so the dedup rides the same
+    # single shuffle the compact rewrite already pays
+    compacted = raw.repartition(nb, *[F.col(c) for c in bucket_cols])
+    compacted = (
+        compacted.dropDuplicates(["neighbor_id"])
+        if dedup_ids
+        else compacted.dropDuplicates()
+    )
+    write_bucketed(compacted, tmp, bucket_cols, nb)
+    if stamp_prop is not None:
+        stamp = None
+        for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect():
+            if r["key"] == stamp_prop:
+                stamp = r["value"]
+        if stamp is not None:
+            spark.sql(
+                f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                f"('{stamp_prop}' = '{stamp}')"
+            )
+    _clear_table_and_orphaned_location(spark, old)
+    spark.sql(f"ALTER TABLE {t} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+    spark.sql(f"DROP TABLE {old}")
+    # renames move the managed location; refresh so the next probe
+    # lists the compacted files, not a cached index
+    spark.catalog.refreshTable(t)
+    return {
+        "files_before": files_before,
+        "files_after": len(spark.table(t).inputFiles()),
+    }
 
 
 #: Probe-side candidate-broadcast cap (rows). The r10 measurement:
@@ -1745,6 +1782,9 @@ def build_ivf_index(
     ct = f"{table}__cents"
     _clear_table_and_orphaned_location(spark, ct)
     _cent_df(spark, cents).write.mode("overwrite").format("parquet").saveAsTable(ct)
+    # a rebuild supersedes pending removals (same rationale as the LSH
+    # build: the stamp lands last, so partial builds refuse at probe)
+    _clear_table_and_orphaned_location(spark, f"{table}__tombs")
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('{_IVF_STAMP_PROP}' = '{_ivf_stamp(cents)}')"
@@ -1813,6 +1853,15 @@ def ivf_index_topk(
     """
     cents = _load_ivf_cents(spark, table, "probe")
     lists = spark.table(table)
+    # tombstone mask (the deletion leg — same contract as the LSH
+    # probe's): removal-batch-sized set, broadcast anti-join, no new
+    # exchange on the lists side; tombstone-free indexes pay one
+    # catalog existence check
+    tt = f"{table}__tombs"
+    if spark.catalog.tableExists(tt):
+        lists = lists.join(
+            F.broadcast(spark.table(tt)), "neighbor_id", "left_anti"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
@@ -1884,12 +1933,144 @@ def append_to_ivf_index(
     bv = batch.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
     )
+    tt = f"{table}__tombs"
+    if spark.catalog.tableExists(tt):
+        # same interlock as the LSH append: a tombstoned id would land
+        # and be probe-invisible — compact first (which purges)
+        overlap = (
+            bv.select("neighbor_id")
+            .join(F.broadcast(spark.table(tt)), "neighbor_id", "left_semi")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"{overlap} batch id(s) are tombstoned in {tt!r} — an "
+                "appended tombstoned id would be probe-invisible; run "
+                "compact_ivf_index to purge the tombstones first, then "
+                "re-append"
+            )
     assigned = _assign_nearest(bv, "neighbor_id", "_cv", cents).select(
         "neighbor_id", "_cv", "cid"
     )
     from citibike_analysis_spark.sources.bucketed import append_bucketed
 
     append_bucketed(assigned, table, ["cid"], num_buckets)
+
+
+def remove_from_ivf_index(
+    spark,
+    table: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove ids from a persisted :func:`build_ivf_index` table — the
+    IVF family's deletion leg, same tombstone design (and the same
+    decontamination / right-to-be-forgotten rationale) as
+    :func:`remove_from_lsh_index`: removal cost is O(|ids|) (one
+    job-atomic tombstone append — never an index rewrite), probes mask
+    immediately via a broadcast anti-join, appends refuse re-adding a
+    tombstoned id, and :func:`compact_ivf_index` absorbs the
+    tombstones into its rewrite (physical purge). Probe after removal
+    equals a probe of a fresh ``build_ivf_index(kept,
+    train_on=<the original training set>)`` EXACTLY — q137 pins it.
+    The stamp is verified first (also guards against pointing this at
+    a non-IVF table). Returns the number of distinct non-null ids
+    tombstoned."""
+    _load_ivf_cents(spark, table, "removal")
+    return _tombstone_ids(spark, table, ids, id_col, "remove_from_ivf_index")
+
+
+def compact_ivf_index(spark, table: str) -> dict:
+    """Rewrite a persisted IVF index so each cid bucket holds one file
+    set again — the maintenance leg for append accumulation, sharing
+    :func:`compact_lsh_index`'s core (``_compact_one_table``): same
+    half-swap self-heal, same single-shuffle rewrite through the
+    catalog's own bucket spec, same stamp survival. One table instead
+    of two, so there is no inter-table crash window at all; pending
+    tombstones are absorbed (anti-joined during the rewrite, the
+    tombstone table dropped last), and duplicate ids — a blind
+    double-ingest's residue — are deduped behind the identical-vector
+    assert (r10 ADVICE). Returns {table: files_before/files_after}."""
+    from citibike_analysis_spark.sources.bucketed import (
+        _clear_table_and_orphaned_location,
+    )
+
+    out = {
+        table: _compact_one_table(
+            spark,
+            table,
+            ["cid"],
+            tombs=f"{table}__tombs",
+            dedup_ids=True,
+            stamp_prop=_IVF_STAMP_PROP,
+            owner="build_ivf_index",
+        )
+    }
+    if spark.catalog.tableExists(f"{table}__tombs"):
+        _clear_table_and_orphaned_location(spark, f"{table}__tombs")
+    return out
+
+
+def verify_ivf_index_consistency(spark, table: str) -> int:
+    """On-demand deep audit of a persisted IVF index (the
+    :func:`verify_lsh_index_consistency` counterpart). Raises on: a
+    stamp/centroid mismatch (via :func:`_load_ivf_cents` — lists
+    assigned under different centroids than stored); a list row whose
+    ``cid`` has no stored centroid (the row can never be probed —
+    silent invisibility); duplicated ids in the lists (a blind
+    double-ingest: each copy eats a top-k slot at probe time because
+    the IVF probe has no per-id dedup — heal with
+    :func:`compact_ivf_index`); a NULL tombstone id (never
+    equi-joins, so the probe mask silently skips it). Returns the
+    count of PENDING tombstoned ids still physically present —
+    deletions awaiting the next compaction, masked at probe, not an
+    anomaly."""
+    cents = _load_ivf_cents(spark, table, "audit")
+    lists = spark.table(table)
+    known = {cid for cid, _ in cents}
+    stray = [
+        r["cid"]
+        for r in lists.select("cid").distinct().collect()
+        if r["cid"] not in known
+    ]
+    if stray:
+        raise ValueError(
+            f"IVF index table {table!r} has list rows under cid(s) "
+            f"{sorted(stray)[:10]} with no stored centroid — those rows "
+            "can never be probed; rebuild with build_ivf_index"
+        )
+    dup = (
+        lists.groupBy("neighbor_id")
+        .count()
+        .filter(F.col("count") > F.lit(1))
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"IVF index table {table!r} has {dup} DUPLICATED ids — a "
+            "batch was double-ingested; duplicated vectors each claim a "
+            "top-k slot at probe time; run compact_ivf_index to dedupe "
+            "while rewriting"
+        )
+    tt = f"{table}__tombs"
+    if not spark.catalog.tableExists(tt):
+        return 0
+    tombs = spark.table(tt)
+    nulls = tombs.filter(F.col("neighbor_id").isNull()).count()
+    if nulls:
+        raise ValueError(
+            f"IVF index table {table!r} has {nulls} NULL id(s) in "
+            f"{tt!r} — a NULL tombstone never equi-joins, so the probe's "
+            "mask silently skips it; remove_from_ivf_index rejects "
+            "NULLs, so this state was hand-edited — fix the tombstone "
+            "table or rebuild"
+        )
+    return (
+        lists.select("neighbor_id")
+        .distinct()
+        .join(F.broadcast(tombs), "neighbor_id", "left_semi")
+        .count()
+    )
 
 
 def near_duplicate_embeddings(

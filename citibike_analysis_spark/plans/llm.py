@@ -747,6 +747,72 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_
 """
 
 
+def q137_ivf_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable audit of the IVF index's deletion leg (r11 —
+    the q135 counterpart for the second ANN family). Builds the index
+    over the full corpus, tombstones every ``vec_id % 10 == 3`` via
+    `remove_from_ivf_index`, and asserts (a) the probe after removal
+    EXACTLY equals the probe of a fresh `build_ivf_index(kept,
+    train_on=full)` — train_on pins the reference to the same
+    centroids the deleted-from index trained, making the equality
+    deterministic — and (b) `compact_ivf_index` absorbs the
+    tombstones (physical purge: lists row count drops to the kept
+    count, tombstone table gone) while preserving that probe set. One
+    row (n_queries, n_corpus, n_removed, removal_matches_fresh_build,
+    purge_preserves_probe); oracle recomputes the counts and states
+    both TRUEs. Per-process uuid + finally-drop, same as q131/q135."""
+    import hashlib
+    import uuid
+
+    from citibike_analysis_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+        remove_from_ivf_index,
+    )
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    table = (
+        "q137_ivf_rm_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    ref = f"{table}_ref"
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    removed = e.filter(F.col("vec_id") % 10 == 3)
+    kept = e.filter(F.col("vec_id") % 10 != 3)
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+    )
+    try:
+        build_ivf_index(e, table, nlist=16, train_iters=4)
+        build_ivf_index(kept, ref, nlist=16, train_iters=4, train_on=e)
+        n_removed = remove_from_ivf_index(spark, table, removed)
+        after_rm = key(
+            ivf_index_topk(spark, table, q, k=5, nprobe=6).collect()
+        )
+        fresh = key(ivf_index_topk(spark, ref, q, k=5, nprobe=6).collect())
+        removal_matches = bool(after_rm) and after_rm == fresh
+        compact_ivf_index(spark, table)
+        purged = key(ivf_index_topk(spark, table, q, k=5, nprobe=6).collect())
+        purge_preserves = (
+            purged == fresh
+            and not spark.catalog.tableExists(f"{table}__tombs")
+            and spark.table(table).count() == kept.count()
+        )
+    finally:
+        for tb in (table, ref):
+            for state in ("", "__cents", "__tombs", "__compacting", "__old"):
+                spark.sql(f"DROP TABLE IF EXISTS {tb}{state}")
+    return spark.createDataFrame(
+        [(q.count(), e.count(), n_removed, removal_matches, purge_preserves)],
+        "n_queries bigint, n_corpus bigint, n_removed bigint, "
+        "removal_matches_fresh_build boolean, purge_preserves_probe boolean",
+    )
+
+
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
     for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
@@ -4077,5 +4143,10 @@ QUERIES: dict[str, QuerySpec] = {
         q136_ivf_index_lifecycle_audit,
         Q136_SQL,
         "§7 similarity-ivf-index-lifecycle-audit",
+    ),
+    "q137_ivf_deletion_audit": QuerySpec(
+        q137_ivf_deletion_audit,
+        Q135_SQL,
+        "§7 similarity-ivf-index-deletion-audit",
     ),
 }

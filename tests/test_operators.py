@@ -1025,6 +1025,91 @@ class TestPersistedLshIndex:
                 for s in ("", "__cents", "__cents_new"):
                     spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
 
+    def test_ivf_index_deletion_and_audit(self, spark):
+        """r11: the IVF deletion leg + deep audit. Removal masks
+        immediately (probe ≡ fresh build(kept, train_on=full) — the
+        train_on pin makes it exact); append refuses tombstoned ids;
+        compaction purges physically and drops the tombstones, after
+        which re-append restores the full probe; the deep audit counts
+        pending deletions, raises on duplicated ids (and compaction
+        heals them), and raises on a hand-edited NULL tombstone."""
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            compact_ivf_index,
+            ivf_index_topk,
+            remove_from_ivf_index,
+            verify_ivf_index_consistency,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        removed = emb.filter(F.col("vec_id") % 10 == 3)
+        kept = emb.filter(F.col("vec_id") % 10 != 3)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        t, ref = "ivf_idx_rm", "ivf_idx_rm_ref"
+        try:
+            build_ivf_index(emb, t)
+            full = key(ivf_index_topk(spark, t, queries, k=5, nprobe=6).collect())
+            build_ivf_index(kept, ref, train_on=emb)
+            n = remove_from_ivf_index(spark, t, removed)
+            assert n == removed.count()
+            fresh = key(
+                ivf_index_topk(spark, ref, queries, k=5, nprobe=6).collect()
+            )
+            after_rm = key(
+                ivf_index_topk(spark, t, queries, k=5, nprobe=6).collect()
+            )
+            assert after_rm and after_rm == fresh and after_rm != full
+            # pending deletions are counted, not raised
+            assert verify_ivf_index_consistency(spark, t) == n
+            try:
+                append_to_ivf_index(removed, t)
+                raise AssertionError("tombstoned re-append accepted")
+            except ValueError as e:
+                assert "tombstoned" in str(e)
+            compact_ivf_index(spark, t)
+            assert not spark.catalog.tableExists(f"{t}__tombs")
+            assert spark.table(t).count() == kept.count()
+            assert key(
+                ivf_index_topk(spark, t, queries, k=5, nprobe=6).collect()
+            ) == fresh
+            assert verify_ivf_index_consistency(spark, t) == 0
+            append_to_ivf_index(removed, t)
+            assert key(
+                ivf_index_topk(spark, t, queries, k=5, nprobe=6).collect()
+            ) == full
+            # duplicated ids: audit raises, compaction heals
+            append_to_ivf_index(removed, t)
+            try:
+                verify_ivf_index_consistency(spark, t)
+                raise AssertionError("duplicated ids accepted by audit")
+            except ValueError as e:
+                assert "DUPLICATED" in str(e)
+            compact_ivf_index(spark, t)
+            assert verify_ivf_index_consistency(spark, t) == 0
+            assert key(
+                ivf_index_topk(spark, t, queries, k=5, nprobe=6).collect()
+            ) == full
+            # hand-edited NULL tombstone raises at the audit
+            spark.createDataFrame(
+                [(None,)], "neighbor_id: bigint"
+            ).write.mode("overwrite").format("parquet").saveAsTable(
+                f"{t}__tombs"
+            )
+            try:
+                verify_ivf_index_consistency(spark, t)
+                raise AssertionError("NULL tombstone accepted by audit")
+            except ValueError as e:
+                assert "NULL" in str(e)
+        finally:
+            for tb in (t, ref):
+                for s in ("", "__cents", "__tombs", "__compacting", "__old"):
+                    spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+
     def test_double_ingest_recovery(self, spark):
         """r09 ADVICE (medium): a crash between append's two writes
         followed by a re-ingest used to duplicate ids in __vecs, and
