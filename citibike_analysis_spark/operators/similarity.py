@@ -159,6 +159,28 @@ def pick_pair_dot(spark, n_rows: int | None = None) -> "Callable[[Column, Column
     return dot if mode == "fold" else pair_dot
 
 
+def ivf_pair_dot(spark) -> "Callable[[Column, Column], Column]":
+    """Per-pair dot for the IVF verify stage: the FOLD, on every
+    master — measured, not assumed (r11, x100 = 200k vecs / 18.75M
+    candidate pairs, interleaved in-JVM A/B): local[32] fold
+    20.5–25.9 s vs arrow 59.5–65.4 s; local-cluster[2,16,24g] fold
+    21.9/22.6 s vs arrow 29.8/41.2 s — identical 5,000 result rows
+    both times. IVF's shape inverts the near-dup keying
+    (:func:`pick_pair_dot`): there the candidates are BARE id pairs
+    and the Arrow seam replaced per-pair interpreted folds cheaply;
+    here both d-dim vectors are already materialized on the joined
+    row, so the Arrow path adds ~2×dim doubles/pair of socket
+    serialization (~19 GB at the measured point) against a fold that
+    stays stable across process boundaries (no JIT flap observed at
+    either master — 2% spread). ``SPARK_GRAFT_PAIR_DOT`` still
+    overrides for A/B; results are mode-identical at the 6-decimal
+    rounded rank (pytest-pinned)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_PAIR_DOT", "fold")
+    return dot if mode == "fold" else pair_dot
+
+
 def _is_single_jvm_master(master: str) -> bool:
     """True iff tasks share the driver's JVM (warm-JIT fold territory).
 
@@ -1669,15 +1691,28 @@ def ivf_topk(
     )
     # norms hoisted per side (bit-identical; near_duplicate_embeddings
     # finding): every list member joins ~queries·nprobe/nlist probes, so
-    # one fold per corpus row beats two extra folds per pair
+    # one fold per corpus row beats two extra folds per pair. The one
+    # remaining per-pair dot is IVF-keyed (r11, see ivf_pair_dot: the
+    # FOLD wins on every measured master for this shape — both vectors
+    # already ride the joined row, so Arrow adds ~2×dim doubles/pair of
+    # serialization; measured 2.5×/1.4× slower at x100 on local[32] /
+    # local-cluster), and the rank compares the ROUNDED cosine (r09
+    # convention: the fold and the Arrow einsum differ in the last
+    # ULP, so a knife-edge rank-k pick must not depend on which path
+    # the env override ran; ties at the 6-decimal precision break on
+    # neighbor_id). q49's epoch is bumped with its q107 audit.
+    pdot = ivf_pair_dot(corpus.sparkSession)
     scored = (
         lists.withColumn("_cn", norm(F.col("_cv")))
         .join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_qv"), F.col("_cv"))
-            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+            F.round(
+                pdot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -1887,14 +1922,21 @@ def ivf_index_topk(
         if n_q * nprobe <= _cand_broadcast_max_rows() // 32
         else (lambda d: d)
     )
+    # same IVF-keyed per-pair dot and rounded-rank convention as
+    # ivf_topk (r11 — see ivf_pair_dot): both paths key identically,
+    # so index-vs-in-memory probe equality is preserved by construction
+    pdot = ivf_pair_dot(spark)
     scored = (
         lists.withColumn("_cn", norm(F.col("_cv")))
         .join(hint(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_qv"), F.col("_cv"))
-            / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+            F.round(
+                pdot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )

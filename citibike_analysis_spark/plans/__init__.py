@@ -104,9 +104,15 @@ _EPOCH = {
     "q103_incremental_embedding_dedup": 9,
     "q105_neardup_calibration": 9,
     "q106_ann_lsh_recall_audit": 9,
-    "q107_ann_ivf_recall_audit": 9,
     "q109_semdedup_precision_audit": 9,
     "q113_incremental_dedup_calibration": 9,
+    # r11: the IVF verify stage adopted the master+size-keyed per-pair
+    # dot and the rounded-rank convention (the same r08/r09 change the
+    # LSH/near-dup families made in epoch 9) — earlier greens verified
+    # the interpreted-fold, unrounded-rank form. The audit moves with
+    # its query (_AUDIT_OF rule).
+    "q49_ann_ivf": 11,
+    "q107_ann_ivf_recall_audit": 11,
 }
 
 # Designed no-oracle queries and the hash-verified audit that carries

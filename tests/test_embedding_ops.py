@@ -307,6 +307,33 @@ class TestPairDotVerify:
         assert via_fold[0] and via_fold[1], "empty results prove nothing"
         assert via_arrow == via_fold
 
+    def test_ivf_mode_parity(self, spark, monkeypatch):
+        """r11: ivf_topk joined the pair-dot consumers (its verify stage
+        was the last interpreted per-pair fold at candidate scale). The
+        full top-k set — rows, ids, ranks, rounded cosines — must be
+        identical under either dot path; ranks compare the ROUNDED
+        cosine so a knife-edge rank-k pick cannot depend on which path
+        ran (the r09 convention)."""
+        from citibike_analysis_spark.operators.similarity import ivf_topk
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+
+        def run():
+            rows = ivf_topk(emb, queries, k=5, nlist=16, nprobe=6).collect()
+            return sorted(
+                (r["query_id"], r["neighbor_id"], r["rk"], r["cosine_sim"])
+                for r in rows
+            )
+
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "fold")
+        via_fold = run()
+        monkeypatch.setenv("SPARK_GRAFT_PAIR_DOT", "arrow")
+        via_arrow = run()
+        assert via_arrow, "empty top-k proves nothing"
+        assert via_arrow == via_fold
+
     def test_pick_pair_dot_keying(self, spark, monkeypatch):
         """The dot-choice policy itself (r08): fold on small-corpus
         single-JVM local[N]; arrow on multi-process masters (keyed off
