@@ -393,3 +393,24 @@ def test_bloom_decontamination_equals_exact(spark, corpus_texts, bench_texts, n)
         )
     )
     assert bloom == exact
+
+
+@given(
+    n_items=st.integers(min_value=-5, max_value=50_000_000),
+    bits_per_item=st.sampled_from([8, 16, 32]),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_sizing_invariants(n_items, bits_per_item):
+    """The gate's public sizing helper (r10 ADVICE hardened it for
+    empty inputs): the bitmap is always a power of two, never below
+    the 1024 floor, and for positive n never below bits_per_item×n —
+    the three facts the FPP instrument and the operator's broadcast
+    contract both rest on."""
+    from citibike_analysis_spark.operators.dedup import bloom_m_bits
+
+    m = bloom_m_bits(n_items, bits_per_item)
+    assert m >= 1024
+    assert m & (m - 1) == 0, "not a power of two"
+    if n_items > 0:
+        assert m >= bits_per_item * n_items
+        assert m < 2 * max(1024, bits_per_item * n_items), "oversized"
