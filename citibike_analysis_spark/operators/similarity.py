@@ -388,6 +388,8 @@ def lsh_topk(
     tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_rows: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-LSH candidates, verified with
     exact cosine. Same output shape as :func:`brute_force_topk`.
@@ -401,14 +403,38 @@ def lsh_topk(
 
     Candidate sizing: this in-memory one-shot form broadcasts its
     candidate list under the same ~|corpus|/2^bits × tables × |queries|
-    economics as the persisted probe — but has no pre-paid corpus count
-    to preflight with, so the caller owns sizing ``bits`` to the corpus
-    (the auto-bits production paths do; see
-    :func:`near_duplicate_embeddings`). For repeated probes of a large
-    corpus use :func:`build_lsh_index` + :func:`lsh_index_topk`, whose
-    probe preflights the estimate and falls back to shuffle joins above
-    the broadcast cap (r11).
+    economics as the persisted probe. With the default ``n_rows=None``
+    it has no pre-paid corpus count to preflight with (an arbitrary
+    in-memory frame — counting it can cost a full upstream recompute),
+    so the caller owns sizing ``bits`` to the corpus (the auto-bits
+    production paths do; see :func:`near_duplicate_embeddings`). A
+    caller that KNOWS its corpus size passes ``n_rows`` (the
+    :func:`pick_pair_dot` precedent) and gets the same preflight as
+    the persisted probe (r12 — closes the family's last unguarded
+    broadcast): estimate over :data:`_CAND_BROADCAST_MAX_ROWS` →
+    every explicit broadcast is dropped and the joins shuffle
+    (spill-safe; identical output, pytest-pinned). ``n_queries``
+    skips the preflight's query-side count; without it one
+    column-pruned count is paid (short-circuited when a single
+    query's estimate already exceeds the cap). For repeated probes of
+    a large corpus use :func:`build_lsh_index` + :func:`lsh_index_topk`,
+    whose probe preflights from the already-paid index counts (r11).
     """
+    hint = F.broadcast
+    if n_rows is not None:
+        cap = _cand_broadcast_max_rows()
+        per_q = _cand_pair_estimate(n_rows, bits, tables, 1)
+        if per_q > cap:
+            est = per_q
+        else:
+            n_q = (
+                n_queries
+                if n_queries is not None
+                else queries.select(id_col).count()
+            )
+            est = per_q * n_q
+        if est > cap:
+            hint = lambda d: d  # noqa: E731 — drop broadcasts, shuffle
     planes = _planes_matrix(bits, tables, dim, seed)
 
     qv = queries.select(
@@ -432,7 +458,7 @@ def lsh_topk(
     # broadcast candidate list (queries × occupancy × tables rows —
     # small by the ANN contract), so neither verify join shuffles.
     cand = (
-        c.join(F.broadcast(q), ["tbl", "bkt"])
+        c.join(hint(q), ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # candidate ∈ >1 table
@@ -442,8 +468,8 @@ def lsh_topk(
     # than the corpus by the ANN contract, so norms-per-corpus-row would
     # cost more folds than the per-candidate cosine saves
     scored = (
-        cv.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        cv.join(hint(cand), "neighbor_id")
+        .join(hint(qv), "query_id")
         .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -1097,10 +1123,20 @@ def _compact_one_table(
     # dropDuplicates AFTER the repartition: HashPartitioning on the
     # bucket cols satisfies the aggregate's clustering requirement
     # (bucket cols ⊆ dedup cols), so the dedup rides the same
-    # single shuffle the compact rewrite already pays
+    # single shuffle the compact rewrite already pays. The id dedup
+    # keys therefore INCLUDE the bucket cols (r11 ADVICE: deduping the
+    # IVF table on bare neighbor_id made EnsureRequirements insert a
+    # SECOND Exchange on neighbor_id after the cid repartition,
+    # destroying the clustering the bucketed write needs — "compacted"
+    # output could emit shuffle-partitions × buckets files). Keying on
+    # (cid, neighbor_id) is value-identical for every state the
+    # lifecycle can produce: duplicate ids are byte-identical
+    # re-ingests (asserted above) assigned under the same stamped
+    # centroids, so each id holds exactly one cid; for the LSH __vecs
+    # table the bucket col IS neighbor_id, so the key set is unchanged.
     compacted = raw.repartition(nb, *[F.col(c) for c in bucket_cols])
     compacted = (
-        compacted.dropDuplicates(["neighbor_id"])
+        compacted.dropDuplicates(list(dict.fromkeys([*bucket_cols, "neighbor_id"])))
         if dedup_ids
         else compacted.dropDuplicates()
     )
@@ -1162,6 +1198,21 @@ def _cand_pair_estimate(
     return n_vectors / float(1 << bits) * tables * n_queries
 
 
+def _ivf_probe_divisor(dim: int) -> int:
+    """Row-weight divisor for the IVF probe-frame broadcast cap
+    (:data:`_CAND_BROADCAST_MAX_ROWS` counts BARE 16-byte id pairs; an
+    IVF probe row additionally carries the d-dim query vector, its
+    norm, and the cid). Derived from the index's ACTUAL dimension —
+    ``max(1, dim // 2)`` reproduces the r11 dim-64 calibration (÷32 =
+    one probe row ≈ 32 bare pairs: 64 doubles + overhead vs 16 bytes)
+    and scales it linearly, so a dim-1024 probe row counts ~512 pairs
+    instead of slipping under the cap at 16× its intended byte budget
+    (r11 VERDICT #1: pair-stage memory must never scale with an
+    unchecked quantity — a constant divisor un-guarded exactly the
+    dimension axis)."""
+    return max(1, dim // 2)
+
+
 def lsh_index_topk(
     spark,
     table: str,
@@ -1173,6 +1224,7 @@ def lsh_index_topk(
     tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted :func:`build_lsh_index`
     table. Identical output to :func:`lsh_topk` at the same parameters
@@ -1205,7 +1257,10 @@ def lsh_index_topk(
     (pytest-pinned); only the physical strategy changes. Sizing
     ``bits`` to the corpus (auto-bits in the production near-dup
     paths) keeps the estimate under the cap and the faster broadcast
-    plan. Reference anchor: the J5 O(n²) lesson
+    plan. ``n_queries`` (optional, r12) lets a caller that already
+    knows its probe-batch size skip the preflight's query-count job;
+    the count is also short-circuited when one query's estimate alone
+    exceeds the cap. Reference anchor: the J5 O(n²) lesson
     (/root/reference/notebooks/CitiBike-1.ipynb:222-240) — pair-stage
     memory must never scale with an UNCHECKED pair count.
     """
@@ -1242,10 +1297,25 @@ def lsh_index_topk(
         # above the cap, drop the explicit broadcasts and let the
         # bucketed layout carry the join (index sides exchange-free,
         # query/candidate sides shuffle — disk-spillable, never a
-        # driver-heap build)
-        n_q = queries.select(id_col).count()
-        est = _cand_pair_estimate(n_vecs, bits, tables, n_q)
-        hint = F.broadcast if est <= _cand_broadcast_max_rows() else (lambda d: d)
+        # driver-heap build). The query count is short-circuited (r11
+        # ADVICE: it was an unconditional extra Spark job per probe)
+        # when the PER-QUERY estimate alone already exceeds the cap —
+        # est is monotone in n_queries, so one query over the cap means
+        # any count is — and skipped entirely when the caller supplies
+        # ``n_queries`` (it already paid a count, the pick_pair_dot
+        # precedent).
+        cap = _cand_broadcast_max_rows()
+        per_q = _cand_pair_estimate(n_vecs, bits, tables, 1)
+        if per_q > cap:
+            est = per_q
+        else:
+            n_q = (
+                n_queries
+                if n_queries is not None
+                else queries.select(id_col).count()
+            )
+            est = per_q * n_q
+        hint = F.broadcast if est <= cap else (lambda d: d)
         # bare-pair candidates (16-byte shuffle rows, the lsh_topk
         # economics), then shuffle-free vector re-attachment: the
         # __vecs sibling is bucketed on neighbor_id and the deduped
@@ -1735,6 +1805,10 @@ _IVF_CONVENTION = "spherical-lloyd-v1"
 #: catalog property carrying the IVF stamp on persisted lists tables
 _IVF_STAMP_PROP = "cbs.ivf.stamp"
 
+#: catalog property carrying the build-time mean assignment cosine —
+#: the drift baseline append_to_ivf_index reports against (r12)
+_IVF_BUILD_COS_PROP = "cbs.ivf.build_mean_cos"
+
 
 def _ivf_stamp(cents) -> str:
     """Fingerprint of the convention + the EXACT centroid values. The
@@ -1805,8 +1879,20 @@ def build_ivf_index(
         )
     )
     cents = _train_centroids(t, "neighbor_id", "_cv", nlist, train_iters)
-    lists = _assign_nearest(c, "neighbor_id", "_cv", cents).select(
-        "neighbor_id", "_cv", "cid"
+    # the build-time mean assignment cosine rides the SAME write job as
+    # an observed metric (CollectMetrics — verified to fire on bucketed
+    # saveAsTable in this engine), so the drift baseline costs ZERO
+    # extra corpus passes; it lands as a table property and is what
+    # append_to_ivf_index reports each batch against (r11 VERDICT #2 /
+    # r12: "rebuild when the distribution shifts" needs a measured
+    # signal, not a docstring)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    lists = (
+        _assign_nearest(c, "neighbor_id", "_cv", cents)
+        .observe(obs, F.avg("_cos").alias("mean_cos"))
+        .select("neighbor_id", "_cv", "cid")
     )
     from citibike_analysis_spark.sources.bucketed import (
         _clear_table_and_orphaned_location,
@@ -1814,15 +1900,25 @@ def build_ivf_index(
     )
 
     write_bucketed(lists, table, ["cid"], num_buckets)
+    build_cos = obs.get["mean_cos"]
     ct = f"{table}__cents"
     _clear_table_and_orphaned_location(spark, ct)
     _cent_df(spark, cents).write.mode("overwrite").format("parquet").saveAsTable(ct)
     # a rebuild supersedes pending removals (same rationale as the LSH
     # build: the stamp lands last, so partial builds refuse at probe)
     _clear_table_and_orphaned_location(spark, f"{table}__tombs")
+    # one ALTER carries both: the stamp still lands LAST relative to
+    # every data write (partial builds refuse at probe), and the drift
+    # baseline is rounded to 6 decimals so partition summation order
+    # cannot wobble the stored value across identical builds
+    drift_prop = (
+        f", '{_IVF_BUILD_COS_PROP}' = '{round(build_cos, 6)}'"
+        if build_cos is not None
+        else ""
+    )
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
-        f"('{_IVF_STAMP_PROP}' = '{_ivf_stamp(cents)}')"
+        f"('{_IVF_STAMP_PROP}' = '{_ivf_stamp(cents)}'{drift_prop})"
     )
 
 
@@ -1881,10 +1977,15 @@ def ivf_index_topk(
     nlist), then the probe frame joins the lists table on ``cid`` —
     the lists side reads its buckets with NO Exchange, any probe size.
     The probe frame broadcast is preflighted like the LSH probe's
-    (r11): probe rows carry the d-dim query vector (~32× a bare pair
-    at dim 64), so the cap is :func:`_cand_broadcast_max_rows` ÷ 32;
-    above it the join shuffles the probe side only (the lists side
-    stays exchange-free by bucketing).
+    (r11; made DIM-AWARE in r12): probe rows carry the d-dim query
+    vector, so the per-row weight scales with the embedding dimension
+    — the cap is :func:`_cand_broadcast_max_rows` ÷
+    :func:`_ivf_probe_divisor`, with the divisor derived from the
+    loaded centroids' actual dimension (``dim // 2``, preserving the
+    r11 dim-64 calibration of ÷32; a hardcoded 32 admitted broadcasts
+    ~16× over the intended byte budget at dim 1024 — the r11 VERDICT
+    #1 guard bug). Above the cap the join shuffles the probe side
+    only (the lists side stays exchange-free by bucketing).
     """
     cents = _load_ivf_cents(spark, table, "probe")
     lists = spark.table(table)
@@ -1917,9 +2018,10 @@ def ivf_index_topk(
         .select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"), "cid")
     )
     n_q = queries.select(id_col).count()
+    dim = len(cents[0][1]) if cents else 64
     hint = (
         F.broadcast
-        if n_q * nprobe <= _cand_broadcast_max_rows() // 32
+        if n_q * nprobe <= _cand_broadcast_max_rows() // _ivf_probe_divisor(dim)
         else (lambda d: d)
     )
     # same IVF-keyed per-pair dot and rounded-rank convention as
@@ -1955,15 +2057,37 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_buckets: int = 16,
-) -> None:
+) -> dict:
     """Append an ingest batch to a persisted :func:`build_ivf_index`
     table WITHOUT retraining — the standard IVF ingest move: new
     vectors are assigned to their nearest EXISTING centroid (the
     stored, stamp-verified ones), so an append costs |batch| × nlist
-    scores plus one bucketed append. Centroids drift from optimal as
-    the corpus distribution shifts; rebuild (optionally
-    ``train_on`` a fresh sample) when recall audits say so — the same
-    maintenance posture as the LSH index's auto-bits rebuild note.
+    scores plus one bucketed append.
+
+    DRIFT SIGNAL (r11 VERDICT #2 / r12): centroids drift from optimal
+    as the corpus distribution shifts, and "rebuild when recall decays"
+    is useless without a cheap per-batch statistic. The append returns
+    one: the batch's mean assignment cosine (how well the frozen
+    centroids fit THIS batch), observed on the append's own write job
+    (CollectMetrics — zero extra pass), against the build-time mean
+    the index stamped at :data:`_IVF_BUILD_COS_PROP`::
+
+        {"n_appended": int,
+         "batch_mean_cos": float,      # mean cos(v, assigned centroid)
+         "build_mean_cos": float|None, # the stamped build-time mean
+         "drift": float|None}          # build − batch (positive = worse fit)
+
+    A same-distribution batch drifts ~0 (q138 pins the measured band);
+    a shifted batch scores its vectors against centroids trained on
+    DIFFERENT data, so ``drift`` rises — trigger a rebuild (optionally
+    ``train_on`` a fresh sample) on a sustained threshold your corpus
+    calibrates (the q138 audit's shifted leg measures the signal's
+    separation). ``build_mean_cos``/``drift`` are None for an index
+    built before the baseline property existed (rebuild to stamp it).
+    The statistic is the GLOBAL batch mean — one observed aggregate;
+    a shift confined to a tiny batch slice dilutes into the mean, so
+    per-slice monitoring belongs to the caller's batching, not this
+    seam.
 
     Crash shape: ONE table, ONE job-atomic write — no torn two-write
     state exists (the reason the LSH append needed its crash-ordering
@@ -1991,12 +2115,44 @@ def append_to_ivf_index(
                 "compact_ivf_index to purge the tombstones first, then "
                 "re-append"
             )
-    assigned = _assign_nearest(bv, "neighbor_id", "_cv", cents).select(
-        "neighbor_id", "_cv", "cid"
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = (
+        _assign_nearest(bv, "neighbor_id", "_cv", cents)
+        .observe(
+            obs,
+            F.avg("_cos").alias("mean_cos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("neighbor_id", "_cv", "cid")
     )
     from citibike_analysis_spark.sources.bucketed import append_bucketed
 
     append_bucketed(assigned, table, ["cid"], num_buckets)
+    got = obs.get
+    batch_cos = (
+        round(got["mean_cos"], 6) if got["mean_cos"] is not None else None
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    build_cos = (
+        float(props[_IVF_BUILD_COS_PROP])
+        if _IVF_BUILD_COS_PROP in props
+        else None
+    )
+    return {
+        "n_appended": got["n"],
+        "batch_mean_cos": batch_cos,
+        "build_mean_cos": build_cos,
+        "drift": (
+            round(build_cos - batch_cos, 6)
+            if build_cos is not None and batch_cos is not None
+            else None
+        ),
+    }
 
 
 def remove_from_ivf_index(

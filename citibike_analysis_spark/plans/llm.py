@@ -813,6 +813,122 @@ def q137_ivf_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q137's removal predicate is textually the q135 one today, but the two
+# audits must be free to drift apart — registering both under one SQL
+# constant meant editing q135 alone would silently desync q137's oracle
+# (r11 ADVICE)
+Q137_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 = 3) AS BIGINT) AS n_removed,
+       TRUE AS removal_matches_fresh_build,
+       TRUE AS purge_preserves_probe
+"""
+
+
+def q138_ivf_append_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable audit of the IVF append's DRIFT SIGNAL (r11
+    VERDICT #2 / r12): `append_to_ivf_index` returns the batch's mean
+    assignment cosine against the build-time baseline the index
+    stamps, so a caller learns WHEN to rebuild instead of being told
+    "rebuild periodically".
+
+    Design (measured at sf0.001/0.01/0.1 before pinning): the index is
+    built over the FULL corpus with ``train_on`` a 20% sample, so the
+    stamped baseline is a mostly HELD-OUT fit — an even/odd split
+    would bake the train-vs-held-out generalization gap (~0.15 mean
+    cos on this corpus) into every same-distribution batch and drown
+    the signal. Two appends against one build:
+
+    - SAME-DIST leg: the corpus re-idd (novel ids, identical vectors)
+      — assignment is a pure per-vector function of the frozen
+      centroids, so the batch mean equals the baseline and drift is
+      0.0 (measured exactly 0.0 at every SF; pinned |drift| ≤ 0.001
+      to absorb partition-summation-order ulps).
+    - SHIFTED leg: a batch pointing ORTHOGONAL to every stored
+      centroid (driver-side Gram–Schmidt against the nlist × dim
+      ``__cents`` rows — the one direction construction whose
+      assignment cosine is 0 by construction), so drift ≈ the full
+      baseline (measured 0.249–0.278 across SFs; pinned ≥ 0.1).
+      NEGATION is deliberately NOT the shift: measured at r12, a
+      negated batch scores the SAME mean assignment cosine as the
+      original on this corpus (cosine spread to centroids is
+      near-symmetric, so max_c cos(−v,c) ≈ max_c cos(v,c)) — the
+      orthogonal construction is the shift the statistic can see,
+      and that boundary is documented on the operator.
+
+    One row (n_corpus, n_batch_same, n_batch_shifted,
+    same_dist_drift_zero, shifted_batch_flags); the oracle recomputes
+    the counts and states both TRUEs. Per-process uuid + finally-drop,
+    same as q131/q135."""
+    import hashlib
+    import uuid
+
+    import numpy as np
+
+    from citibike_analysis_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    table = (
+        "q138_ivf_dr_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    try:
+        build_ivf_index(
+            e,
+            table,
+            nlist=16,
+            train_iters=4,
+            train_on=e.filter(F.col("vec_id") % 5 == 0),
+        )
+        copies = e.select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+        )
+        same = append_to_ivf_index(copies, table)
+        cents = np.array(
+            [
+                list(r["_cvec"])
+                for r in spark.table(f"{table}__cents").orderBy("cid").collect()
+            ]
+        )
+        u = np.ones(cents.shape[1])
+        qb, _ = np.linalg.qr(cents.T)  # orthonormal basis of centroid span
+        u = u - qb @ (qb.T @ u)
+        u = (u / np.linalg.norm(u)).tolist()
+        shifted_batch = spark.range(20_000_000, 20_000_000 + 100).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(float(x)) for x in u]).alias("embedding"),
+        )
+        shift = append_to_ivf_index(shifted_batch, table)
+        same_zero = (
+            same["drift"] is not None and abs(same["drift"]) <= 0.001
+        )
+        shift_flags = shift["drift"] is not None and shift["drift"] >= 0.1
+    finally:
+        for state in ("", "__cents", "__tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{state}")
+    return spark.createDataFrame(
+        [(e.count(), same["n_appended"], shift["n_appended"], same_zero, shift_flags)],
+        "n_corpus bigint, n_batch_same bigint, n_batch_shifted bigint, "
+        "same_dist_drift_zero boolean, shifted_batch_flags boolean",
+    )
+
+
+Q138_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_batch_same,
+       CAST(100 AS BIGINT) AS n_batch_shifted,
+       TRUE AS same_dist_drift_zero,
+       TRUE AS shifted_batch_flags
+"""
+
+
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
     for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
@@ -4146,7 +4262,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q137_ivf_deletion_audit": QuerySpec(
         q137_ivf_deletion_audit,
-        Q135_SQL,
+        Q137_SQL,
         "§7 similarity-ivf-index-deletion-audit",
+    ),
+    "q138_ivf_append_drift_audit": QuerySpec(
+        q138_ivf_append_drift_audit,
+        Q138_SQL,
+        "§7 similarity-ivf-append-drift-audit",
     ),
 }
