@@ -97,6 +97,11 @@ CANARY_QUERIES = (
     # r06 tree — host variance — and q46 joins the canaries so the
     # iterative-CC family never goes unattributed again
     "q46_dedup_clusters",
+    # r12 (r11 watch item): q90 read 1.21× in r11 on untouched code and
+    # 1.13× vs r10 in the r12 read — both inside/adjacent to the drift
+    # band with no same-host instrument for the encode family; q90
+    # joins the canaries so the tokenize/encode family is attributable
+    "q90_encode_documents",
 )
 
 _CANARY_SCRIPT = r"""

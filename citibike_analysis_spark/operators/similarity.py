@@ -1710,9 +1710,20 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     train_iters: int = 4,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the clustering-based ANN
     scale path, complementing sign-LSH (:func:`lsh_topk`).
+
+    ``n_queries`` (optional, r12 — the same sizing seam the one-shot
+    :func:`lsh_topk` gained): the probe frame carries the d-dim query
+    vector per (query × nprobe) row, and this in-memory form has no
+    pre-paid count to preflight its broadcast with, so by default the
+    caller owns sizing (the ANN small-query-batch contract). A caller
+    that knows its batch size passes it and gets the persisted probe's
+    dim-aware preflight (:func:`_ivf_probe_divisor` over the trained
+    centroids' dimension): above the cap the probe side shuffles
+    instead of building a driver-heap broadcast.
 
     Index: ``nlist`` centroids trained with a few Lloyd iterations;
     every corpus vector is assigned to its nearest centroid (the
@@ -1772,9 +1783,14 @@ def ivf_topk(
     # the env override ran; ties at the 6-decimal precision break on
     # neighbor_id). q49's epoch is bumped with its q107 audit.
     pdot = ivf_pair_dot(corpus.sparkSession)
+    hint = F.broadcast
+    if n_queries is not None and centroids:
+        dim = len(centroids[0][1])
+        if n_queries * nprobe > _cand_broadcast_max_rows() // _ivf_probe_divisor(dim):
+            hint = lambda d: d  # noqa: E731 — over cap: shuffle the probe side
     scored = (
         lists.withColumn("_cn", norm(F.col("_cv")))
-        .join(F.broadcast(probes), "cid")
+        .join(hint(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
@@ -1964,6 +1980,7 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a persisted :func:`build_ivf_index`
     table. Identical output to :func:`ivf_topk` over the same corpus
@@ -2017,7 +2034,9 @@ def ivf_index_topk(
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", "_qv", norm(F.col("_qv")).alias("_qn"), "cid")
     )
-    n_q = queries.select(id_col).count()
+    # caller-supplied n_queries skips the preflight's count job (the
+    # same r11-ADVICE economics as the LSH probe's short-circuit)
+    n_q = n_queries if n_queries is not None else queries.select(id_col).count()
     dim = len(cents[0][1]) if cents else 64
     hint = (
         F.broadcast

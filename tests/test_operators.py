@@ -1538,6 +1538,48 @@ class TestR12IndexGuards:
             for s in ("", "__vecs", "__tombs"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
 
+    def test_ivf_topk_oneshot_preflight_fallback(self, spark, monkeypatch):
+        """The in-memory ivf_topk mirrors the persisted probe's
+        dim-aware preflight when the caller passes n_queries: over the
+        cap the probe side shuffles (no probe-frame BroadcastExchange)
+        with output exactly equal to the broadcast path; without
+        n_queries the caller-owns-sizing contract is unchanged."""
+        from citibike_analysis_spark.operators.similarity import ivf_topk
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        params = dict(k=3, nlist=4, nprobe=2, train_iters=2)
+        broadcast_path = key(ivf_topk(emb, queries, **params).collect())
+        assert broadcast_path
+        auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            monkeypatch.setenv("SPARK_GRAFT_CAND_BROADCAST_MAX", "0")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            fallback = ivf_topk(emb, queries, n_queries=10, **params)
+            assert key(fallback.collect()) == broadcast_path
+            plan = (
+                ivf_topk(emb, queries, n_queries=10, **params)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            # without n_queries: caller contract, probe broadcast stays.
+            # Centroid broadcasts (driver-side, tiny) appear in BOTH
+            # plans — the preflight drops exactly ONE exchange: the
+            # probe frame's
+            plan_unsized = (
+                ivf_topk(emb, queries, **params)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert (
+                plan.count("BroadcastExchange")
+                == plan_unsized.count("BroadcastExchange") - 1
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+
     def test_ivf_append_drift_signal(self, spark):
         """r11 VERDICT #2: the append returns a drift statistic against
         the build-stamped baseline. Pins the q138 design facts measured
