@@ -1,0 +1,210 @@
+"""Product-quantization operator tests (r12 — ANN capability 3,
+`operators/pq.py`): codec shape/determinism, numpy reconstruction
+parity, ADC score exactness against a numpy reference, fidelity
+monotonicity, and the shortlist+re-rank recall the registered q140
+parameterization pins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from citibike_analysis_spark.sources.tables import load_table
+
+    df = load_table(spark, SF, "embeddings")
+    df.persist().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    from citibike_analysis_spark.operators.pq import train_pq_codebooks
+
+    return train_pq_codebooks(emb, m=8, ksub=16, dim=64, train_iters=2)
+
+
+class TestPqCodec:
+    def test_codebook_shape_and_determinism(self, emb, books):
+        from citibike_analysis_spark.operators.pq import train_pq_codebooks
+
+        assert len(books) == 8
+        assert all(len(b) == 16 for b in books)
+        assert all(len(v) == 8 for b in books for _, v in b)
+        again = train_pq_codebooks(emb, m=8, ksub=16, dim=64, train_iters=2)
+        assert again == books  # rounded means + deterministic init/ties
+
+    def test_dim_not_divisible_raises(self, emb):
+        from citibike_analysis_spark.operators.pq import train_pq_codebooks
+
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(emb, m=7, ksub=16, dim=64, train_iters=1)
+
+    def test_encode_codes_and_recon_norm(self, spark, emb, books):
+        """Codes are m ints in [0, ksub); recon_norm equals the numpy
+        norm of the assembled reconstruction (pure function of codes)."""
+        from citibike_analysis_spark.operators.pq import pq_encode
+
+        codes = pq_encode(emb, books)
+        chk = codes.agg(
+            F.count("*").alias("n"),
+            F.bool_and(
+                (F.size("codes") == 8)
+                & F.forall("codes", lambda c: (c >= 0) & (c < 16))
+            ).alias("ok"),
+        ).collect()[0]
+        assert chk["n"] == emb.count() and chk["ok"]
+        C = {
+            (j, cid): np.asarray(v)
+            for j, book in enumerate(books)
+            for cid, v in book
+        }
+        for r in codes.orderBy("vec_id").limit(5).collect():
+            recon = np.concatenate(
+                [C[(j, r["codes"][j])] for j in range(8)]
+            )
+            assert abs(r["recon_norm"] - np.linalg.norm(recon)) < 1e-6
+
+    def test_assignment_is_argmin(self, emb, books):
+        """Each subspace's code is the true squared-L2 argmin over its
+        codebook — numpy recompute on a handful of vectors (an
+        independent path from the struct-min trick)."""
+        from citibike_analysis_spark.operators.pq import pq_encode
+
+        rows = (
+            pq_encode(emb, books)
+            .join(
+                emb.select(
+                    "vec_id",
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    ).alias("_v"),
+                ),
+                "vec_id",
+            )
+            .orderBy("vec_id")
+            .limit(10)
+            .collect()
+        )
+        for r in rows:
+            v = np.asarray(r["_v"])
+            for j, book in enumerate(books):
+                sub = v[j * 8 : (j + 1) * 8]
+                dists = [
+                    (round(float(((sub - np.asarray(c)) ** 2).sum()), 9), cid)
+                    for cid, c in book
+                ]
+                assert r["codes"][j] == min(dists)[1]
+
+    def test_mse_monotone_and_beats_variance(self, emb, books):
+        from citibike_analysis_spark.operators.pq import (
+            pq_reconstruction_mse,
+            train_pq_codebooks,
+        )
+
+        fine = (
+            pq_reconstruction_mse(emb, books).agg(F.avg("mse")).collect()[0][0]
+        )
+        coarse_books = train_pq_codebooks(
+            emb, m=8, ksub=2, dim=64, train_iters=2
+        )
+        coarse = (
+            pq_reconstruction_mse(emb, coarse_books)
+            .agg(F.avg("mse"))
+            .collect()[0][0]
+        )
+        var = (
+            emb.select(
+                F.posexplode(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double"))
+                ).alias("p", "v")
+            )
+            .agg(F.var_pop("v"))
+            .collect()[0][0]
+        )
+        assert fine < coarse < var
+
+
+class TestPqAdc:
+    def test_adc_scores_match_numpy_reference(self, spark, emb, books):
+        """The full ADC pipeline (Arrow LUT matmul + JVM zip_with
+        lookup fold + rounded cosine) reproduces a from-scratch numpy
+        computation exactly at the 6-decimal output precision."""
+        from citibike_analysis_spark.operators.pq import pq_encode, pq_topk
+
+        codes = pq_encode(emb, books)
+        q = emb.filter(F.col("vec_id") < 3)
+        got = {
+            (r["query_id"], r["neighbor_id"]): r["adc_sim"]
+            for r in pq_topk(codes, q, books, k=5).collect()
+        }
+        assert got
+        C = {
+            (j, cid): np.asarray(v)
+            for j, book in enumerate(books)
+            for cid, v in book
+        }
+        code_rows = {
+            r["vec_id"]: (list(r["codes"]), r["recon_norm"])
+            for r in codes.collect()
+        }
+        qvs = {
+            r["vec_id"]: np.asarray([float(x) for x in r["embedding"]])
+            for r in q.collect()
+        }
+        for (qid, nid), sim in got.items():
+            qv = qvs[qid]
+            cs, rn = code_rows[nid]
+            dot = sum(
+                float(qv[j * 8 : (j + 1) * 8] @ C[(j, cs[j])])
+                for j in range(8)
+            )
+            ref = round(dot / max(np.linalg.norm(qv) * rn, 1e-300), 6)
+            assert abs(sim - ref) < 2e-6, (qid, nid, sim, ref)
+
+    def test_rerank_recall_at_production_params(self, spark, emb):
+        """The q140 parameterization (m=16, ksub=64, shortlist 50 +
+        exact re-rank) holds per-query recall@5 ≥ 0.6 — measured
+        1.0/1.0/0.8 min at sf0.001/0.01/0.1; plain ADC@5 is NOT held
+        to this bar (0.74/0.46 mean measured — the re-rank stage is
+        load-bearing, which this test would catch if it regressed to
+        un-re-ranked output)."""
+        from citibike_analysis_spark.operators.pq import (
+            pq_encode,
+            pq_topk_rerank,
+            train_pq_codebooks,
+        )
+        from citibike_analysis_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        books = train_pq_codebooks(emb, m=16, ksub=64, dim=64, train_iters=4)
+        codes = pq_encode(emb, books)
+        q = emb.filter(F.col("vec_id") < 10)
+        exact: dict = {}
+        for r in brute_force_topk(emb, q, k=5).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got: dict = {}
+        reranked = pq_topk_rerank(codes, emb, q, books, k=5, shortlist=50)
+        for r in reranked.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        per_q = [len(got.get(k, set()) & s) / len(s) for k, s in exact.items()]
+        assert min(per_q) >= 0.6, per_q
+        # and the re-ranked scores are EXACT cosines: they must agree
+        # with brute force on the intersecting pairs
+        bf = {
+            (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        rr = {
+            (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+            for r in reranked.collect()
+        }
+        common = set(bf) & set(rr)
+        assert common
+        assert all(abs(bf[p] - rr[p]) < 2e-6 for p in common)
