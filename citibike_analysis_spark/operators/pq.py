@@ -453,3 +453,370 @@ def pq_topk_rerank(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: PQ codes attached to a persisted IVF index — route with the
+# inverted lists, ADC-score the probed lists' CODES, exact re-rank the
+# shortlist against the vectors the lists table already carries. The
+# codes ride a SIBLING table (<table>__codes, bucketed on cid like the
+# lists) so the whole IVF lifecycle (append/delete/compact, q136-q138)
+# keeps operating on the lists table unchanged; a strict row-count +
+# stamp screen refuses a probe whenever the siblings have diverged.
+# --------------------------------------------------------------------------
+
+#: catalog property binding a codes sibling to the exact codebooks AND
+#: the lists stamp it was encoded under
+_IVFPQ_STAMP_PROP = "cbs.ivfpq.stamp"
+
+
+def _books_stamp(codebooks, lists_stamp: str) -> str:
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        [[(cid, list(v)) for cid, v in book] for book in codebooks]
+    )
+    return hashlib.md5(f"{lists_stamp}:{payload}".encode()).hexdigest()[:16]
+
+
+def _load_books(spark, table: str):
+    """Load the persisted codebooks sibling back into the driver-side
+    nested-list form (m × ksub × dsub — a few KB)."""
+    rows = spark.table(f"{table}__books").orderBy("sub_j", "cid").collect()
+    m = 1 + max(r["sub_j"] for r in rows)
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["sub_j"]].append((r["cid"], list(r["_cb"])))
+    return books
+
+
+def attach_pq_codes(
+    spark,
+    table: str,
+    m: int = 16,
+    ksub: int = 64,
+    train_iters: int = 4,
+    train_on: DataFrame | None = None,
+    num_buckets: int = 16,
+) -> None:
+    """Attach PQ codes to a persisted `build_ivf_index` table: train
+    codebooks (on ``train_on`` or the indexed vectors), encode EVERY
+    lists row, and write ``<table>__codes`` — (neighbor_id, cid,
+    codes, recon_norm) BUCKETED ON cid like the lists, so
+    :func:`ivfpq_topk`'s candidate join is exchange-free on the codes
+    side at any probe size — plus ``<table>__books`` (the m × ksub
+    codebooks). The codes stamp binds BOTH the exact codebooks and the
+    lists table's IVF stamp: re-building or re-training either side
+    invalidates the probe loudly, never silently.
+
+    After :func:`~citibike_analysis_spark.operators.similarity.append_to_ivf_index`,
+    run :func:`refresh_pq_codes` (batch-cost: encodes only the missing
+    ids); after a compaction that PURGED deletions, re-attach (the
+    strict row-count screen in the probe refuses a diverged sibling in
+    either direction)."""
+    from citibike_analysis_spark.operators.similarity import (
+        _IVF_STAMP_PROP,
+    )
+    from citibike_analysis_spark.sources.bucketed import (
+        _clear_table_and_orphaned_location,
+        write_bucketed,
+    )
+
+    lists = spark.table(table)
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    lists_stamp = props.get(_IVF_STAMP_PROP)
+    if lists_stamp is None:
+        raise ValueError(
+            f"{table!r} is not a stamped IVF index (build_ivf_index "
+            "first) — PQ codes attach to the lists table"
+        )
+    src = train_on if train_on is not None else lists.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("_cv").alias("embedding")
+    )
+    first = lists.select("_cv").first()
+    if first is None:
+        raise ValueError(
+            f"{table!r} holds no vectors — attach PQ codes after the "
+            "index has content"
+        )
+    dim = len(first["_cv"])
+    books = train_pq_codebooks(
+        src, m=m, ksub=ksub, dim=dim, train_iters=train_iters
+    )
+    codes = pq_encode(
+        lists, books, id_col="neighbor_id", vec_col="_cv"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    # carry cid so the codes table buckets/joins exactly like the lists
+    coded = codes.join(lists.select("neighbor_id", "cid"), "neighbor_id")
+    write_bucketed(
+        coded.select("neighbor_id", "cid", "codes", "recon_norm"),
+        f"{table}__codes",
+        ["cid"],
+        num_buckets,
+    )
+    bt = f"{table}__books"
+    _clear_table_and_orphaned_location(spark, bt)
+    _cb_df(spark, books).write.mode("overwrite").format("parquet").saveAsTable(bt)
+    spark.sql(
+        f"ALTER TABLE {table}__codes SET TBLPROPERTIES "
+        f"('{_IVFPQ_STAMP_PROP}' = '{_books_stamp(books, lists_stamp)}')"
+    )
+
+
+def refresh_pq_codes(spark, table: str, num_buckets: int = 16) -> int:
+    """Encode the lists rows that have no code yet (the ids an
+    `append_to_ivf_index` landed since the last attach) under the
+    STORED codebooks — batch-cost (one anti-join + one assignment pass
+    over the missing rows + one bucketed append), never a re-train.
+    Returns the number of rows encoded. The stamp is untouched: the
+    codebooks and the lists stamp are unchanged by construction (the
+    probe's screen verifies both)."""
+    _verify_ivfpq_stamp(spark, table, check_counts=False)
+    books = _load_books(spark, table)
+    from citibike_analysis_spark.sources.bucketed import append_bucketed
+
+    lists = spark.table(table)
+    missing = lists.join(
+        spark.table(f"{table}__codes").select("neighbor_id"),
+        "neighbor_id",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    n = missing.count()
+    if n == 0:
+        return 0
+    codes = pq_encode(
+        missing, books, id_col="neighbor_id", vec_col="_cv"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    coded = codes.join(missing.select("neighbor_id", "cid"), "neighbor_id")
+    append_bucketed(
+        coded.select("neighbor_id", "cid", "codes", "recon_norm"),
+        f"{table}__codes",
+        ["cid"],
+        num_buckets,
+    )
+    return n
+
+
+def _verify_ivfpq_stamp(spark, table: str, check_counts: bool = True):
+    """Screen an IVF-PQ sibling pair before probing: the codes table's
+    stamp must equal md5(lists' current IVF stamp + stored codebooks) —
+    a re-built lists table or hand-swapped books sibling would route
+    or score under the wrong geometry silently — and (when
+    ``check_counts``) the two tables must hold the SAME row count: a
+    lists append without :func:`refresh_pq_codes` leaves codes missing
+    (those ids would silently never be candidates), a compaction that
+    purged deletions leaves GHOST codes (purged ids would shortlist,
+    then vanish at the re-rank join, silently shrinking k). Returns
+    the loaded codebooks."""
+    from citibike_analysis_spark.operators.similarity import _IVF_STAMP_PROP
+
+    ct = f"{table}__codes"
+    if not spark.catalog.tableExists(ct):
+        raise ValueError(
+            f"{table!r} has no PQ codes sibling — run attach_pq_codes"
+        )
+    lp = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    cp = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {ct}").collect()
+    }
+    books = _load_books(spark, table)
+    expect = _books_stamp(books, lp.get(_IVF_STAMP_PROP, ""))
+    got = cp.get(_IVFPQ_STAMP_PROP)
+    if got != expect:
+        raise ValueError(
+            f"IVF-PQ codes table {ct!r} was stamped {got} but the "
+            f"current lists stamp + stored codebooks hash to {expect} "
+            "— the lists were rebuilt or the books sibling was "
+            "replaced since the codes were encoded; re-run "
+            "attach_pq_codes"
+        )
+    if check_counts:
+        nl = spark.table(table).count()
+        nc = spark.table(ct).count()
+        if nl != nc:
+            raise ValueError(
+                f"IVF-PQ siblings diverged: {nl} lists rows vs {nc} "
+                "code rows — an append without refresh_pq_codes "
+                "(missing ids would silently never be candidates) or "
+                "a purging compaction (ghost codes would silently "
+                "shrink k at the re-rank join); run refresh_pq_codes "
+                "after appends, attach_pq_codes after a purge"
+            )
+    return books
+
+
+def ivfpq_topk(
+    spark,
+    table: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """Full IVF-PQ probe over the persisted siblings: route each query
+    to its ``nprobe`` nearest lists (the stored IVF centroids),
+    ADC-score ONLY those lists' code rows (m lookup-adds per
+    candidate, codes side exchange-free by bucketing), keep the
+    per-query top-``shortlist``, then exact-cosine re-rank the
+    shortlist against the vectors the lists table already carries.
+    Output: (query_id, neighbor_id, cosine_sim, rk) — exact scores,
+    PQ-pruned candidate work; the 100 TB scan economics in one call.
+
+    Tombstones (`remove_from_ivf_index`) are masked on the CODES side
+    (broadcast anti-join — removed ids never shortlist). The probe
+    frame carries the per-query LUT (m × ksub doubles ≈ a dim-m·ksub
+    vector), so its broadcast preflight uses the dim-aware divisor at
+    that weight; above the cap the probe side shuffles (codes side
+    stays exchange-free)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from citibike_analysis_spark.operators.similarity import (
+        _cand_broadcast_max_rows,
+        _ivf_probe_divisor,
+        _load_ivf_cents,
+        ivf_pair_dot,
+        norm as _norm,
+    )
+
+    books = _verify_ivfpq_stamp(spark, table)
+    cents = _load_ivf_cents(spark, table, "ivfpq probe")
+    m = len(books)
+    ksub = len(books[0])
+    dsub = len(books[0][0][1])
+    C = np.asarray(
+        [v for book in books for _, v in book], dtype=np.float64
+    )
+
+    @pandas_udf("array<array<double>>")
+    def _luts(qv: pd.Series) -> pd.Series:
+        out: list[list[list[float]] | None] = [None] * len(qv)
+        vals = qv.tolist()
+        live = [i for i, x in enumerate(vals) if x is not None]
+        if not live:
+            return pd.Series(out, dtype=object)
+        Q = np.asarray([vals[i] for i in live], dtype=np.float64)
+        if Q.shape[1] != m * dsub:
+            raise ValueError(
+                f"query width {Q.shape[1]} != m·dsub = {m * dsub}"
+            )
+        lut = np.einsum(
+            "qjd,jkd->qjk",
+            Q.reshape(len(Q), m, dsub),
+            C.reshape(m, ksub, dsub),
+        )
+        for i, L in zip(live, lut):
+            out[i] = [row.tolist() for row in L]
+        return pd.Series(out, dtype=object)
+
+    from citibike_analysis_spark.operators.similarity import (
+        _cent_df,
+        dot as _dot,
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(_cent_df(spark, cents)))
+        .withColumn(
+            "_d",
+            _dot(F.col("_qv"), F.col("_cvec"))
+            / (_norm(F.col("_qv")) * _norm(F.col("_cvec"))),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_d"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "query_id",
+            _norm(F.col("_qv")).alias("_qn"),
+            _luts(F.col("_qv")).alias("_lut"),
+            "cid",
+        )
+    )
+    n_q = n_queries if n_queries is not None else queries.select(id_col).count()
+    hint = (
+        F.broadcast
+        if n_q * nprobe
+        <= _cand_broadcast_max_rows() // _ivf_probe_divisor(m * ksub)
+        else (lambda d: d)
+    )
+    codes = spark.table(f"{table}__codes")
+    tt = f"{table}__tombs"
+    if spark.catalog.tableExists(tt):
+        codes = codes.join(
+            F.broadcast(spark.table(tt)), "neighbor_id", "left_anti"
+        )
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        codes.join(hint(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_adc",
+            F.round(
+                adc_dot
+                / F.greatest(F.col("_qn") * F.col("recon_norm"), F.lit(1e-300)),
+                6,
+            ),
+        )
+        .withColumn(
+            "_sr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_adc"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("_sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: the shortlist is |q| × shortlist ids (broadcast);
+    # vectors come from the lists table the index already stores
+    cv = spark.table(table).select(
+        "neighbor_id", F.col("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    qv = q.withColumn("_qn", _norm(F.col("_qv")))
+    pdot = ivf_pair_dot(spark)
+    scored = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                pdot(F.col("_qv"), F.col("_cv"))
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-300)),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -1019,6 +1019,45 @@ def q140_pq_rerank_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_audit(spark, sf_dir, ap, "query_recall_ge_06", 0.6, None)
 
 
+def q141_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
+    for the FULL persisted IVF-PQ pipeline (r12 — route via the stored
+    inverted lists at nprobe=6, ADC-score the probed lists' codes at
+    m=16/ksub=64, exact re-rank the 50-candidate shortlist): measured
+    0.94 mean / 0.80 min per query at ALL of sf0.001/0.01/0.1 — the
+    composition of the two independently-audited stages (q107 routing
+    min 0.8, q140 codec-shortlist min 0.8). Builds the index + codes
+    per run (per-process uuid + finally-drop, the q131 pattern)."""
+    import hashlib
+    import uuid
+
+    from citibike_analysis_spark.operators.pq import (
+        attach_pq_codes,
+        ivfpq_topk,
+    )
+    from citibike_analysis_spark.operators.similarity import build_ivf_index
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    table = (
+        "q141_ivfpq_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    try:
+        build_ivf_index(e, table, nlist=16, train_iters=4)
+        attach_pq_codes(spark, table, m=16, ksub=64, train_iters=4)
+        ap = ivfpq_topk(
+            spark, table, q, k=5, nprobe=6, shortlist=50
+        ).localCheckpoint(eager=True)
+    finally:
+        for state in ("", "__cents", "__tombs", "__codes", "__books"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{state}")
+    return _ann_recall_audit(spark, sf_dir, ap, "query_recall_ge_06", 0.6, None)
+
+
 def q107_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact best-neighbor cosine + PER-QUERY recall@5 ≥ 0.6
     for the q49 IVF parameterization (nlist=16, nprobe=6 — measured
@@ -1052,6 +1091,7 @@ Q107_SQL = _ANN_AUDIT_SQL.format(flag="query_recall_ge_06")
 # own constant even while textually equal to Q107_SQL — the Q137
 # lesson: shared constants let one audit's edit silently desync another
 Q140_SQL = _ANN_AUDIT_SQL.format(flag="query_recall_ge_06")
+Q141_SQL = _ANN_AUDIT_SQL.format(flag="query_recall_ge_06")
 
 
 def q108_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4372,5 +4412,10 @@ QUERIES: dict[str, QuerySpec] = {
         q140_pq_rerank_recall_audit,
         Q140_SQL,
         "§7 similarity-pq-rerank-recall-audit",
+    ),
+    "q141_ivfpq_recall_audit": QuerySpec(
+        q141_ivfpq_recall_audit,
+        Q141_SQL,
+        "§7 similarity-ivfpq-pipeline-recall-audit",
     ),
 }
