@@ -288,6 +288,61 @@ def pq_reconstruction_mse(
     )
 
 
+def _make_lut_udf(codebooks):
+    """Per-query ADC lookup-table UDF shared by :func:`pq_topk` and
+    :func:`ivfpq_topk`: one Arrow-batched einsum computes LUT[j][c] =
+    dot(q_j, codebook_j[c]) for a batch of queries (the `_bucketize`
+    dense-linear-algebra seam; the codebook tensor rides the closure —
+    a few KB pickled, the `_planes_matrix` precedent)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0][1])
+    C = np.asarray(
+        [v for book in codebooks for _, v in book], dtype=np.float64
+    )
+
+    @pandas_udf("array<array<double>>")
+    def _luts(qv: pd.Series) -> pd.Series:
+        out: list[list[list[float]] | None] = [None] * len(qv)
+        vals = qv.tolist()
+        live = [i for i, x in enumerate(vals) if x is not None]
+        if not live:
+            return pd.Series(out, dtype=object)
+        Q = np.asarray([vals[i] for i in live], dtype=np.float64)
+        if Q.shape[1] != m * dsub:
+            raise ValueError(
+                f"query width {Q.shape[1]} != m·dsub = {m * dsub}"
+            )
+        lut = np.einsum(
+            "qjd,jkd->qjk",
+            Q.reshape(len(Q), m, dsub),
+            C.reshape(m, ksub, dsub),
+        )
+        for i, L in zip(live, lut):
+            out[i] = [row.tolist() for row in L]
+        return pd.Series(out, dtype=object)
+
+    return _luts
+
+
+def _adc_dot() -> Column:
+    """Σ_j LUT[j][code_j] as pure JVM expressions over the row's
+    ``codes`` (array<int>) and ``_lut`` (array<array<double>>) columns
+    — m `element_at` lookups + adds per pair, no Python."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("_lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -312,42 +367,7 @@ def pq_topk(
     brute-force-scan contract (queries small); for corpus-scale query
     batches route through the IVF index first and ADC-score per list.
     """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    m = len(codebooks)
-    ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0][1])
-    # (m·ksub) × dsub matrix, row-major by (sub_j, cid) — captured by
-    # the UDF closure (a few KB pickled, the _planes_matrix precedent)
-    C = np.asarray(
-        [v for book in codebooks for _, v in book], dtype=np.float64
-    )
-
-    @pandas_udf("array<array<double>>")
-    def _luts(qv: pd.Series) -> pd.Series:
-        out: list[list[list[float]] | None] = [None] * len(qv)
-        vals = qv.tolist()
-        live = [i for i, x in enumerate(vals) if x is not None]
-        if not live:
-            return pd.Series(out, dtype=object)
-        Q = np.asarray([vals[i] for i in live], dtype=np.float64)
-        if Q.shape[1] != m * dsub:
-            raise ValueError(
-                f"query width {Q.shape[1]} != m·dsub = {m * dsub}"
-            )
-        # per query: LUT[j][c] = dot(q_j, C[j,c]) — one einsum over
-        # the (m, dsub)-reshaped queries against the (m, ksub, dsub)
-        # codebook tensor
-        lut = np.einsum(
-            "qjd,jkd->qjk",
-            Q.reshape(len(Q), m, dsub),
-            C.reshape(m, ksub, dsub),
-        )
-        for i, L in zip(live, lut):
-            out[i] = [row.tolist() for row in L]
-        return pd.Series(out, dtype=object)
-
+    _luts = _make_lut_udf(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     ).select(
@@ -355,22 +375,13 @@ def pq_topk(
         norm(F.col("_qv")).alias("_qn"),
         _luts(F.col("_qv")).alias("_lut"),
     )
-    adc_dot = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("_lut"),
-            lambda c, row: F.element_at(row, c.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn(
             "adc_sim",
             F.round(
-                adc_dot
+                _adc_dot()
                 / F.greatest(F.col("_qn") * F.col("recon_norm"), F.lit(1e-300)),
                 6,
             ),
@@ -679,13 +690,12 @@ def ivfpq_topk(
     vector), so its broadcast preflight uses the dim-aware divisor at
     that weight; above the cap the probe side shuffles (codes side
     stays exchange-free)."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     from citibike_analysis_spark.operators.similarity import (
         _cand_broadcast_max_rows,
+        _cent_df,
         _ivf_probe_divisor,
         _load_ivf_cents,
+        dot as _dot,
         ivf_pair_dot,
         norm as _norm,
     )
@@ -694,36 +704,7 @@ def ivfpq_topk(
     cents = _load_ivf_cents(spark, table, "ivfpq probe")
     m = len(books)
     ksub = len(books[0])
-    dsub = len(books[0][0][1])
-    C = np.asarray(
-        [v for book in books for _, v in book], dtype=np.float64
-    )
-
-    @pandas_udf("array<array<double>>")
-    def _luts(qv: pd.Series) -> pd.Series:
-        out: list[list[list[float]] | None] = [None] * len(qv)
-        vals = qv.tolist()
-        live = [i for i, x in enumerate(vals) if x is not None]
-        if not live:
-            return pd.Series(out, dtype=object)
-        Q = np.asarray([vals[i] for i in live], dtype=np.float64)
-        if Q.shape[1] != m * dsub:
-            raise ValueError(
-                f"query width {Q.shape[1]} != m·dsub = {m * dsub}"
-            )
-        lut = np.einsum(
-            "qjd,jkd->qjk",
-            Q.reshape(len(Q), m, dsub),
-            C.reshape(m, ksub, dsub),
-        )
-        for i, L in zip(live, lut):
-            out[i] = [row.tolist() for row in L]
-        return pd.Series(out, dtype=object)
-
-    from citibike_analysis_spark.operators.similarity import (
-        _cent_df,
-        dot as _dot,
-    )
+    _luts = _make_lut_udf(books)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
@@ -762,22 +743,13 @@ def ivfpq_topk(
         codes = codes.join(
             F.broadcast(spark.table(tt)), "neighbor_id", "left_anti"
         )
-    adc_dot = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("_lut"),
-            lambda c, row: F.element_at(row, c.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     short = (
         codes.join(hint(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "_adc",
             F.round(
-                adc_dot
+                _adc_dot()
                 / F.greatest(F.col("_qn") * F.col("recon_norm"), F.lit(1e-300)),
                 6,
             ),
