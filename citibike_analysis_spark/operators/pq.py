@@ -74,16 +74,24 @@ def _check_dims(dim: int, m: int, ksub: int) -> int:
 
 
 def _explode_subvectors(
-    df: DataFrame, idname: str, vec: str, m: int, dsub: int
+    df: DataFrame,
+    idname: str,
+    vec: str,
+    m: int,
+    dsub: int,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(id, vec) → (id, sub_j, _sv): one row per contiguous subspace
-    slice. Pure array expressions (slice positions are 1-based)."""
+    slice. Pure array expressions (slice positions are 1-based).
+    ``carry`` columns ride the explode unchanged (a few scalar bytes
+    per row — how `attach_pq_codes` keeps the lists' cid without an
+    n-row re-join after encoding)."""
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.slice(F.col(vec), j * F.lit(dsub) + 1, dsub),
     )
     return df.select(
-        idname, F.posexplode(slices).alias("sub_j", "_sv")
+        idname, *(carry or []), F.posexplode(slices).alias("sub_j", "_sv")
     )
 
 
@@ -108,12 +116,14 @@ def _cb_df(spark, codebooks) -> DataFrame:
 
 
 def _assign_codes(
-    sub: DataFrame, idname: str, spark, codebooks
+    sub: DataFrame, idname: str, spark, codebooks, carry: list[str] | None = None
 ) -> DataFrame:
     """(id, sub_j, _sv) → (id, sub_j, cid, _sv): per-subspace nearest
     centroid under squared-L2, ties on cid (min over (dist, cid)
     structs — the `_assign_nearest` trick with the euclidean metric).
-    The codebook frame is m × ksub rows — always broadcast."""
+    The codebook frame is m × ksub rows — always broadcast. ``carry``
+    columns are per-id constants (any_value through the aggregate)."""
+    carry = carry or []
     scored = sub.join(F.broadcast(_cb_df(spark, codebooks)), "sub_j").withColumn(
         "_d", F.round(_sqdist(F.col("_sv"), F.col("_cb")), 9)
     )
@@ -122,8 +132,9 @@ def _assign_codes(
         .agg(
             F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
             F.any_value("_sv").alias("_sv"),
+            *[F.any_value(c).alias(c) for c in carry],
         )
-        .select(idname, "sub_j", F.col("_m.cid").alias("cid"), "_sv")
+        .select(idname, "sub_j", F.col("_m.cid").alias("cid"), "_sv", *carry)
     )
 
 
@@ -216,6 +227,7 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode a corpus against trained codebooks: (vec_id, codes
     array<int>, recon_norm double). ``recon_norm`` is |x̂| — the L2
@@ -224,18 +236,23 @@ def pq_encode(
     touching the original vectors at probe time. One corpus pass
     (explode → broadcast-join argmin → regroup); the output is the
     compact scan column a 100 TB pipeline persists next to (or instead
-    of) the raw embeddings.
+    of) the raw embeddings. ``carry_cols`` are per-id scalar columns
+    that ride the encode unchanged (r12: how `attach_pq_codes` keeps
+    the IVF cid without re-joining the n-row output back to the lists
+    — an avoided corpus-scale shuffle); names must not collide with
+    the internal ``cid``/``sub_j``/``_sv``/``_v``.
     """
-    import math
-
     m = len(codebooks)
     dsub = len(codebooks[0][0][1])
+    carry = carry_cols or []
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("vec_id"),
+        *carry,
+        as_double(F.col(vec_col)).alias("_v"),
     )
     spark = corpus.sparkSession
-    sub = _explode_subvectors(c, "vec_id", "_v", m, dsub)
-    assigned = _assign_codes(sub, "vec_id", spark, codebooks)
+    sub = _explode_subvectors(c, "vec_id", "_v", m, dsub, carry=carry)
+    assigned = _assign_codes(sub, "vec_id", spark, codebooks, carry=carry)
     # |x̂|² = Σ_j |codebook_j[code_j]|² (subspaces are orthogonal
     # coordinate blocks); the per-(sub_j, cid) norms are driver-side
     sq = {
@@ -256,6 +273,7 @@ def pq_encode(
                 lambda s: s["cid"],
             ).alias("codes"),
             F.round(F.sqrt(F.sum("_sq")), 9).alias("recon_norm"),
+            *[F.any_value(c).alias(c) for c in carry],
         )
     )
 
@@ -558,17 +576,23 @@ def attach_pq_codes(
     books = train_pq_codebooks(
         src, m=m, ksub=ksub, dim=dim, train_iters=train_iters
     )
-    codes = pq_encode(
-        lists, books, id_col="neighbor_id", vec_col="_cv"
-    ).withColumnRenamed("vec_id", "neighbor_id")
-    # carry cid so the codes table buckets/joins exactly like the lists
-    coded = codes.join(lists.select("neighbor_id", "cid"), "neighbor_id")
-    write_bucketed(
-        coded.select("neighbor_id", "cid", "codes", "recon_norm"),
-        f"{table}__codes",
-        ["cid"],
-        num_buckets,
+    # cid rides THROUGH the encode as a carry column (renamed around
+    # the codec's own per-subspace cid) so the bucketed write needs no
+    # n-row re-join back to the lists — the encode's single pass is
+    # the whole corpus cost
+    coded = pq_encode(
+        lists.withColumnRenamed("cid", "_list_cid"),
+        books,
+        id_col="neighbor_id",
+        vec_col="_cv",
+        carry_cols=["_list_cid"],
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_list_cid").alias("cid"),
+        "codes",
+        "recon_norm",
     )
+    write_bucketed(coded, f"{table}__codes", ["cid"], num_buckets)
     bt = f"{table}__books"
     _clear_table_and_orphaned_location(spark, bt)
     _cb_df(spark, books).write.mode("overwrite").format("parquet").saveAsTable(bt)
@@ -599,16 +623,19 @@ def refresh_pq_codes(spark, table: str, num_buckets: int = 16) -> int:
     n = missing.count()
     if n == 0:
         return 0
-    codes = pq_encode(
-        missing, books, id_col="neighbor_id", vec_col="_cv"
-    ).withColumnRenamed("vec_id", "neighbor_id")
-    coded = codes.join(missing.select("neighbor_id", "cid"), "neighbor_id")
-    append_bucketed(
-        coded.select("neighbor_id", "cid", "codes", "recon_norm"),
-        f"{table}__codes",
-        ["cid"],
-        num_buckets,
+    coded = pq_encode(
+        missing.withColumnRenamed("cid", "_list_cid"),
+        books,
+        id_col="neighbor_id",
+        vec_col="_cv",
+        carry_cols=["_list_cid"],
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_list_cid").alias("cid"),
+        "codes",
+        "recon_norm",
     )
+    append_bucketed(coded, f"{table}__codes", ["cid"], num_buckets)
     return n
 
 
@@ -662,6 +689,70 @@ def _verify_ivfpq_stamp(spark, table: str, check_counts: bool = True):
                 "after appends, attach_pq_codes after a purge"
             )
     return books
+
+
+def verify_ivfpq_consistency(spark, table: str) -> int:
+    """Id-level deep audit of an IVF-PQ sibling pair (the
+    `verify_ivf_index_consistency` counterpart). The per-probe screen
+    (:func:`_verify_ivfpq_stamp`) compares TOTALS, which a tear can
+    hide behind — ghost codes and missing codes in equal number
+    balance the counts while both corrupt probes silently. This audit
+    goes to the id level. Raises on: a stale stamp (via the screen);
+    GHOST codes (code rows whose id has no lists row — a purging
+    compaction without re-attach: ghosts ADC-shortlist, then vanish at
+    the re-rank join, silently shrinking k); a CID MISMATCH between a
+    code row and its lists row (the code would be probed under the
+    wrong list or never); MALFORMED codes (wrong length or value out
+    of [0, ksub) — every ADC lookup through them is garbage). Returns
+    the count of lists ids with NO code row — the benign direction
+    (those ids are simply not yet ADC-visible; heal with
+    :func:`refresh_pq_codes`, which this count sizes)."""
+    books = _verify_ivfpq_stamp(spark, table, check_counts=False)
+    m, ksub = len(books), len(books[0])
+    lists = spark.table(table).select("neighbor_id", "cid")
+    codes = spark.table(f"{table}__codes")
+    ghosts = (
+        codes.select("neighbor_id")
+        .join(lists.select("neighbor_id"), "neighbor_id", "left_anti")
+        .count()
+    )
+    if ghosts:
+        raise ValueError(
+            f"IVF-PQ codes table for {table!r} holds {ghosts} GHOST "
+            "code row(s) with no lists row — a purging compaction ran "
+            "without re-attaching; ghosts shortlist and then vanish at "
+            "the re-rank join, silently shrinking k. Re-run "
+            "attach_pq_codes"
+        )
+    mismatched = (
+        codes.select("neighbor_id", F.col("cid").alias("_code_cid"))
+        .join(lists, "neighbor_id")
+        .filter(F.col("_code_cid") != F.col("cid"))
+        .count()
+    )
+    if mismatched:
+        raise ValueError(
+            f"IVF-PQ siblings for {table!r} disagree on the list id of "
+            f"{mismatched} row(s) — the code rows were encoded under a "
+            "different assignment than the lists hold; re-run "
+            "attach_pq_codes"
+        )
+    malformed = codes.filter(
+        (F.size("codes") != m)
+        | ~F.forall("codes", lambda c: (c >= 0) & (c < ksub))
+    ).count()
+    if malformed:
+        raise ValueError(
+            f"IVF-PQ codes table for {table!r} holds {malformed} "
+            f"malformed code row(s) (length ≠ {m} or value outside "
+            f"[0, {ksub})) — every ADC lookup through them is garbage; "
+            "re-run attach_pq_codes"
+        )
+    return (
+        lists.select("neighbor_id")
+        .join(codes.select("neighbor_id"), "neighbor_id", "left_anti")
+        .count()
+    )
 
 
 def ivfpq_topk(

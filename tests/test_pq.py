@@ -225,17 +225,37 @@ class TestPqAdc:
         finally:
             for s in ("", "__cents", "__tombs", "__codes", "__books"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
-        # fresh pair for the divergence screens
+        # fresh pair for the divergence screens + the id-level audit
         t2 = "ivfpq_lc2_idx"
         try:
             build_ivf_index(even, t2, nlist=8, train_iters=2)
             attach_pq_codes(spark, t2, m=8, ksub=16, train_iters=2)
+            from citibike_analysis_spark.operators.pq import (
+                verify_ivfpq_consistency,
+            )
+
+            assert verify_ivfpq_consistency(spark, t2) == 0
             append_to_ivf_index(odd, t2)
             with pytest.raises(ValueError, match="diverged"):
                 ivfpq_topk(spark, t2, q, k=3, nprobe=4)
+            # the deep audit counts the pending (benign) direction
+            assert verify_ivfpq_consistency(spark, t2) == odd.count()
             assert refresh_pq_codes(spark, t2) == odd.count()
             assert refresh_pq_codes(spark, t2) == 0  # idempotent
+            assert verify_ivfpq_consistency(spark, t2) == 0
             assert ivfpq_topk(spark, t2, q, k=3, nprobe=4).count() > 0
+            # GHOST codes (purge without re-attach): totals can hide
+            # this — the id-level audit must raise. Simulate by
+            # appending a code row with an id no lists row has.
+            spark.createDataFrame(
+                [(99_999_999, 0, [0] * 8, 1.0)],
+                "neighbor_id: bigint, cid: int, codes: array<int>, "
+                "recon_norm: double",
+            ).write.mode("append").format("parquet").bucketBy(
+                16, "cid"
+            ).sortBy("cid").saveAsTable(f"{t2}__codes")
+            with pytest.raises(ValueError, match="GHOST"):
+                verify_ivfpq_consistency(spark, t2)
             # rebuilding the lists re-stamps them: the codes sibling's
             # binding stamp is now stale and the probe must refuse
             build_ivf_index(odd, t2, nlist=8, train_iters=2)
