@@ -426,6 +426,7 @@ def pq_topk_rerank(
     vec_col: str = "embedding",
     k: int = 5,
     shortlist: int = 50,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """ADC shortlist + EXACT re-rank — the production PQ recipe
     (FAISS's IVFPQ + refine): :func:`pq_topk` scans the compact codes
@@ -442,11 +443,21 @@ def pq_topk_rerank(
     becomes 1.00/0.96 (min per-query 1.00/0.80) after re-ranking a
     50-candidate shortlist, while the full-corpus scan still reads
     codes (m small ints vs d doubles per row). The re-rank side is
-    |q| × shortlist rows — broadcast-sized by construction; the
-    original-vector join is inner on the id, so the corpus pays one
-    column-pruned scan, never a shuffle of vector bytes by the
-    candidate key.
+    |q| × shortlist rows; its broadcast (and the query frame's, which
+    carries full d-dim vectors) is preflighted against the probe cap
+    with shuffle fallbacks (r12 ADVICE — an unconditional broadcast
+    here rebuilt the driver-heap state the cap exists to prevent at
+    ~50k+ queries); the original-vector join is inner on the id, so
+    the corpus pays one column-pruned scan, never a shuffle of vector
+    bytes by the candidate key. ``n_queries`` pre-pays the preflight's
+    query count (the one-shot sizing seam, r12).
     """
+    from citibike_analysis_spark.operators.similarity import (
+        _cand_broadcast_max_rows,
+        _ivf_probe_divisor,
+        ivf_pair_dot,
+    )
+
     cand = pq_topk(
         codes, queries, codebooks, id_col=id_col, vec_col=vec_col, k=shortlist
     ).select("query_id", "neighbor_id")
@@ -457,14 +468,26 @@ def pq_topk_rerank(
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm(F.col("_qv")))
-    from citibike_analysis_spark.operators.similarity import ivf_pair_dot
-
+    n_q = (
+        n_queries if n_queries is not None else queries.select(id_col).count()
+    )
+    dim = len(codebooks) * len(codebooks[0][0][1])
+    cand_hint = (
+        F.broadcast
+        if n_q * shortlist <= _cand_broadcast_max_rows()
+        else (lambda d: d)
+    )
+    qv_hint = (
+        F.broadcast
+        if n_q <= _cand_broadcast_max_rows() // _ivf_probe_divisor(dim)
+        else (lambda d: d)
+    )
     # the shortlist join carries both vectors on the row — the IVF
     # verify shape, same measured dot keying (fold; r11)
     pdot = ivf_pair_dot(corpus.sparkSession)
     scored = (
-        cv.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        cv.join(cand_hint(cand), "neighbor_id")
+        .join(qv_hint(qv), "query_id")
         .withColumn(
             "cosine_sim",
             F.round(
@@ -497,6 +520,23 @@ def pq_topk_rerank(
 #: catalog property binding a codes sibling to the exact codebooks AND
 #: the lists stamp it was encoded under
 _IVFPQ_STAMP_PROP = "cbs.ivfpq.stamp"
+
+#: catalog property caching the codes table's row count, maintained by
+#: attach (observed on the encode's write), refresh (old + encoded
+#: count) and compaction (recounted post-purge) — the codes-side half
+#: of the screen's property-vs-property count compare (r12 ADVICE: the
+#: per-probe screen ran two full-table count() jobs; at corpus scale
+#: the screen dominated small probe batches). Absent → count fallback.
+_IVFPQ_NCODES_PROP = "cbs.ivfpq.n_codes"
+
+#: session-scoped codebook cache keyed on (table, codes stamp, lists
+#: stamp): the m × ksub × dsub books are a few KB and immutable under a
+#: fixed stamp pair (attach re-stamps whenever it re-writes them), so a
+#: probe-per-batch service pays the books table read ONCE per attach
+#: instead of once per probe. A hand-swapped books sibling under an
+#: unchanged stamp is the deep audit's domain (verify_ivfpq_consistency),
+#: same trust boundary as the count properties.
+_BOOKS_CACHE: dict[tuple[str, str, str], list] = {}
 
 
 def _books_stamp(codebooks, lists_stamp: str) -> str:
@@ -541,9 +581,14 @@ def attach_pq_codes(
 
     After :func:`~citibike_analysis_spark.operators.similarity.append_to_ivf_index`,
     run :func:`refresh_pq_codes` (batch-cost: encodes only the missing
-    ids); after a compaction that PURGED deletions, re-attach (the
-    strict row-count screen in the probe refuses a diverged sibling in
-    either direction)."""
+    ids). A purging compaction
+    (:func:`~citibike_analysis_spark.operators.similarity.compact_ivf_index`)
+    maintains the codes sibling itself since r13 — it anti-joins the
+    same tombstone set out of ``__codes`` in the same call, so the only
+    remaining reason to RE-attach is an actual re-train (new corpus
+    geometry). The strict row-count screen in the probe still refuses a
+    diverged sibling in either direction (e.g. a crash between the
+    compaction's two rewrites)."""
     from citibike_analysis_spark.operators.similarity import (
         _IVF_STAMP_PROP,
     )
@@ -580,25 +625,41 @@ def attach_pq_codes(
     # the codec's own per-subspace cid) so the bucketed write needs no
     # n-row re-join back to the lists — the encode's single pass is
     # the whole corpus cost
-    coded = pq_encode(
-        lists.withColumnRenamed("cid", "_list_cid"),
-        books,
-        id_col="neighbor_id",
-        vec_col="_cv",
-        carry_cols=["_list_cid"],
-    ).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("_list_cid").alias("cid"),
-        "codes",
-        "recon_norm",
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    coded = (
+        pq_encode(
+            lists.withColumnRenamed("cid", "_list_cid"),
+            books,
+            id_col="neighbor_id",
+            vec_col="_cv",
+            carry_cols=["_list_cid"],
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_list_cid").alias("cid"),
+            "codes",
+            "recon_norm",
+        )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     write_bucketed(coded, f"{table}__codes", ["cid"], num_buckets)
+    n_codes = obs.get["n"]
     bt = f"{table}__books"
     _clear_table_and_orphaned_location(spark, bt)
     _cb_df(spark, books).write.mode("overwrite").format("parquet").saveAsTable(bt)
+    # one ALTER carries both; the count cache is observed on the encode
+    # write itself (no count job), the screen's cheap compare side
+    count_prop = (
+        f", '{_IVFPQ_NCODES_PROP}' = '{int(n_codes)}'"
+        if n_codes is not None
+        else ""
+    )
     spark.sql(
         f"ALTER TABLE {table}__codes SET TBLPROPERTIES "
-        f"('{_IVFPQ_STAMP_PROP}' = '{_books_stamp(books, lists_stamp)}')"
+        f"('{_IVFPQ_STAMP_PROP}' = '{_books_stamp(books, lists_stamp)}'"
+        f"{count_prop})"
     )
 
 
@@ -636,6 +697,18 @@ def refresh_pq_codes(spark, table: str, num_buckets: int = 16) -> int:
         "recon_norm",
     )
     append_bucketed(coded, f"{table}__codes", ["cid"], num_buckets)
+    ct = f"{table}__codes"
+    cp = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {ct}").collect()
+    }
+    if _IVFPQ_NCODES_PROP in cp:
+        # maintain the count cache: append-committed + the missing-row
+        # count already in hand, no count job (r12 ADVICE)
+        spark.sql(
+            f"ALTER TABLE {ct} SET TBLPROPERTIES ('{_IVFPQ_NCODES_PROP}' = "
+            f"'{int(cp[_IVFPQ_NCODES_PROP]) + n}')"
+        )
     return n
 
 
@@ -646,11 +719,26 @@ def _verify_ivfpq_stamp(spark, table: str, check_counts: bool = True):
     or score under the wrong geometry silently — and (when
     ``check_counts``) the two tables must hold the SAME row count: a
     lists append without :func:`refresh_pq_codes` leaves codes missing
-    (those ids would silently never be candidates), a compaction that
-    purged deletions leaves GHOST codes (purged ids would shortlist,
+    (those ids would silently never be candidates), a half-crashed
+    purging compaction leaves GHOST codes (purged ids would shortlist,
     then vanish at the re-rank join, silently shrinking k). Returns
-    the loaded codebooks."""
-    from citibike_analysis_spark.operators.similarity import _IVF_STAMP_PROP
+    the loaded codebooks.
+
+    Probe-cadence economics (r12 ADVICE — the screen used to run two
+    full-table count() jobs plus a books read per call, at odds with
+    the r11/r12 work removing unconditional count jobs from the
+    LSH/IVF probes): the counts now compare the lifecycle-maintained
+    ``cbs.ivf.n_rows`` / ``cbs.ivfpq.n_codes`` catalog properties
+    (zero jobs; falls back to real counts when either property is
+    absent — a pre-r13 index or a crash between a compaction's swap
+    and its recount), and the codebooks come from a session cache
+    keyed on the (table, codes stamp, lists stamp) triple — immutable
+    under a fixed stamp pair — so a steady-state probe pays two
+    driver-side SHOW TBLPROPERTIES and nothing else."""
+    from citibike_analysis_spark.operators.similarity import (
+        _IVF_NROWS_PROP,
+        _IVF_STAMP_PROP,
+    )
 
     ct = f"{table}__codes"
     if not spark.catalog.tableExists(ct):
@@ -665,9 +753,13 @@ def _verify_ivfpq_stamp(spark, table: str, check_counts: bool = True):
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {ct}").collect()
     }
-    books = _load_books(spark, table)
-    expect = _books_stamp(books, lp.get(_IVF_STAMP_PROP, ""))
     got = cp.get(_IVFPQ_STAMP_PROP)
+    lists_stamp = lp.get(_IVF_STAMP_PROP, "")
+    key = (table, got or "", lists_stamp)
+    books = _BOOKS_CACHE.get(key)
+    if books is None:
+        books = _load_books(spark, table)
+    expect = _books_stamp(books, lists_stamp)
     if got != expect:
         raise ValueError(
             f"IVF-PQ codes table {ct!r} was stamped {got} but the "
@@ -676,17 +768,29 @@ def _verify_ivfpq_stamp(spark, table: str, check_counts: bool = True):
             "replaced since the codes were encoded; re-run "
             "attach_pq_codes"
         )
+    if len(_BOOKS_CACHE) > 64:
+        _BOOKS_CACHE.clear()
+    _BOOKS_CACHE[key] = books
     if check_counts:
-        nl = spark.table(table).count()
-        nc = spark.table(ct).count()
+        nl = (
+            int(lp[_IVF_NROWS_PROP])
+            if _IVF_NROWS_PROP in lp
+            else spark.table(table).count()
+        )
+        nc = (
+            int(cp[_IVFPQ_NCODES_PROP])
+            if _IVFPQ_NCODES_PROP in cp
+            else spark.table(ct).count()
+        )
         if nl != nc:
             raise ValueError(
                 f"IVF-PQ siblings diverged: {nl} lists rows vs {nc} "
                 "code rows — an append without refresh_pq_codes "
                 "(missing ids would silently never be candidates) or "
-                "a purging compaction (ghost codes would silently "
-                "shrink k at the re-rank join); run refresh_pq_codes "
-                "after appends, attach_pq_codes after a purge"
+                "a half-crashed purging compaction (ghost codes would "
+                "silently shrink k at the re-rank join); run "
+                "refresh_pq_codes after appends, re-run "
+                "compact_ivf_index after a torn compaction"
             )
     return books
 
@@ -856,16 +960,34 @@ def ivfpq_topk(
         .filter(F.col("_sr") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank: the shortlist is |q| × shortlist ids (broadcast);
-    # vectors come from the lists table the index already stores
+    # exact re-rank: the shortlist is |q| × shortlist BARE id pairs and
+    # the query frame is |q| rows carrying the full d-dim vector —
+    # both preflighted against the same cap as the probe frame (r12
+    # ADVICE: unconditional broadcasts here rebuilt exactly the
+    # driver-heap state the probe's preflight exists to prevent at
+    # large query batches); vectors come from the lists table the
+    # index already stores, so over-cap the joins shuffle — the corpus
+    # side still pays only a column-pruned scan, never a shuffle of
+    # vector bytes by the candidate key
+    dim = len(cents[0][1]) if cents else 64
+    short_hint = (
+        F.broadcast
+        if n_q * shortlist <= _cand_broadcast_max_rows()
+        else (lambda d: d)
+    )
+    qv_hint = (
+        F.broadcast
+        if n_q <= _cand_broadcast_max_rows() // _ivf_probe_divisor(dim)
+        else (lambda d: d)
+    )
     cv = spark.table(table).select(
         "neighbor_id", F.col("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
     qv = q.withColumn("_qn", _norm(F.col("_qv")))
     pdot = ivf_pair_dot(spark)
     scored = (
-        cv.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        cv.join(short_hint(short), "neighbor_id")
+        .join(qv_hint(qv), "query_id")
         .withColumn(
             "cosine_sim",
             F.round(

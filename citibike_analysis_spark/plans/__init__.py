@@ -113,6 +113,18 @@ _EPOCH = {
     # its query (_AUDIT_OF rule).
     "q49_ann_ivf": 11,
     "q107_ann_ivf_recall_audit": 11,
+    # r13: q138 gained the euclidean drift axis + a negated leg (three
+    # new pinned booleans — r12 greens verified the cosine-only form);
+    # q139's coding_beats_variance bar tightened to the mean
+    # PER-DIMENSION var_pop (r12 ADVICE: the pooled variance is that
+    # plus the variance of per-dim means, a weaker bar) and its
+    # codebooks train on a 20% sample; q140/q141 codebooks likewise
+    # sample-trained (different codebooks → different shortlists, the
+    # recall floors re-measured before pinning).
+    "q138_ivf_append_drift_audit": 13,
+    "q139_pq_reconstruction_audit": 13,
+    "q140_pq_rerank_recall_audit": 13,
+    "q141_ivfpq_recall_audit": 13,
 }
 
 # Designed no-oracle queries and the hash-verified audit that carries

@@ -19,7 +19,12 @@ Usage: python scripts/ab_adc.py [workdir]
 Env: AD_SCALE (default x100), AD_REPS (default 3), AD_CPUS (default
 32), AD_K (default 10), AD_NQ (default 500), AD_NLIST (default 0 =
 n/1000 floor 16), AD_ITERS (default 2), AD_NPROBE (default 6),
-AD_SHORTLIST (default 50), AD_M (default 16), AD_KSUB (default 64).
+AD_SHORTLIST (default 50), AD_M (default 16), AD_KSUB (default 64),
+AD_DIM (default 64 — set 512 for the wide-embedding win-regime cell:
+the corpus is regenerated at that width by the same generator), and
+AD_MASTER (default local[AD_CPUS] — set e.g. local-cluster[2,16,24576]
+for a process-boundary cell: broadcast LUT bytes and task results
+cross real RPC instead of staying in one JVM).
 """
 
 from __future__ import annotations
@@ -44,13 +49,19 @@ from citibike_analysis_spark.operators.similarity import (
 )
 from citibike_analysis_spark.operators.pq import attach_pq_codes, ivfpq_topk
 
-(corpus_dir, reps, k, nq, nlist, iters, nprobe, shortlist, m, ksub) = (
+(corpus_dir, reps, k, nq, nlist, iters, nprobe, shortlist, m, ksub,
+ master) = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
     int(sys.argv[5]), int(sys.argv[6]), int(sys.argv[7]), int(sys.argv[8]),
-    int(sys.argv[9]), int(sys.argv[10]),
+    int(sys.argv[9]), int(sys.argv[10]), sys.argv[11],
 )
-spark = get_spark(app_name="ab_adc", master="local[{cpus}]",
-                  shuffle_partitions={cpus})
+extra = (
+    {{"spark.executor.memory": "24g"}}
+    if master.startswith("local-cluster")
+    else {{}}
+)
+spark = get_spark(app_name="ab_adc", master=master,
+                  shuffle_partitions={cpus}, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 emb = spark.read.parquet(corpus_dir + "/embeddings.parquet")
 n = emb.count()
@@ -99,8 +110,10 @@ try:
     exact_sec = min(e1["sec"], e2["sec"])
     adc_sec = min(a1["sec"], a2["sec"])
     overlap = len(ke & ka) / max(1, len(ke))
+    dim = len(emb.select("embedding").first()["embedding"])
     print("CHILD_RESULT " + json.dumps({{
-        "n_corpus": n, "nlist": nlist, "nprobe": nprobe, "k": k,
+        "n_corpus": n, "dim": dim, "master": master,
+        "nlist": nlist, "nprobe": nprobe, "k": k,
         "m": m, "ksub": ksub, "shortlist": shortlist,
         "attach_wall_sec": attach_wall,
         "exact_probe_sec": exact_sec,
@@ -119,8 +132,13 @@ spark.stop()
 
 def main() -> int:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal"
-    corpus = ensure_corpus(work, os.environ.get("AD_SCALE", "x100"))
+    corpus = ensure_corpus(
+        work,
+        os.environ.get("AD_SCALE", "x100"),
+        dim=int(os.environ.get("AD_DIM", "64")),
+    )
     cpus = int(os.environ.get("AD_CPUS", "32"))
+    master = os.environ.get("AD_MASTER", f"local[{cpus}]")
     out = subprocess.run(
         [
             sys.executable, "-c", _CHILD.format(repo=REPO, cpus=cpus),
@@ -134,6 +152,7 @@ def main() -> int:
             os.environ.get("AD_SHORTLIST", "50"),
             os.environ.get("AD_M", "16"),
             os.environ.get("AD_KSUB", "64"),
+            master,
         ],
         capture_output=True, text=True, cwd=REPO, timeout=7200,
     )

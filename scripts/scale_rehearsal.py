@@ -78,22 +78,24 @@ def gen_documents(n: int, seed: int) -> pa.Table:
     )
 
 
-def gen_embeddings(n: int, seed: int) -> pa.Table:
+def gen_embeddings(n: int, seed: int, dim: int = EMB_DIM) -> pa.Table:
     # cluster COUNT scales with n, cluster SIZE stays ~EMB_FAMILY: a real
     # corpus grows by adding near-dup families (boilerplate variants),
     # not by inflating each family — this keeps q39's true-pair count
     # ~linear in n, so superlinear wall-time growth indicts the PLAN.
+    # ``dim`` (r13): the PQ win-regime A/B needs a WIDE-embedding corpus
+    # (dim 512) — same generator, same clustering geometry, wider rows.
     rng = np.random.default_rng(seed + 1)
     n_clusters = max(10, n // EMB_FAMILY)
-    centers = rng.normal(size=(n_clusters, EMB_DIM)) * 3.0
+    centers = rng.normal(size=(n_clusters, dim)) * 3.0
     labels = rng.integers(0, n_clusters, n)
-    vecs = centers[labels] + rng.normal(size=(n, EMB_DIM))
+    vecs = centers[labels] + rng.normal(size=(n, dim))
     dup = rng.random(n) < VEC_DUP_FRAC
     for i in np.flatnonzero(dup):
         if i == 0:
             continue
         j = rng.integers(0, i)
-        vecs[i] = vecs[j] + rng.normal(size=EMB_DIM) * 0.01
+        vecs[i] = vecs[j] + rng.normal(size=dim) * 0.01
         labels[i] = labels[j]
     return pa.table(
         {

@@ -1619,6 +1619,23 @@ class TestR12IndexGuards:
             assert same["n_appended"] == emb.count()
             assert same["build_mean_cos"] is not None
             assert abs(same["drift"]) <= 0.001
+            # r13 second axis: same-dist is exact on euclid too
+            assert same["build_mean_ed"] is not None
+            assert abs(same["ed_drift"]) <= max(
+                0.001, 0.001 * same["build_mean_ed"]
+            )
+            # r13 RADIAL leg: cosine is blind BY ALGEBRA (cos(αv, c) =
+            # cos(v, c) — drift bit-zero), euclid flags ((α² − 1)|v|²;
+            # ≥ baseline means the quantization error at least doubled)
+            scaled = emb.select(
+                (F.col("vec_id") + F.lit(50_000_000)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: x * F.lit(2.0)
+                ).alias("embedding"),
+            )
+            rad = append_to_ivf_index(scaled, t)
+            assert abs(rad["drift"]) <= 0.001
+            assert rad["ed_drift"] >= rad["build_mean_ed"]
             # negation: measured NON-flagging on this corpus (see (c))
             negated = emb.select(
                 (F.col("vec_id") + F.lit(30_000_000)).alias("vec_id"),
@@ -1628,6 +1645,13 @@ class TestR12IndexGuards:
             )
             neg = append_to_ivf_index(negated, t)
             assert neg["drift"] < 0.1
+            # ...and on this exactly-unit-norm, near-centered corpus the
+            # euclid axis sees negation only weakly too (measured 6.5%
+            # relative): negating a near-sign-symmetric distribution
+            # barely changes it — the corpus property the q138/operator
+            # docstrings state; the radially-structured fixture test
+            # below is where negation is a real shift and MUST flag
+            assert neg["ed_drift"] < neg["build_mean_ed"]
             # orthogonal batch: the shift the statistic CAN see
             cents = np.array(
                 [
@@ -1646,9 +1670,15 @@ class TestR12IndexGuards:
             shift = append_to_ivf_index(shifted, t)
             assert shift["batch_mean_cos"] <= 1e-6
             assert shift["drift"] >= 0.1
-            # pre-r12 index: no baseline property → None, not a crash
+            # pre-r12/r13 index: no baseline properties → None, not a
+            # crash (either axis independently)
+            from citibike_analysis_spark.operators.similarity import (
+                _IVF_BUILD_ED_PROP,
+            )
+
             spark.sql(
-                f"ALTER TABLE {t} UNSET TBLPROPERTIES ('{_IVF_BUILD_COS_PROP}')"
+                f"ALTER TABLE {t} UNSET TBLPROPERTIES "
+                f"('{_IVF_BUILD_COS_PROP}', '{_IVF_BUILD_ED_PROP}')"
             )
             legacy = append_to_ivf_index(
                 emb.select(
@@ -1660,6 +1690,124 @@ class TestR12IndexGuards:
             assert legacy["build_mean_cos"] is None
             assert legacy["drift"] is None
             assert legacy["batch_mean_cos"] is not None
+            assert legacy["build_mean_ed"] is None
+            assert legacy["ed_drift"] is None
+            assert legacy["batch_mean_ed"] is not None
+        finally:
+            for s in ("", "__cents", "__tombs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+class TestR13DriftSecondAxis:
+    """r13 (r12 VERDICT #2): the euclidean drift axis closes the
+    cosine statistic's blind spots, and compaction no longer drops the
+    drift baselines (r12 ADVICE medium)."""
+
+    def test_negation_flags_on_radially_structured_corpus(self, spark):
+        """The documented r12 blind spot, closed where it is real: on a
+        clustered NON-normalized corpus (centers at radius ~5σ — the
+        rehearsal-corpus shape), a negated batch sits far from every
+        centroid, so the euclidean statistic flags massively (measured
+        32× baseline on this fixture; pinned ≥ 2× — the quantization
+        error at least triples) while a same-distribution re-ingest
+        stays exact-zero on both axes."""
+        import numpy as np
+
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(4, 8)) * 5.0
+        V = centers[rng.integers(0, 4, 200)] + rng.normal(size=(200, 8))
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in enumerate(V)],
+            "vec_id: long, embedding: array<double>",
+        )
+        t = "ivf_negflag_idx"
+        try:
+            build_ivf_index(df, t, nlist=4, train_iters=3)
+            same = append_to_ivf_index(
+                df.select(
+                    (F.col("vec_id") + F.lit(1000)).alias("vec_id"),
+                    "embedding",
+                ),
+                t,
+            )
+            assert abs(same["ed_drift"]) <= max(
+                0.001, 0.001 * same["build_mean_ed"]
+            )
+            neg = append_to_ivf_index(
+                df.select(
+                    (F.col("vec_id") + F.lit(2000)).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding"), lambda x: -x
+                    ).alias("embedding"),
+                ),
+                t,
+            )
+            assert neg["ed_drift"] >= 2 * neg["build_mean_ed"], neg
+        finally:
+            for s in ("", "__cents", "__tombs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+    def test_compaction_preserves_drift_baselines(self, spark):
+        """r12 ADVICE (medium): _compact_one_table carried ONLY the
+        stamp property, so the first compaction silently dropped
+        cbs.ivf.build_mean_cos and every later append returned
+        drift=None with a misdiagnosing docstring. All cbs.* properties
+        must survive the rewrite — and the post-compaction append must
+        still compute BOTH drift axes against the original baselines."""
+        from citibike_analysis_spark.operators.similarity import (
+            _IVF_BUILD_COS_PROP,
+            _IVF_BUILD_ED_PROP,
+            append_to_ivf_index,
+            build_ivf_index,
+            compact_ivf_index,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        t = "ivf_cmp_drift_idx"
+        try:
+            build_ivf_index(
+                emb,
+                t,
+                nlist=16,
+                train_iters=2,
+                train_on=emb.filter(F.col("vec_id") % 5 == 0),
+            )
+            props = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+            }
+            append_to_ivf_index(
+                emb.select(
+                    (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+                    "embedding",
+                ),
+                t,
+            )
+            compact_ivf_index(spark, t)
+            after = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+            }
+            for p in (_IVF_BUILD_COS_PROP, _IVF_BUILD_ED_PROP):
+                assert after.get(p) == props[p], p
+            post = append_to_ivf_index(
+                emb.select(
+                    (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
+                    "embedding",
+                ),
+                t,
+            )
+            assert post["drift"] is not None and abs(post["drift"]) <= 0.001
+            assert post["ed_drift"] is not None
+            assert abs(post["ed_drift"]) <= max(
+                0.001, 0.001 * post["build_mean_ed"]
+            )
         finally:
             for s in ("", "__cents", "__tombs"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{s}")

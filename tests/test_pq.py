@@ -306,3 +306,191 @@ class TestPqAdc:
         common = set(bf) & set(rr)
         assert common
         assert all(abs(bf[p] - rr[p]) < 2e-6 for p in common)
+
+
+class TestR13IvfPqMaintenance:
+    """r13: a purging compaction maintains the codes sibling (r12
+    VERDICT #3), the probe screen runs on cached count properties with
+    zero count jobs (r12 VERDICT #4 / ADVICE), and the re-rank joins
+    are preflighted with shuffle fallbacks (r12 ADVICE)."""
+
+    def test_purging_compaction_maintains_codes_sibling(self, spark, emb):
+        """build → attach → append → refresh → remove → compact → probe
+        green WITHOUT attach_pq_codes: the compaction anti-joins the
+        same tombstone set out of __codes (batch-cost, not a corpus
+        re-encode), the stamp pair stays valid by construction, the
+        id-level audit returns 0, and removed ids never surface."""
+        from citibike_analysis_spark.operators.pq import (
+            _IVFPQ_NCODES_PROP,
+            attach_pq_codes,
+            ivfpq_topk,
+            refresh_pq_codes,
+            verify_ivfpq_consistency,
+        )
+        from citibike_analysis_spark.operators.similarity import (
+            _IVF_NROWS_PROP,
+            append_to_ivf_index,
+            build_ivf_index,
+            compact_ivf_index,
+            remove_from_ivf_index,
+        )
+
+        t = "ivfpq_purge_idx"
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        q = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+        try:
+            build_ivf_index(even, t, nlist=8, train_iters=2)
+            attach_pq_codes(spark, t, m=8, ksub=16, train_iters=2)
+            append_to_ivf_index(odd, t)
+            assert refresh_pq_codes(spark, t) == odd.count()
+            remove_from_ivf_index(
+                spark, t, emb.filter(F.col("vec_id") < 50).select("vec_id")
+            )
+            out = compact_ivf_index(spark, t)
+            assert f"{t}__codes" in out, "codes sibling must be compacted too"
+            # probe WITHOUT re-attach: purge kept the siblings aligned
+            rows = ivfpq_topk(
+                spark, t, q, k=5, nprobe=4, shortlist=30, n_queries=10
+            ).collect()
+            assert rows
+            assert all(r["neighbor_id"] >= 50 for r in rows)
+            assert verify_ivfpq_consistency(spark, t) == 0
+            # count caches recomputed post-purge on BOTH tables
+            lp = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+            }
+            cp = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}__codes").collect()
+            }
+            assert int(lp[_IVF_NROWS_PROP]) == spark.table(t).count()
+            assert (
+                int(cp[_IVFPQ_NCODES_PROP])
+                == spark.table(f"{t}__codes").count()
+            )
+        finally:
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+    def test_screen_runs_on_count_props_with_zero_count_jobs(
+        self, spark, emb, monkeypatch
+    ):
+        """With the lifecycle-maintained count properties present, the
+        per-probe screen must not launch a single count() job (proved
+        by making DataFrame.count raise); with a property UNSET (a
+        pre-r13 index) it falls back to real counts and still screens
+        — and still CATCHES a divergence through the props (append
+        without refresh updates n_rows but not n_codes)."""
+        import pyspark.sql
+
+        from citibike_analysis_spark.operators.pq import (
+            _IVFPQ_NCODES_PROP,
+            _verify_ivfpq_stamp,
+            attach_pq_codes,
+        )
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+
+        t = "ivfpq_props_idx"
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        try:
+            build_ivf_index(even, t, nlist=8, train_iters=2)
+            attach_pq_codes(spark, t, m=8, ksub=16, train_iters=2)
+
+            def boom(self):
+                raise AssertionError("count() job in the probe screen")
+
+            monkeypatch.setattr(pyspark.sql.DataFrame, "count", boom)
+            _verify_ivfpq_stamp(spark, t, check_counts=True)  # no raise
+            monkeypatch.undo()
+            # divergence caught through the props alone
+            append_to_ivf_index(odd, t)
+            with pytest.raises(ValueError, match="diverged"):
+                _verify_ivfpq_stamp(spark, t, check_counts=True)
+            # prop absent → count fallback still screens (same verdict)
+            spark.sql(
+                f"ALTER TABLE {t}__codes UNSET TBLPROPERTIES "
+                f"('{_IVFPQ_NCODES_PROP}')"
+            )
+            with pytest.raises(ValueError, match="diverged"):
+                _verify_ivfpq_stamp(spark, t, check_counts=True)
+        finally:
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+    def test_rerank_preflight_shuffle_fallback(self, spark, emb, monkeypatch):
+        """r12 ADVICE: the re-rank stage broadcast the |q| × shortlist
+        frame and the d-dim query frame unconditionally — above the cap
+        those rebuilt the driver-heap state the probe preflight exists
+        to prevent. Under a tiny cap both re-rank joins must fall back
+        to shuffles with EXACTLY the broadcast path's output, for both
+        the persisted (ivfpq_topk) and one-shot (pq_topk_rerank)
+        forms."""
+        from citibike_analysis_spark.operators.pq import (
+            attach_pq_codes,
+            ivfpq_topk,
+            pq_encode,
+            pq_topk_rerank,
+            train_pq_codebooks,
+        )
+        from citibike_analysis_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        q = emb.filter(F.col("vec_id") < 5)
+        books = train_pq_codebooks(emb, m=8, ksub=16, dim=64, train_iters=2)
+        codes = pq_encode(emb, books)
+        ref_oneshot = key(
+            pq_topk_rerank(codes, emb, q, books, k=3, shortlist=20).collect()
+        )
+        assert ref_oneshot
+        t = "ivfpq_preflight_idx"
+        auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            build_ivf_index(emb, t, nlist=8, train_iters=2)
+            attach_pq_codes(spark, t, m=8, ksub=16, train_iters=2)
+            ref_idx = key(
+                ivfpq_topk(
+                    spark, t, q, k=3, nprobe=4, shortlist=20
+                ).collect()
+            )
+            assert ref_idx
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            monkeypatch.setenv("SPARK_GRAFT_CAND_BROADCAST_MAX", "1")
+            plan = (
+                ivfpq_topk(spark, t, q, k=3, nprobe=4, shortlist=20)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            # centroids still broadcast (driver-held contract); probe
+            # frame, shortlist and query re-rank frames all shuffle
+            assert plan.count("BroadcastExchange") == 1
+            assert (
+                key(
+                    ivfpq_topk(
+                        spark, t, q, k=3, nprobe=4, shortlist=20
+                    ).collect()
+                )
+                == ref_idx
+            )
+            assert (
+                key(
+                    pq_topk_rerank(
+                        codes, emb, q, books, k=3, shortlist=20
+                    ).collect()
+                )
+                == ref_oneshot
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
