@@ -368,6 +368,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: (query_id, neighbor_id,
     adc_sim, rk) where ``adc_sim`` ≈ cosine(q, x) through the
@@ -381,10 +382,33 @@ def pq_topk(
     query side (|q| × m × ksub × dim/m flops — dense linear algebra,
     the `_bucketize` seam exception); the corpus-side pair work is m
     `element_at` lookups + adds in pure JVM expressions. The query
-    frame (with LUTs: |q| × m × ksub doubles) is broadcast — the
-    brute-force-scan contract (queries small); for corpus-scale query
-    batches route through the IVF index first and ADC-score per list.
+    frame (with LUTs: |q| × m × ksub doubles ≈ a dim-m·ksub vector per
+    row — at production m=16/ksub=64 ~16× HEAVIER than the bare query
+    vector) is broadcast only below the probe cap at an m·ksub-based
+    row weight (r13 ADVICE: the unconditional broadcast here re-opened
+    the ~50k-query driver-heap hazard the rerank preflights claimed
+    closed); above the cap the cross join runs as a shuffled cartesian
+    (``shuffle_replicate_nl`` — per-task memory is one partition pair,
+    the driver never builds the relation). ``n_queries`` pre-pays the
+    preflight's count (the one-shot sizing seam, r12). For corpus-scale
+    query batches route through the IVF index first and ADC-score per
+    list.
     """
+    from citibike_analysis_spark.operators.similarity import (
+        _cand_broadcast_max_rows,
+        _ivf_probe_divisor,
+    )
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    n_q = (
+        n_queries if n_queries is not None else queries.select(id_col).count()
+    )
+    q_hint = (
+        F.broadcast
+        if n_q <= _cand_broadcast_max_rows() // _ivf_probe_divisor(m * ksub)
+        else (lambda d: d.hint("shuffle_replicate_nl"))
+    )
     _luts = _make_lut_udf(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
@@ -394,7 +418,7 @@ def pq_topk(
         _luts(F.col("_qv")).alias("_lut"),
     )
     scored = (
-        codes.crossJoin(F.broadcast(q))
+        codes.crossJoin(q_hint(q))
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn(
             "adc_sim",
@@ -442,15 +466,18 @@ def pq_topk_rerank(
     ksub=64, dim 64): plain ADC@5 recall 0.74/0.46 at sf0.01/sf0.1
     becomes 1.00/0.96 (min per-query 1.00/0.80) after re-ranking a
     50-candidate shortlist, while the full-corpus scan still reads
-    codes (m small ints vs d doubles per row). The re-rank side is
-    |q| × shortlist rows; its broadcast (and the query frame's, which
-    carries full d-dim vectors) is preflighted against the probe cap
-    with shuffle fallbacks (r12 ADVICE — an unconditional broadcast
-    here rebuilt the driver-heap state the cap exists to prevent at
-    ~50k+ queries); the original-vector join is inner on the id, so
-    the corpus pays one column-pruned scan, never a shuffle of vector
-    bytes by the candidate key. ``n_queries`` pre-pays the preflight's
-    query count (the one-shot sizing seam, r12).
+    codes (m small ints vs d doubles per row). Every broadcast in the
+    recipe is preflighted against the probe cap with shuffle fallbacks
+    (r12 ADVICE for the re-rank joins; r13 ADVICE for the ADC stage's
+    query+LUT frame inside :func:`pq_topk`, which is ~16× heavier per
+    row than the bare query vector at production m·ksub and used to
+    broadcast unconditionally — the one-shot recipe could still OOM
+    the driver at exactly the batch sizes this docstring claimed were
+    handled); the original-vector join is inner on the id, so the
+    corpus pays one column-pruned scan, never a shuffle of vector
+    bytes by the candidate key. ``n_queries`` pre-pays the preflights'
+    query count (the one-shot sizing seam, r12) — one count job sizes
+    all three.
     """
     from citibike_analysis_spark.operators.similarity import (
         _cand_broadcast_max_rows,
@@ -458,8 +485,17 @@ def pq_topk_rerank(
         ivf_pair_dot,
     )
 
+    n_q = (
+        n_queries if n_queries is not None else queries.select(id_col).count()
+    )
     cand = pq_topk(
-        codes, queries, codebooks, id_col=id_col, vec_col=vec_col, k=shortlist
+        codes,
+        queries,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=shortlist,
+        n_queries=n_q,
     ).select("query_id", "neighbor_id")
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -468,9 +504,6 @@ def pq_topk_rerank(
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm(F.col("_qv")))
-    n_q = (
-        n_queries if n_queries is not None else queries.select(id_col).count()
-    )
     dim = len(codebooks) * len(codebooks[0][0][1])
     cand_hint = (
         F.broadcast
@@ -670,7 +703,16 @@ def refresh_pq_codes(spark, table: str, num_buckets: int = 16) -> int:
     over the missing rows + one bucketed append), never a re-train.
     Returns the number of rows encoded. The stamp is untouched: the
     codebooks and the lists stamp are unchanged by construction (the
-    probe's screen verifies both)."""
+    probe's screen verifies both).
+
+    Crash shape (r13 ADVICE): the ``cbs.ivfpq.n_codes`` count cache is
+    UNSET before the data append and re-SET after it — a crash in
+    between leaves the property absent and readers fall back to a real
+    count, which matches the appended table, so the state self-heals.
+    The prior ordering (append, then bump the still-present property)
+    left a permanently stale-low value: every probe raised 'diverged'
+    (loud, so safe), but the suggested heal — refresh_pq_codes — found
+    0 missing ids and could never clear it short of a compaction."""
     _verify_ivfpq_stamp(spark, table, check_counts=False)
     books = _load_books(spark, table)
     from citibike_analysis_spark.sources.bucketed import append_bucketed
@@ -696,13 +738,22 @@ def refresh_pq_codes(spark, table: str, num_buckets: int = 16) -> int:
         "codes",
         "recon_norm",
     )
-    append_bucketed(coded, f"{table}__codes", ["cid"], num_buckets)
     ct = f"{table}__codes"
     cp = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {ct}").collect()
     }
-    if _IVFPQ_NCODES_PROP in cp:
+    had_ncodes = _IVFPQ_NCODES_PROP in cp
+    if had_ncodes:
+        # UNSET before the data append, re-SET after (r13 ADVICE): a
+        # crash in between leaves the property absent → count fallback
+        # → self-healing, instead of a permanently stale-low value
+        # refresh itself can never clear (0 missing ids)
+        spark.sql(
+            f"ALTER TABLE {ct} UNSET TBLPROPERTIES ('{_IVFPQ_NCODES_PROP}')"
+        )
+    append_bucketed(coded, ct, ["cid"], num_buckets)
+    if had_ncodes:
         # maintain the count cache: append-committed + the missing-row
         # count already in hand, no count job (r12 ADVICE)
         spark.sql(

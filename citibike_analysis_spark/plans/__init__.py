@@ -121,7 +121,11 @@ _EPOCH = {
     # codebooks train on a 20% sample; q140/q141 codebooks likewise
     # sample-trained (different codebooks → different shortlists, the
     # recall floors re-measured before pinning).
-    "q138_ivf_append_drift_audit": 13,
+    # r14: q138 gained the THIRD drift axis (assignment-share TV) — a
+    # mass-shift leg both global means are provably blind to, a
+    # measured negation refutation leg, and share_tv==0 pins on the
+    # same-dist/radial legs; r13 greens verified the two-axis form
+    "q138_ivf_append_drift_audit": 14,
     "q139_pq_reconstruction_audit": 13,
     "q140_pq_rerank_recall_audit": 13,
     "q141_ivfpq_recall_audit": 13,

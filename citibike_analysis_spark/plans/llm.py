@@ -865,21 +865,40 @@ def q138_ivf_append_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       ed_drift ≥ build_mean_ed, i.e. the quantization error at least
       doubles).
 
-    The other documented blind spot — NEGATION — is pinned in pytest
-    on a radially-structured fixture (clustered, non-normalized:
-    measured ed_drift 32× baseline) rather than here: the sf corpora
-    are exactly unit-norm and near-centered (corpus mean-vector norm
-    0.04), which makes a negated batch a near-null distribution shift
-    — measured cos-drift 0.063 AND relative ed-drift 6.5%, i.e. both
-    axes see it weakly because there is little to see; on such a
-    sign-symmetric corpus negation barely changes the distribution at
-    all, which is a property of the corpus, not a gap in the signal
-    (`append_to_ivf_index`'s docstring carries the boundary).
+    - MASS-SHIFT leg (r14 — the THIRD axis's reason to exist, r13
+      verdict #2): a batch of corpus rows confined to the 4
+      lowest-cid clusters (selected by assignment under the stored
+      centroids, re-idd). Every vector sits exactly as close to its
+      centroid as at build time, so BOTH global means are blind BY
+      CONSTRUCTION (measured |cos-drift| ≤ 0.004 and relative
+      ed-drift ≤ 0.004 across SFs; pinned ≤ 0.02 each — blindness
+      demonstrated), while the assignment-share histogram flags hard:
+      share_tv measured 0.750–0.764 across SFs (pinned ≥ 0.5).
+    - SAME-DIST and RADIAL legs also pin share_tv EXACTLY 0.0:
+      assignment is a pure per-vector, scale-invariant function of
+      the frozen centroids (measured bit-zero at every SF).
+    - NEGATION leg (r14 — the measured REFUTATION closing the r13
+      open question): a negated corpus batch. The sf corpora are
+      exactly unit-norm and near-sign-symmetric (corpus mean-vector
+      norm 0.04), so negation is a near-null distribution shift on
+      ALL THREE axes — measured cos-drift 0.025–0.063, relative
+      ed-drift 1.8–6.5%, share_tv 0.057–0.096 (each pinned BELOW its
+      flag threshold: ≤ 0.15, ≤ 0.15, ≤ 0.3). The r13 hypothesis
+      that a per-centroid share statistic might move under negation
+      where the global means cannot is thereby refuted for this
+      corpus: negating a near-antipodally-symmetric distribution
+      permutes assignments without skewing the histogram. On
+      directionally-clustered corpora negation flags at 32× on the
+      euclidean axis (pytest-pinned on such a fixture).
 
     One row (n_corpus, n_batch_same, n_batch_shifted, n_batch_scaled,
-    same_dist_drift_zero, shifted_batch_flags, radial_cos_blind,
-    radial_ed_flags); the oracle recomputes the counts and states the
-    four TRUEs. Per-process uuid + finally-drop, same as q131/q135."""
+    n_batch_negated, same_dist_drift_zero, shifted_batch_flags,
+    radial_cos_blind, radial_ed_flags, mass_shift_means_blind,
+    mass_shift_share_flags, negation_all_axes_null); the oracle
+    recomputes the counts and states the seven TRUEs (the mass
+    batch's size is assignment-dependent — not SQL-expressible — so
+    it is asserted nonzero in-plan rather than emitted). Per-process
+    uuid + finally-drop, same as q131/q135."""
     import hashlib
     import uuid
 
@@ -932,18 +951,72 @@ def q138_ivf_append_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rad = append_to_ivf_index(scaled_batch, table)
+        # MASS-SHIFT leg (r14): corpus rows assigned to the 4
+        # lowest-cid lists under the STORED centroids, re-idd — equal
+        # per-vector fit, skewed histogram
+        from citibike_analysis_spark.operators.similarity import (
+            _assign_nearest,
+            _load_ivf_cents,
+            as_double,
+        )
+
+        stored = _load_ivf_cents(spark, table, "q138 mass leg")
+        cvecs = e.select(
+            F.col("vec_id").alias("_id"),
+            as_double(F.col("embedding")).alias("_v"),
+        )
+        mass_ids = (
+            _assign_nearest(cvecs, "_id", "_v", stored)
+            .filter(F.col("cid") < 4)
+            .select(F.col("_id").alias("vec_id"))
+        )
+        mass_batch = e.join(mass_ids, "vec_id", "left_semi").select(
+            (F.col("vec_id") + F.lit(40_000_000)).alias("vec_id"), "embedding"
+        )
+        mass = append_to_ivf_index(mass_batch, table)
+        # NEGATION leg (r14): the measured all-axes-null refutation
+        neg_batch = e.select(
+            (F.col("vec_id") + F.lit(50_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        neg = append_to_ivf_index(neg_batch, table)
         same_zero = (
             same["drift"] is not None
             and abs(same["drift"]) <= 0.001
             and same["ed_drift"] is not None
             and abs(same["ed_drift"])
             <= max(0.001, 0.001 * same["build_mean_ed"])
+            and same["share_tv"] is not None
+            and same["share_tv"] <= 1e-6
         )
         shift_flags = shift["drift"] is not None and shift["drift"] >= 0.1
-        rad_cos_blind = rad["drift"] is not None and abs(rad["drift"]) <= 0.001
+        rad_cos_blind = (
+            rad["drift"] is not None
+            and abs(rad["drift"]) <= 0.001
+            and rad["share_tv"] is not None
+            and rad["share_tv"] <= 1e-6
+        )
         rad_ed_flags = (
             rad["ed_drift"] is not None
             and rad["ed_drift"] >= rad["build_mean_ed"]
+        )
+        mass_means_blind = (
+            mass["n_appended"] > 0
+            and mass["drift"] is not None
+            and abs(mass["drift"]) <= 0.02
+            and mass["ed_drift"] is not None
+            and abs(mass["ed_drift"]) <= 0.02 * mass["build_mean_ed"]
+        )
+        mass_share_flags = (
+            mass["share_tv"] is not None and mass["share_tv"] >= 0.5
+        )
+        neg_all_null = (
+            neg["drift"] is not None
+            and abs(neg["drift"]) <= 0.15
+            and neg["ed_drift"] is not None
+            and abs(neg["ed_drift"]) <= 0.15 * neg["build_mean_ed"]
+            and neg["share_tv"] is not None
+            and neg["share_tv"] <= 0.3
         )
     finally:
         for state in ("", "__cents", "__tombs"):
@@ -955,16 +1028,22 @@ def q138_ivf_append_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 same["n_appended"],
                 shift["n_appended"],
                 rad["n_appended"],
+                neg["n_appended"],
                 same_zero,
                 shift_flags,
                 rad_cos_blind,
                 rad_ed_flags,
+                mass_means_blind,
+                mass_share_flags,
+                neg_all_null,
             )
         ],
         "n_corpus bigint, n_batch_same bigint, n_batch_shifted bigint, "
-        "n_batch_scaled bigint, same_dist_drift_zero boolean, "
-        "shifted_batch_flags boolean, radial_cos_blind boolean, "
-        "radial_ed_flags boolean",
+        "n_batch_scaled bigint, n_batch_negated bigint, "
+        "same_dist_drift_zero boolean, shifted_batch_flags boolean, "
+        "radial_cos_blind boolean, radial_ed_flags boolean, "
+        "mass_shift_means_blind boolean, mass_shift_share_flags boolean, "
+        "negation_all_axes_null boolean",
     )
 
 
@@ -973,10 +1052,14 @@ SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
        CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_batch_same,
        CAST(100 AS BIGINT) AS n_batch_shifted,
        CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_batch_scaled,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_batch_negated,
        TRUE AS same_dist_drift_zero,
        TRUE AS shifted_batch_flags,
        TRUE AS radial_cos_blind,
-       TRUE AS radial_ed_flags
+       TRUE AS radial_ed_flags,
+       TRUE AS mass_shift_means_blind,
+       TRUE AS mass_shift_share_flags,
+       TRUE AS negation_all_axes_null
 """
 
 

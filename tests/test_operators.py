@@ -1794,7 +1794,15 @@ class TestR13DriftSecondAxis:
                 r["key"]: r["value"]
                 for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
             }
-            for p in (_IVF_BUILD_COS_PROP, _IVF_BUILD_ED_PROP):
+            from citibike_analysis_spark.operators.similarity import (
+                _IVF_BUILD_SHARES_PROP,
+            )
+
+            for p in (
+                _IVF_BUILD_COS_PROP,
+                _IVF_BUILD_ED_PROP,
+                _IVF_BUILD_SHARES_PROP,
+            ):
                 assert after.get(p) == props[p], p
             post = append_to_ivf_index(
                 emb.select(
@@ -1808,6 +1816,128 @@ class TestR13DriftSecondAxis:
             assert abs(post["ed_drift"]) <= max(
                 0.001, 0.001 * post["build_mean_ed"]
             )
+        finally:
+            for s in ("", "__cents", "__tombs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+class TestR14DriftThirdAxis:
+    """r14 (r13 verdict #2): the assignment-share TV axis closes the
+    blind spot BOTH global means share — a batch whose mass moves
+    between clusters at equal fit quality — and the negation question
+    on the unit-norm corpus is closed with a measured refutation
+    (all three axes null there; see append_to_ivf_index's docstring)."""
+
+    def test_mass_shift_flags_only_on_share_axis(self, spark):
+        """A batch of corpus rows confined to 4 of 16 clusters: every
+        vector fits its centroid exactly as at build time, so cos/ed
+        drift stay within 0.02 of baseline (means provably blind) while
+        share_tv ≥ 0.5 (measured 0.750–0.764 across SFs). A same-dist
+        re-ingest reads share_tv EXACTLY 0.0, and a pre-r14 index
+        (shares property absent) returns share_tv=None, not a crash."""
+        from citibike_analysis_spark.operators.similarity import (
+            _IVF_BUILD_SHARES_PROP,
+            _assign_nearest,
+            _load_ivf_cents,
+            append_to_ivf_index,
+            as_double,
+            build_ivf_index,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        t = "ivf_share_axis_idx"
+        try:
+            build_ivf_index(
+                emb,
+                t,
+                nlist=16,
+                train_iters=4,
+                train_on=emb.filter(F.col("vec_id") % 5 == 0),
+            )
+            same = append_to_ivf_index(
+                emb.select(
+                    (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+                    "embedding",
+                ),
+                t,
+            )
+            assert same["share_tv"] == 0.0
+            cents = _load_ivf_cents(spark, t, "test")
+            c = emb.select(
+                F.col("vec_id").alias("_id"),
+                as_double(F.col("embedding")).alias("_v"),
+            )
+            mass_ids = (
+                _assign_nearest(c, "_id", "_v", cents)
+                .filter(F.col("cid") < 4)
+                .select(F.col("_id").alias("vec_id"))
+            )
+            mass = append_to_ivf_index(
+                emb.join(mass_ids, "vec_id", "left_semi").select(
+                    (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
+                    "embedding",
+                ),
+                t,
+            )
+            assert mass["n_appended"] > 0
+            assert mass["share_tv"] >= 0.5, mass
+            # the blindness claim, demonstrated: both global means sit
+            # within noise of their baselines on the very batch the
+            # share axis flags at ≥ 0.5
+            assert abs(mass["drift"]) <= 0.02, mass
+            assert abs(mass["ed_drift"]) <= 0.02 * mass["build_mean_ed"], mass
+            # pre-r14 index: shares property absent → None, not a crash
+            spark.sql(
+                f"ALTER TABLE {t} UNSET TBLPROPERTIES "
+                f"('{_IVF_BUILD_SHARES_PROP}')"
+            )
+            legacy = append_to_ivf_index(
+                emb.select(
+                    (F.col("vec_id") + F.lit(30_000_000)).alias("vec_id"),
+                    "embedding",
+                ).limit(20),
+                t,
+            )
+            assert legacy["share_tv"] is None
+            assert legacy["drift"] is not None  # other axes unaffected
+        finally:
+            for s in ("", "__cents", "__tombs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+class TestR14PropertyCarryGuard:
+    def test_compaction_refuses_hostile_property_value(self, spark):
+        """r13 verdict nit: the compaction's cbs.* property carry
+        re-injects values into ALTER TABLE SQL via f-string literals —
+        safe for every value the lifecycle writes (hashes, counts,
+        rounded floats, share lists), but a value containing a quote
+        would break out of the literal. The carry must REFUSE any value
+        outside that alphabet, loudly, before building SQL with it."""
+        from citibike_analysis_spark.operators.similarity import (
+            build_ivf_index,
+            compact_ivf_index,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 64)
+        t = "ivf_prop_guard_idx"
+        try:
+            build_ivf_index(emb, t, nlist=4, train_iters=1)
+            # a value no lifecycle function ever writes, shaped to break
+            # out of a single-quoted SQL literal
+            spark.sql(
+                f"ALTER TABLE {t} SET TBLPROPERTIES "
+                "('cbs.ivf.hostile' = \"x', 'evil.key' = 'y\")"
+            )
+            with pytest.raises(ValueError, match="refusing to carry"):
+                compact_ivf_index(spark, t)
+            # a normal compaction (hostile property removed) still works
+            spark.sql(
+                f"ALTER TABLE {t} UNSET TBLPROPERTIES ('cbs.ivf.hostile')"
+            )
+            compact_ivf_index(spark, t)
+            assert spark.table(t).count() == 64
         finally:
             for s in ("", "__cents", "__tombs"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{s}")

@@ -494,3 +494,177 @@ class TestR13IvfPqMaintenance:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
             for s in ("", "__cents", "__tombs", "__codes", "__books"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+class TestR14CountPropCrashOrdering:
+    """r13 ADVICE: the count-property caches must be UNSET before the
+    data append and re-SET after, so a crash between the two writes
+    leaves the property ABSENT (readers fall back to real counts — the
+    safe direction) instead of present-but-stale (silently passing the
+    props-vs-props screen while siblings genuinely diverge, or a
+    permanently stale-low value refresh can never heal)."""
+
+    def _torn_append_bucketed(self, monkeypatch):
+        """Make append_bucketed commit its data and then raise —
+        simulating a crash AFTER the data write but BEFORE the
+        count-property re-SET."""
+        import citibike_analysis_spark.sources.bucketed as bucketed
+
+        real = bucketed.append_bucketed
+
+        def torn(*a, **kw):
+            real(*a, **kw)
+            raise RuntimeError("simulated crash after data append")
+
+        monkeypatch.setattr(bucketed, "append_bucketed", torn)
+
+    def test_torn_ivf_append_leaves_prop_absent_and_screen_loud(
+        self, spark, emb, monkeypatch
+    ):
+        """Crash between the lists append and the n_rows re-SET: the
+        property must be ABSENT (not stale-low), the IVF-PQ screen must
+        fall back to a REAL lists count and raise 'diverged' LOUDLY
+        (the pre-fix ordering left n_rows stale and the props-vs-props
+        compare silently passed while appended ids had no codes), and
+        refresh_pq_codes must fully heal the codes side."""
+        from citibike_analysis_spark.operators.pq import (
+            _verify_ivfpq_stamp,
+            attach_pq_codes,
+            refresh_pq_codes,
+        )
+        from citibike_analysis_spark.operators.similarity import (
+            _IVF_NROWS_PROP,
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+
+        t = "ivf_torn_append_idx"
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        try:
+            build_ivf_index(even, t, nlist=8, train_iters=2)
+            attach_pq_codes(spark, t, m=8, ksub=16, train_iters=2)
+            self._torn_append_bucketed(monkeypatch)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                append_to_ivf_index(odd, t)
+            monkeypatch.undo()
+            lp = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+            }
+            assert _IVF_NROWS_PROP not in lp, (
+                "a torn append must leave the count cache ABSENT, "
+                "never present-but-stale"
+            )
+            # the data DID commit — the screen must see the divergence
+            # through the real-count fallback, loudly
+            with pytest.raises(ValueError, match="diverged"):
+                _verify_ivfpq_stamp(spark, t, check_counts=True)
+            # and the advertised heal works: refresh encodes the
+            # appended ids, after which the screen is green again
+            assert refresh_pq_codes(spark, t) == odd.count()
+            _verify_ivfpq_stamp(spark, t, check_counts=True)  # no raise
+        finally:
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+    def test_torn_refresh_self_heals_via_count_fallback(
+        self, spark, emb, monkeypatch
+    ):
+        """Crash between the codes append and the n_codes re-SET: the
+        property is ABSENT, the real-count fallback sees the committed
+        codes, the screen passes, and a re-run of refresh correctly
+        finds 0 missing (the pre-fix ordering left n_codes stale-low:
+        every probe raised 'diverged' and refresh could never heal it
+        because no ids were actually missing). Compaction restores the
+        cached property."""
+        from citibike_analysis_spark.operators.pq import (
+            _IVFPQ_NCODES_PROP,
+            _verify_ivfpq_stamp,
+            attach_pq_codes,
+            refresh_pq_codes,
+        )
+        from citibike_analysis_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            compact_ivf_index,
+        )
+
+        t = "ivf_torn_refresh_idx"
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        try:
+            build_ivf_index(even, t, nlist=8, train_iters=2)
+            attach_pq_codes(spark, t, m=8, ksub=16, train_iters=2)
+            append_to_ivf_index(odd, t)
+            self._torn_append_bucketed(monkeypatch)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                refresh_pq_codes(spark, t)
+            monkeypatch.undo()
+            cp = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}__codes").collect()
+            }
+            assert _IVFPQ_NCODES_PROP not in cp
+            # the codes DID commit: real-count fallback sees a
+            # consistent pair — the torn state self-heals
+            _verify_ivfpq_stamp(spark, t, check_counts=True)  # no raise
+            assert refresh_pq_codes(spark, t) == 0
+            # maintenance restores the cached count
+            compact_ivf_index(spark, t)
+            cp = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {t}__codes").collect()
+            }
+            assert int(cp[_IVFPQ_NCODES_PROP]) == spark.table(
+                f"{t}__codes"
+            ).count()
+        finally:
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+class TestR14PqTopkPreflight:
+    def test_pq_topk_lut_broadcast_preflight(self, spark, emb, monkeypatch):
+        """r13 ADVICE: pq_topk broadcast the query+LUT frame
+        unconditionally (m·ksub ≈ 1024 doubles/row at production
+        m=16/ksub=64 — ~16× heavier than a bare query vector), so the
+        one-shot rerank recipe could still OOM the driver at the batch
+        sizes its docstring claimed handled. Under a tiny cap the cross
+        join must run with NO BroadcastExchange (shuffled cartesian)
+        and produce EXACTLY the broadcast path's output."""
+        from citibike_analysis_spark.operators.pq import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(emb, m=8, ksub=16, dim=64, train_iters=2)
+        codes = pq_encode(emb, books).persist()
+        q = emb.filter(F.col("vec_id") < 5)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        try:
+            ref = key(pq_topk(codes, q, books, k=3).collect())
+            assert ref
+            auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                monkeypatch.setenv("SPARK_GRAFT_CAND_BROADCAST_MAX", "1")
+                over = pq_topk(codes, q, books, k=3, n_queries=5)
+                plan = (
+                    over._jdf.queryExecution().executedPlan().toString()
+                )
+                # the m × ksub codebook broadcasts inside the encode
+                # lineage are tiny and driver-held by contract; the
+                # guarded frame is the query+LUT one — its cross join
+                # must run as a shuffled cartesian, not a broadcast
+                # nested loop
+                assert "BroadcastNestedLoopJoin" not in plan
+                assert "CartesianProduct" in plan
+                assert key(over.collect()) == ref
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+        finally:
+            codes.unpersist()
