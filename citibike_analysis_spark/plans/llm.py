@@ -4398,6 +4398,214 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q142 — streaming ANN index maintenance replay (r14, r13 verdict #1):
+# the composition of the engine's two flagship tiers, previously only
+# tested side by side. Micro-batches of embeddings append into a
+# persisted IVF-PQ index via streaming/ann.py::start_index_maintenance
+# (foreachBatch -> exactly-once anti-join -> append_to_ivf_index ->
+# refresh_pq_codes), and the maintained index must probe IDENTICALLY
+# to a one-shot build over the same rows — the q136
+# append-equals-rebuild equality, now under the streaming tier with a
+# checkpoint. The reference's collection tier is exactly this shape
+# (README.md:187,197 — cron */3 feed appends, on-going analyses).
+# --------------------------------------------------------------------------
+
+def q142_streaming_index_maintenance_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build an IVF-PQ index over the EVEN half of the embeddings
+    (centroids trained on that half, PQ codebooks trained on that
+    half), then stream the ODD half through the maintenance sink in 4
+    replay micro-batches. Reference: a one-shot
+    ``build_ivf_index(full, train_on=even)`` +
+    ``attach_pq_codes(train_on=even)`` — same centroids (deterministic
+    training on identical rows → identical stamp), same codebooks, so
+    the streamed index must equal it EXACTLY:
+
+    - probe_parity: ``ivfpq_topk`` (route → ADC → exact re-rank) over
+      the maintained index returns the identical (query_id,
+      neighbor_id, rk) set as over the one-shot reference.
+    - count_props_exact: the lifecycle-maintained ``cbs.ivf.n_rows`` /
+      ``cbs.ivfpq.n_codes`` caches equal the REAL table counts after 4
+      appends + 4 refreshes (the zero-count-job screen's data source —
+      exactness under streaming cadence has never been exercised).
+    - drift_signal_each_batch: every non-empty micro-batch reported
+      all THREE drift statistics (cos, euclid, share-TV) against the
+      build-stamped baselines — the monitoring seam a continuous
+      appender rebuilds on.
+    - screen_green: the strict IVF-PQ sibling screen passes after the
+      stream stops (stamp pair valid, counts aligned).
+
+    The kill-mid-stream / torn-commit replay legs live in
+    ``tests/test_streaming_recovery.py`` (a restarted query resumes
+    from the checkpoint and converges; a re-delivered epoch appends
+    nothing). Per-process uuid + finally-drop, same as q131/q135."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+
+    from citibike_analysis_spark.operators.pq import (
+        _IVFPQ_NCODES_PROP,
+        _verify_ivfpq_stamp,
+        attach_pq_codes,
+        ivfpq_topk,
+    )
+    from citibike_analysis_spark.operators.similarity import (
+        _IVF_NROWS_PROP,
+        build_ivf_index,
+    )
+    from citibike_analysis_spark.plans.relational import _write_replay_batches
+    from citibike_analysis_spark.streaming.ann import start_index_maintenance
+
+    global _Q131_RUN_TAG
+    if _Q131_RUN_TAG is None:
+        _Q131_RUN_TAG = uuid.uuid4().hex[:8]
+    base = (
+        "q142_sim_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{_Q131_RUN_TAG}"
+    )
+    t, ref = base, f"{base}_ref"
+    e = load_table(spark, sf_dir, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    train = even.select("vec_id", "embedding")
+    n_batches = 4
+    workdir = tempfile.mkdtemp(prefix="q142_replay_")
+    try:
+        build_ivf_index(e, ref, nlist=8, train_iters=2, train_on=even)
+        attach_pq_codes(spark, ref, m=8, ksub=16, train_iters=2, train_on=train)
+        build_ivf_index(even, t, nlist=8, train_iters=2, train_on=even)
+        attach_pq_codes(spark, t, m=8, ksub=16, train_iters=2, train_on=train)
+        arrow_schema = pa.schema(
+            [
+                pa.field("vec_id", pa.int64()),
+                pa.field("embedding", pa.list_(pa.float32())),
+            ]
+        )
+        in_dir = os.path.join(workdir, "in")
+        _write_replay_batches(
+            odd.select("vec_id", "embedding"),
+            in_dir,
+            n_batches,
+            arrow_schema,
+            ["vec_id"],
+        )
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        seen: list[dict] = []
+        q = start_index_maintenance(
+            stream,
+            t,
+            os.path.join(workdir, "ckpt"),
+            on_batch=seen.append,
+            query_name="q142_streaming_index_maintenance",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # foreachBatch ran in a CLONED session (Structured Streaming's
+        # isolation contract): its appends updated the clone's catalog
+        # cache, while THIS session still holds the relation it cached
+        # during build/attach — standard Spark cross-session
+        # visibility, and exactly what a probe service must do after a
+        # maintenance stream it did not write from (see
+        # streaming/ann.py's probe-visibility note)
+        spark.catalog.refreshTable(t)
+        spark.catalog.refreshTable(f"{t}__codes")
+        probe_q = e.filter(F.col("vec_id") < 10)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        got = key(
+            ivfpq_topk(
+                spark, t, probe_q, k=5, nprobe=4, shortlist=50, n_queries=10
+            ).collect()
+        )
+        want = key(
+            ivfpq_topk(
+                spark, ref, probe_q, k=5, nprobe=4, shortlist=50, n_queries=10
+            ).collect()
+        )
+        probe_parity = bool(got) and got == want
+        lp = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+        }
+        cp = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}__codes").collect()
+        }
+        n_total = e.count()
+        count_props_exact = (
+            int(lp.get(_IVF_NROWS_PROP, -1)) == spark.table(t).count() == n_total
+            and int(cp.get(_IVFPQ_NCODES_PROP, -1))
+            == spark.table(f"{t}__codes").count()
+            == n_total
+        )
+        applied = [s for s in seen if s["n_novel"] > 0]
+        drift_each = (
+            len(applied) == n_batches
+            and sum(s["n_novel"] for s in applied) == odd.count()
+            and all(s["n_codes_refreshed"] == s["n_novel"] for s in applied)
+            and all(
+                s["drift"] is not None
+                and s["ed_drift"] is not None
+                and s["share_tv"] is not None
+                for s in applied
+            )
+        )
+        try:
+            _verify_ivfpq_stamp(spark, t, check_counts=True)
+            screen_green = True
+        except ValueError:
+            screen_green = False
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        for tb in (t, ref):
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                even.count(),
+                odd.count(),
+                n_batches,
+                probe_parity,
+                count_props_exact,
+                drift_each,
+                screen_green,
+            )
+        ],
+        "n_total bigint, n_built bigint, n_streamed bigint, "
+        "n_batches bigint, probe_parity boolean, count_props_exact boolean, "
+        "drift_signal_each_batch boolean, screen_green boolean",
+    )
+
+
+Q142_SQL = """
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
+       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) AS BIGINT)
+         AS n_built,
+       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
+         AS n_streamed,
+       CAST(4 AS BIGINT) AS n_batches,
+       TRUE AS probe_parity,
+       TRUE AS count_props_exact,
+       TRUE AS drift_signal_each_batch,
+       TRUE AS screen_green
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -4590,5 +4798,10 @@ QUERIES: dict[str, QuerySpec] = {
         q141_ivfpq_recall_audit,
         Q141_SQL,
         "§7 similarity-ivfpq-pipeline-recall-audit",
+    ),
+    "q142_streaming_index_maintenance_replay": QuerySpec(
+        q142_streaming_index_maintenance_replay,
+        Q142_SQL,
+        "§2.9 + §7 streaming-index-maintenance",
     ),
 }
