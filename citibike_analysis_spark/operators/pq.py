@@ -138,6 +138,99 @@ def _assign_codes(
     )
 
 
+def _round_half_up(arr, digits: int = 9):
+    """Vectorized reproduction of Spark's ``round(double, n)`` —
+    ``BigDecimal.valueOf(d)`` (shortest decimal repr, the same
+    algorithm as Python's ``repr``) then ``setScale(n, HALF_UP)``. The
+    fast path is ``floor(x·10ⁿ + 0.5)/10ⁿ`` (exact for non-negative
+    inputs away from a half boundary); elements whose scaled
+    fractional part sits within 1e-3 of 0.5 — where float error in the
+    scaling could land on the wrong side of the boundary the decimal
+    repr defines — are re-rounded through ``decimal.Decimal(repr(x))``
+    exactly. Used by the Arrow encode to reproduce the fold path's
+    distance/norm rounding bit-for-bit (the parity contract pinned by
+    tests/test_pq.py)."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    scaled = arr * scale
+    fl = np.floor(scaled)
+    frac = scaled - fl
+    out = np.where(frac >= 0.5, fl + 1.0, fl) / scale
+    sus = np.abs(frac - 0.5) < 1e-3
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-digits)
+        flat, of = arr.ravel(), out.ravel()
+        for i in np.nonzero(sus.ravel())[0]:
+            of[i] = float(
+                Decimal(repr(float(flat[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+        out = of.reshape(out.shape)
+    return out
+
+
+def _make_encode_udf(codebooks):
+    """Arrow-batched PQ encoder (r14, r13 verdict #5): per batch of
+    full vectors, one dense pass per subspace computes the squared-L2
+    distance matrix (n × ksub × dsub difference, SEQUENTIAL last-axis
+    sum via cumsum — the exact left-to-right order `_sqdist`'s fold
+    adds in, so the sums are bit-identical), rounds to 9 decimals with
+    :func:`_round_half_up` (the fold path's knife-edge convention),
+    and takes the first argmin (== lowest cid — codebook cids are the
+    contiguous 0..ksub-1). ``recon_norm`` is round(sqrt(Σ_j
+    |codebook_j[code_j]|²), 9) with the per-entry squared norms
+    computed by the same driver-side Python float sums the fold path
+    broadcasts. Replaces an explode → broadcast-join → TWO-groupBy
+    plan (a shuffle of n × m interpreted-fold rows — 484–521 s at
+    dim 512/m=32/x100, SCALE.md r13 §5) with one shuffle-free
+    projection through the declared dense-linear-algebra seam (the
+    `_make_lut_udf` precedent)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0][1])
+    C = np.asarray(
+        [[list(v) for _, v in book] for book in codebooks], dtype=np.float64
+    )
+    sq = np.asarray(
+        [[sum(x * x for x in v) for _, v in book] for book in codebooks],
+        dtype=np.float64,
+    )
+
+    @pandas_udf("struct<codes: array<int>, recon_norm: double>")
+    def _enc(qv: pd.Series) -> pd.DataFrame:
+        vals = qv.tolist()
+        codes_out: list = [None] * len(vals)
+        rn_out: list = [None] * len(vals)
+        live = [i for i, x in enumerate(vals) if x is not None]
+        if live:
+            X = np.asarray([vals[i] for i in live], dtype=np.float64)
+            if X.shape[1] != m * dsub:
+                raise ValueError(
+                    f"vector width {X.shape[1]} != m·dsub = {m * dsub}"
+                )
+            n = len(X)
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                diff = X[:, j * dsub : (j + 1) * dsub][:, None, :] - C[j][None]
+                d = (diff * diff).cumsum(axis=2)[:, :, -1]
+                codes[:, j] = np.argmin(_round_half_up(d, 9), axis=1)
+            s = np.zeros(n)
+            for j in range(m):
+                s = s + sq[j][codes[:, j]]
+            rn = _round_half_up(np.sqrt(s), 9)
+            for k, i in enumerate(live):
+                codes_out[i] = [int(c) for c in codes[k]]
+                rn_out[i] = float(rn[k])
+        return pd.DataFrame({"codes": codes_out, "recon_norm": rn_out})
+
+    return _enc
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -228,20 +321,39 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry_cols: list[str] | None = None,
+    method: str | None = None,
 ) -> DataFrame:
     """Encode a corpus against trained codebooks: (vec_id, codes
     array<int>, recon_norm double). ``recon_norm`` is |x̂| — the L2
     norm of the reconstruction, a pure function of the codes, stored
     once here so :func:`pq_topk` can return approximate COSINE without
-    touching the original vectors at probe time. One corpus pass
-    (explode → broadcast-join argmin → regroup); the output is the
+    touching the original vectors at probe time. The output is the
     compact scan column a 100 TB pipeline persists next to (or instead
     of) the raw embeddings. ``carry_cols`` are per-id scalar columns
     that ride the encode unchanged (r12: how `attach_pq_codes` keeps
     the IVF cid without re-joining the n-row output back to the lists
     — an avoided corpus-scale shuffle); names must not collide with
     the internal ``cid``/``sub_j``/``_sv``/``_v``.
+
+    ``method`` (default env ``SPARK_GRAFT_PQ_ENCODE``, else "arrow"):
+
+    - ``"arrow"`` (r14, r13 verdict #5): one SHUFFLE-FREE projection
+      through :func:`_make_encode_udf` — the per-subvector argmin is
+      dense linear algebra, exactly what the probe side's LUT seam
+      already batches through Arrow. The encode was the PQ family's
+      most expensive lifecycle op in its fold form (484–521 s at
+      dim 512/m=32/x100, interpreted folds over an exploded n × m
+      frame shuffled through two groupBys); the Arrow form removes
+      the explode, the shuffle, and the interpreted folds in one
+      move. Output pinned byte-identical to the fold path
+      (tests/test_pq.py parity across params and a non-normalized
+      randomized fixture — same codes, same recon_norm bits).
+    - ``"fold"``: the original explode → broadcast-join argmin →
+      regroup plan in pure JVM expressions — the parity reference,
+      and the no-Python-worker fallback.
     """
+    import os
+
     m = len(codebooks)
     dsub = len(codebooks[0][0][1])
     carry = carry_cols or []
@@ -250,6 +362,20 @@ def pq_encode(
         *carry,
         as_double(F.col(vec_col)).alias("_v"),
     )
+    if method is None:
+        method = os.environ.get("SPARK_GRAFT_PQ_ENCODE", "arrow")
+    if method == "arrow":
+        enc = _make_encode_udf(codebooks)
+        return c.select(
+            "vec_id", *carry, enc(F.col("_v")).alias("_e")
+        ).select(
+            "vec_id",
+            F.col("_e.codes").alias("codes"),
+            F.col("_e.recon_norm").alias("recon_norm"),
+            *carry,
+        )
+    if method != "fold":
+        raise ValueError(f"unknown pq_encode method {method!r}")
     spark = corpus.sparkSession
     sub = _explode_subvectors(c, "vec_id", "_v", m, dsub, carry=carry)
     assigned = _assign_codes(sub, "vec_id", spark, codebooks, carry=carry)

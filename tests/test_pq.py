@@ -668,3 +668,112 @@ class TestR14PqTopkPreflight:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
         finally:
             codes.unpersist()
+
+
+class TestR14ArrowEncodeParity:
+    """r14 (r13 verdict #5): the Arrow encode must be byte-identical to
+    the fold path — same codes, same recon_norm bits — across
+    parameterizations and on a non-normalized randomized fixture, while
+    replacing the fold's explode+shuffle plan with a shuffle-free
+    projection."""
+
+    def _both(self, df, books, **kw):
+        from citibike_analysis_spark.operators.pq import pq_encode
+
+        fold = {
+            r["vec_id"]: (list(r["codes"]), r["recon_norm"])
+            for r in pq_encode(df, books, method="fold", **kw).collect()
+        }
+        arrow = {
+            r["vec_id"]: (list(r["codes"]), r["recon_norm"])
+            for r in pq_encode(df, books, method="arrow", **kw).collect()
+        }
+        return fold, arrow
+
+    def test_parity_on_corpus_both_params(self, spark, emb, books):
+        from citibike_analysis_spark.operators.pq import train_pq_codebooks
+
+        fold, arrow = self._both(emb, books)
+        assert fold and fold == arrow
+        wide = train_pq_codebooks(emb, m=16, ksub=64, dim=64, train_iters=2)
+        fold, arrow = self._both(emb, wide)
+        assert fold and fold == arrow
+
+    def test_parity_on_nonnormalized_fixture_with_carry(self, spark):
+        """Rehearsal-corpus shape (clustered, radius ~5σ, NOT unit
+        norm) — distances far from the unit ball, plus a carry column
+        riding both paths."""
+        import numpy as np
+
+        from citibike_analysis_spark.operators.pq import train_pq_codebooks
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(4, 32)) * 5.0
+        V = centers[rng.integers(0, 4, 300)] + rng.normal(size=(300, 32))
+        df = spark.createDataFrame(
+            [
+                (int(i), int(i) % 7, [float(x) for x in v])
+                for i, v in enumerate(V)
+            ],
+            "vec_id: long, tag: int, embedding: array<double>",
+        )
+        books = train_pq_codebooks(df, m=4, ksub=8, dim=32, train_iters=3)
+        from citibike_analysis_spark.operators.pq import pq_encode
+
+        fold = {
+            r["vec_id"]: (list(r["codes"]), r["recon_norm"], r["tag"])
+            for r in pq_encode(
+                df, books, carry_cols=["tag"], method="fold"
+            ).collect()
+        }
+        arrow = {
+            r["vec_id"]: (list(r["codes"]), r["recon_norm"], r["tag"])
+            for r in pq_encode(
+                df, books, carry_cols=["tag"], method="arrow"
+            ).collect()
+        }
+        assert fold and fold == arrow
+
+    def test_arrow_plan_is_shuffle_free(self, spark, emb, books):
+        from citibike_analysis_spark.operators.pq import pq_encode
+
+        plan = (
+            pq_encode(emb, books, method="arrow")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        fold_plan = (
+            pq_encode(emb, books, method="fold")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" in fold_plan  # the cost the arrow path removes
+
+    def test_round_half_up_matches_decimal(self):
+        """The vectorized HALF_UP reproduction agrees with the exact
+        Decimal(repr) path everywhere, including manufactured
+        knife-edge values."""
+        import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from citibike_analysis_spark.operators.pq import _round_half_up
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate(
+            [
+                rng.random(2000) * 10,
+                # exact half boundaries and near-misses at the 9th place
+                np.array([0.1234567885, 0.0000000005, 1.9999999995]),
+                np.round(rng.random(500), 9) + 5e-10,
+            ]
+        )
+        got = _round_half_up(vals.copy(), 9)
+        q = Decimal(1).scaleb(-9)
+        for x, g in zip(vals, got):
+            want = float(
+                Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+            assert g == want, (x, g, want)
