@@ -6,6 +6,10 @@ table (optionally refreshing its
 :func:`~citibike_analysis_spark.operators.pq.attach_pq_codes` sibling)
 via ``foreachBatch``, so the index a probe service reads is maintained
 continuously by the same lifecycle functions the batch tier audits.
+:func:`start_lsh_index_maintenance` is the counterpart for the
+:func:`~citibike_analysis_spark.operators.similarity.build_lsh_index`
+family (where the append's recovery mode already IS the idempotence
+story — see its docstring).
 
 This IS the reference's production shape: its collection tier is a
 cron-driven continuous appender (reference README.md:187,197 — `*/3 * *
@@ -142,6 +146,87 @@ def start_index_maintenance(
             stats["n_codes_refreshed"] = refresh_pq_codes(spark, table)
         if on_batch is not None:
             on_batch(stats)
+
+    writer = (
+        batches.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if query_name is not None:
+        writer = writer.queryName(query_name)
+    return writer.start()
+
+
+def start_lsh_index_maintenance(
+    batches: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    num_buckets: int = 16,
+    on_batch: Callable[[dict], None] | None = None,
+    query_name: str | None = None,
+):
+    """The :func:`start_index_maintenance` counterpart for the
+    engine's OTHER persisted ANN family: micro-batches append into a
+    :func:`~citibike_analysis_spark.operators.similarity.build_lsh_index`
+    table via ``foreachBatch``.
+
+    Exactly-once needs NO extra machinery here: every batch runs
+    :func:`~citibike_analysis_spark.operators.similarity.append_to_lsh_index`
+    in its ``assume_novel=False`` RECOVERY mode, whose finest-grain
+    anti-joins (ids against ``__vecs``, (id, tbl) pairs against the
+    bucket table) make the append idempotent AND tear-converging by
+    design — a replayed epoch appends nothing, and a replay after a
+    crash BETWEEN the family's two writes (vecs landed, bucket rows
+    not) lands exactly the missing bucket rows, converging the torn
+    state the append's crash-ordering contract documents. That is the
+    recovery mode's intended caller: under at-least-once foreachBatch,
+    every delivery is potentially a recovery. (The streaming sink
+    deliberately does not use the ``assume_novel=True`` happy path —
+    its no-anti-join economics belong to ingest pipelines that
+    guarantee novelty upstream; a replayed epoch violates exactly that
+    guarantee.)
+
+    ``on_batch`` receives ``{"epoch_id", "n_batch_rows"}`` per
+    non-empty batch (the LSH append returns no drift statistics —
+    planes are data-independent, so there is no baseline to drift
+    from; corpus-shift monitoring is the IVF family's seam).
+
+    The LSH family makes streamed-equals-rebuilt EXACT and
+    parameter-only: planes derive from (bits, tables, dim, seed), so a
+    maintained index equals ``build_lsh_index`` over the full corpus
+    bit-for-bit — pinned by the kill-mid-stream test in
+    ``tests/test_streaming_recovery.py``. Probe visibility across
+    sessions: same ``refreshTable`` rule as the IVF sink (module
+    docstring)."""
+    from citibike_analysis_spark.operators.similarity import (
+        append_to_lsh_index,
+    )
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_to_lsh_index(
+            batch.select(id_col, vec_col).localCheckpoint(eager=True),
+            table,
+            id_col=id_col,
+            vec_col=vec_col,
+            bits=bits,
+            tables=tables,
+            dim=dim,
+            seed=seed,
+            num_buckets=num_buckets,
+            assume_novel=False,
+        )
+        if on_batch is not None:
+            on_batch(
+                {"epoch_id": int(epoch_id), "n_batch_rows": batch.count()}
+            )
 
     writer = (
         batches.writeStream.outputMode("append")

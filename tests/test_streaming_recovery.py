@@ -732,3 +732,93 @@ def test_index_maintenance_crash_replay_converges(spark, dirs, monkeypatch):
         for tb in (t, ref):
             for s in ("", "__cents", "__tombs", "__codes", "__books"):
                 spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+
+
+def test_lsh_index_maintenance_crash_replay_converges(spark, dirs, monkeypatch):
+    """The LSH counterpart: streamed appends run in the family's
+    recovery mode (finest-grain anti-joins), so a crash after an
+    epoch's append committed — replayed on restart — appends nothing,
+    and the maintained index equals build_lsh_index over the FULL
+    corpus bit-for-bit (planes are parameter-derived, so
+    append-equals-rebuild is exact)."""
+    import pyspark.sql.functions as F
+
+    import citibike_analysis_spark.operators.similarity as sim
+    from citibike_analysis_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+        verify_lsh_index_consistency,
+    )
+    from citibike_analysis_spark.sources.tables import load_table
+    from citibike_analysis_spark.streaming.ann import (
+        start_lsh_index_maintenance,
+    )
+
+    emb = load_table(spark, EMB_SF, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    t, ref = "ann_lsh_maint_idx", "ann_lsh_maint_ref"
+    flag = os.path.join(dirs["flag"], "lsh_append_crash.flag")
+    real_append = sim.append_to_lsh_index
+
+    def torn_append(batch, table, **kw):
+        out = real_append(batch, table, **kw)
+        if not os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected crash: after lsh append")
+        return out
+
+    try:
+        build_lsh_index(emb, ref)
+        build_lsh_index(even, t)
+        _write_emb_batches(spark, odd, dirs["in2"], 2)
+
+        def make_stream():
+            return (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(dirs["in2"])
+            )
+
+        monkeypatch.setattr(sim, "append_to_lsh_index", torn_append)
+        q = start_lsh_index_maintenance(make_stream(), t, dirs["ckpt2"])
+        with pytest.raises(Exception, match="injected crash"):
+            try:
+                q.processAllAvailable()
+                q.awaitTermination()
+            finally:
+                q.stop()
+        assert os.path.exists(flag)
+        monkeypatch.setattr(sim, "append_to_lsh_index", real_append)
+        seen: list[dict] = []
+        q2 = start_lsh_index_maintenance(
+            make_stream(), t, dirs["ckpt2"], on_batch=seen.append
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert len(seen) == 2  # replayed epoch + the remaining batch
+        spark.catalog.refreshTable(t)
+        spark.catalog.refreshTable(f"{t}__vecs")
+        # no duplicate ids from the replay (the recovery-mode contract)
+        verify_lsh_index_consistency(spark, t)
+        assert (
+            spark.table(f"{t}__vecs").count() == emb.count()
+        )
+        probe_q = emb.filter(F.col("vec_id") < 10)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        got = key(
+            lsh_index_topk(spark, t, probe_q, k=5, n_queries=10).collect()
+        )
+        want = key(
+            lsh_index_topk(spark, ref, probe_q, k=5, n_queries=10).collect()
+        )
+        assert got and got == want  # streamed ≡ one-shot full build
+    finally:
+        for tb in (t, ref):
+            for s in ("", "__vecs", "__tombs"):
+                spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
