@@ -1392,8 +1392,81 @@ def _cent_df(spark, cents) -> DataFrame:
     return spark.createDataFrame(cents, "cid: int, _cvec: array<double>")
 
 
+def _make_assign_udf(cents, with_euclid: bool):
+    """Arrow-batched nearest-centroid assignment (r14): one dense pass
+    per batch reproduces the fold path's scores BIT-FOR-BIT — the dot
+    and norm folds sum left-to-right, so ``cumsum`` over the same
+    element products yields identical doubles; the division, the
+    euclid expression's operation grouping (``(vn² + cn²) −
+    ((2·d)·vn)·cn``), and the 1e-300 norm floor are replicated
+    operation-for-operation; and first-argmax over centroids sorted by
+    cid equals the struct-min's lowest-cid tie-break (ties require
+    exact float equality, which identical arithmetic preserves).
+    Parity is pinned by tests/test_operators.py across the sf corpus,
+    a clustered non-normalized fixture, and zero vectors."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(cents, key=lambda cv: cv[0])
+    CIDS = np.asarray([cid for cid, _ in ordered], dtype=np.int64)
+    CN = np.asarray(
+        [
+            np.asarray(v, dtype=np.float64)
+            / (np.linalg.norm(v) or 1.0)
+            for _, v in ordered
+        ]
+    )
+    # the fold path carries _cn = float(np.linalg.norm(v)) per centroid
+    # and squares it JVM-side — same constant, same squaring op
+    CNORM = np.asarray([float(np.linalg.norm(v)) for _, v in ordered])
+    fields = "cid: int, _cos: double" + (", _ed: double" if with_euclid else "")
+
+    @pandas_udf(f"struct<{fields}>")
+    def _assign(qv: pd.Series) -> pd.DataFrame:
+        vals = qv.tolist()
+        n_all = len(vals)
+        cid_out: list = [None] * n_all
+        cos_out: list = [None] * n_all
+        ed_out: list = [None] * n_all
+        live = [i for i, x in enumerate(vals) if x is not None]
+        if live:
+            X = np.asarray([vals[i] for i in live], dtype=np.float64)
+            n = len(X)
+            # norm fold: sequential Σx² then sqrt, floored like greatest
+            vn = np.sqrt((X * X).cumsum(axis=1)[:, -1])
+            vn = np.maximum(vn, 1e-300)
+            D = np.empty((n, len(CN)), dtype=np.float64)
+            for ci in range(len(CN)):
+                # dot fold: sequential Σ x·ĉ (cumsum = left fold order)
+                D[:, ci] = (X * CN[ci][None, :]).cumsum(axis=1)[:, -1]
+            D = D / vn[:, None]
+            best = np.argmax(D, axis=1)  # first max = lowest cid (sorted)
+            rows = np.arange(n)
+            if with_euclid:
+                E = (vn * vn)[:, None] + (CNORM * CNORM)[None, :] - (
+                    (2.0 * D) * vn[:, None]
+                ) * CNORM[None, :]
+                ed = E.min(axis=1)
+            for k, i in enumerate(live):
+                cid_out[i] = int(CIDS[best[k]])
+                cos_out[i] = float(D[rows[k], best[k]])
+                if with_euclid:
+                    ed_out[i] = float(ed[k])
+        data = {"cid": cid_out, "_cos": cos_out}
+        if with_euclid:
+            data["_ed"] = ed_out
+        return pd.DataFrame(data)
+
+    return _assign
+
+
 def _assign_nearest(
-    df: DataFrame, idname: str, vec: str, cents, with_euclid: bool = False
+    df: DataFrame,
+    idname: str,
+    vec: str,
+    cents,
+    with_euclid: bool = False,
+    method: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid: broadcast-join then
     min(struct) pick — the group key is the id, the vector rides as
@@ -1425,9 +1498,44 @@ def _assign_nearest(
     norm is floored at 1e-300 (same guard the centroid side gets
     driver-side), so a zero vector scores cosine 0.0 against every
     centroid and deterministically lands in the lowest-cid cluster.
+
+    ``method`` (default env ``SPARK_GRAFT_ASSIGN``, else "arrow",
+    r14): the fold form above is ALSO a shuffle — the vector rides the
+    groupBy's any_value through an Exchange, so every build/append/
+    kmeans iteration moved corpus-scale vector bytes once — and its
+    per-(row × centroid) dot runs interpreted. The "arrow" form
+    (:func:`_make_assign_udf`) is one shuffle-free projection whose
+    scores are BIT-IDENTICAL to the fold's (summation order, operation
+    grouping, tie-breaks and the zero-norm floor all replicated —
+    parity pytest-pinned), so every downstream artifact (trained
+    centroids, stamps, q136 append-equals-rebuild equality, drift
+    baselines) is unchanged by construction. "fold" remains the
+    parity reference and the no-Python-worker fallback. Measured
+    (same-session A/B, SCALE.md r14): build_ivf_index over x100
+    drops 15.0 → 5.8 s at dim 64 and 89.1 → 37.9 s at dim 512
+    (1%-sample training, so the corpus assignment pass dominates),
+    with identical stamps and per-cid histograms both cells.
     """
     import numpy as np
+    import os
 
+    if method is None:
+        method = os.environ.get("SPARK_GRAFT_ASSIGN", "arrow")
+    if method == "arrow":
+        assign = _make_assign_udf(cents, with_euclid)
+        out_cols = [
+            idname,
+            vec,
+            F.col("_a.cid").alias("cid"),
+            F.col("_a._cos").alias("_cos"),
+        ]
+        if with_euclid:
+            out_cols.append(F.col("_a._ed").alias("_ed"))
+        return df.select(
+            idname, vec, assign(F.col(vec)).alias("_a")
+        ).select(*out_cols)
+    if method != "fold":
+        raise ValueError(f"unknown _assign_nearest method {method!r}")
     if with_euclid:
         rows = [
             (cid, (np.asarray(v) / (np.linalg.norm(v) or 1.0)).tolist(),

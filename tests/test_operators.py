@@ -1941,3 +1941,102 @@ class TestR14PropertyCarryGuard:
         finally:
             for s in ("", "__cents", "__tombs"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+class TestR14ArrowAssignParity:
+    """r14: the Arrow nearest-centroid assignment must be bit-identical
+    to the fold path — same cid, same _cos double, same _ed double —
+    so every artifact trained or stamped through it (centroids, IVF
+    stamps, drift baselines, q136's append-equals-rebuild equality) is
+    unchanged by construction."""
+
+    def _parity(self, df, cents, with_euclid):
+        from citibike_analysis_spark.operators.similarity import (
+            _assign_nearest,
+        )
+
+        cols = ["cid", "_cos"] + (["_ed"] if with_euclid else [])
+
+        def grab(method):
+            return {
+                r["_id"]: tuple(r[c] for c in cols)
+                for r in _assign_nearest(
+                    df, "_id", "_v", cents,
+                    with_euclid=with_euclid, method=method,
+                ).collect()
+            }
+
+        fold, arrow = grab("fold"), grab("arrow")
+        assert fold and fold == arrow
+
+    def test_parity_on_sf_corpus_both_axes(self, spark):
+        from citibike_analysis_spark.operators.similarity import (
+            _train_centroids,
+            as_double,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        c = emb.select(
+            F.col("vec_id").alias("_id"),
+            as_double(F.col("embedding")).alias("_v"),
+        ).persist()
+        try:
+            cents = _train_centroids(
+                c.filter(F.col("_id") % 2 == 0), "_id", "_v", 16, 2
+            )
+            self._parity(c, cents, with_euclid=False)
+            self._parity(c, cents, with_euclid=True)
+        finally:
+            c.unpersist()
+
+    def test_parity_on_clustered_nonnormalized_fixture_and_zero_vector(
+        self, spark
+    ):
+        """Rehearsal-shaped vectors (radius ~5σ), a zero vector (the
+        1e-300 floor path), and duplicate points (exact ties)."""
+        import numpy as np
+
+        from citibike_analysis_spark.operators.similarity import (
+            _train_centroids,
+        )
+
+        rng = np.random.default_rng(13)
+        centers = rng.normal(size=(4, 16)) * 5.0
+        V = centers[rng.integers(0, 4, 250)] + rng.normal(size=(250, 16))
+        rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(V)]
+        rows.append((990, [0.0] * 16))  # zero vector
+        rows.append((991, rows[0][1]))  # duplicate → exact tie geometry
+        df = spark.createDataFrame(rows, "_id: long, _v: array<double>")
+        cents = _train_centroids(df, "_id", "_v", 4, 3)
+        self._parity(df, cents, with_euclid=True)
+
+    def test_training_is_method_invariant(self, spark):
+        """Centroids trained through either assignment path are
+        IDENTICAL (the bit-parity consequence that matters most: every
+        stamp and every persisted index is method-independent)."""
+        import os
+
+        from citibike_analysis_spark.operators.similarity import (
+            _train_centroids,
+            as_double,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        c = emb.select(
+            F.col("vec_id").alias("_id"),
+            as_double(F.col("embedding")).alias("_v"),
+        )
+        prev = os.environ.get("SPARK_GRAFT_ASSIGN")
+        try:
+            os.environ["SPARK_GRAFT_ASSIGN"] = "fold"
+            fold_cents = _train_centroids(c, "_id", "_v", 8, 3)
+            os.environ["SPARK_GRAFT_ASSIGN"] = "arrow"
+            arrow_cents = _train_centroids(c, "_id", "_v", 8, 3)
+        finally:
+            if prev is None:
+                os.environ.pop("SPARK_GRAFT_ASSIGN", None)
+            else:
+                os.environ["SPARK_GRAFT_ASSIGN"] = prev
+        assert fold_cents == arrow_cents
