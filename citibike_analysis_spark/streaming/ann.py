@@ -40,6 +40,20 @@ and the count-cache properties follow the r14 crash ordering (UNSET
 before the data append, re-SET after), so a crash mid-batch leaves the
 count caches absent — readers fall back to real counts and the
 replayed epoch's anti-join restores exactness.
+
+SINGLE-WRITER contract (compaction cadence under streaming): streamed
+appends accumulate one file set per micro-batch per bucket, so a
+long-running stream needs periodic ``compact_ivf_index`` /
+``compact_lsh_index`` exactly like a batch appender — but compaction
+REWRITES and RENAME-SWAPS the tables it compacts, and an append
+racing that swap could land rows in the renamed-aside table or fail
+mid-epoch with the catalog in its half-swapped state. Run compaction
+from the maintenance owner's cadence with the stream STOPPED (stop →
+compact → restart from the same checkpoint: the offset log makes the
+pause exact — no batch is lost or doubled, pinned by the kill-resume
+tests), never concurrently with it. Probes stay up throughout: they
+read whichever committed table state the catalog serves, and the
+compaction's self-heal + screens cover a crash between its renames.
 """
 
 from __future__ import annotations

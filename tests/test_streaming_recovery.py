@@ -822,3 +822,116 @@ def test_lsh_index_maintenance_crash_replay_converges(spark, dirs, monkeypatch):
         for tb in (t, ref):
             for s in ("", "__vecs", "__tombs"):
                 spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+
+
+def test_index_maintenance_pause_compact_resume(spark, dirs):
+    """The single-writer cadence the module docstring prescribes:
+    stream a batch → STOP → compact (absorbing a removal) → restart
+    from the same checkpoint → stream the next batch. The pause is
+    exact (no batch lost or doubled), the compaction's purge holds
+    under the resumed appends, and the count caches stay exact."""
+    import pyspark.sql.functions as F
+
+    from citibike_analysis_spark.operators.pq import (
+        _IVFPQ_NCODES_PROP,
+        attach_pq_codes,
+        ivfpq_topk,
+        verify_ivfpq_consistency,
+    )
+    from citibike_analysis_spark.operators.similarity import (
+        _IVF_NROWS_PROP,
+        build_ivf_index,
+        compact_ivf_index,
+        remove_from_ivf_index,
+    )
+    from citibike_analysis_spark.sources.tables import load_table
+    from citibike_analysis_spark.streaming.ann import start_index_maintenance
+
+    emb = load_table(spark, EMB_SF, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = even.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    t = "ann_maint_pause_idx"
+    in_dir, ckpt = dirs["land"], dirs["ckpt_d"]
+    try:
+        build_ivf_index(even, t, nlist=8, train_iters=2, train_on=even)
+        attach_pq_codes(
+            spark, t, m=8, ksub=16, train_iters=2,
+            train_on=even.select("vec_id", "embedding"),
+        )
+        # batch 0 only on disk; stream it, then stop
+        import pyarrow as pa
+
+        from citibike_analysis_spark.plans.relational import (
+            _write_replay_batches,
+        )
+
+        schema = pa.schema(
+            [
+                pa.field("vec_id", pa.int64()),
+                pa.field("embedding", pa.list_(pa.float32())),
+            ]
+        )
+        b0 = odd.filter(F.col("vec_id") < 250)
+        b1 = odd.filter(F.col("vec_id") >= 250)
+        _write_replay_batches(
+            b0.select("vec_id", "embedding"), in_dir, 1, schema, ["vec_id"]
+        )
+
+        def make_stream():
+            return (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+
+        q = start_index_maintenance(make_stream(), t, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # maintenance window: remove + compact with the stream stopped
+        remove_from_ivf_index(spark, t, removed)
+        compact_ivf_index(spark, t)
+        # resume: land batch 1 under the SAME checkpoint
+        import pyarrow.parquet as pq_mod
+
+        pdf = b1.select("vec_id", "embedding").toPandas()
+        path = os.path.join(in_dir, "b900.parquet")
+        pq_mod.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False).cast(schema), path
+        )
+        q2 = start_index_maintenance(make_stream(), t, ckpt)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        spark.catalog.refreshTable(t)
+        spark.catalog.refreshTable(f"{t}__codes")
+        n_expect = emb.count() - removed.count()
+        assert spark.table(t).count() == n_expect  # b0 not doubled, b1 not lost
+        assert verify_ivfpq_consistency(spark, t) == 0
+        lp = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+        }
+        cp = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}__codes").collect()
+        }
+        assert int(lp[_IVF_NROWS_PROP]) == n_expect
+        assert int(cp[_IVFPQ_NCODES_PROP]) == n_expect
+        # removed ids stay purged through the resumed appends
+        probe_q = emb.filter(F.col("vec_id") < 10)
+        surfaced = {
+            r["neighbor_id"]
+            for r in ivfpq_topk(
+                spark, t, probe_q, k=5, nprobe=4, shortlist=50, n_queries=10
+            ).collect()
+        }
+        assert surfaced and all(
+            not (n % 10 == 0 and n % 2 == 0) for n in surfaced
+        )
+    finally:
+        for s in ("", "__cents", "__tombs", "__codes", "__books"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
