@@ -862,3 +862,156 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "hamming")
     )
+
+
+def _kgram_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, pos, _h) positional k-gram hash index: one row per k-gram
+    occurrence, ``pos`` 0-based token offset, ``_h`` = xxhash64 of the
+    space-joined gram (tokens are whitespace-split, so the space join is
+    injective and the hash keys gram IDENTITY; collision odds across G
+    distinct grams ≈ G²/2⁶⁵ — ~1e-11 at a million grams).
+
+    Shuffle-free: tokenize once behind a named projection (the
+    CSE-through-lambda rule ``functions/text.py`` documents), hash
+    array-side, posexplode. Output is Σ n_tokens rows of
+    (id, int, long) — the narrow substrate both span operators key on.
+    """
+    tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
+    kh = tk.select("_id", kgram_hashes_of(F.col("_tk"), k).alias("_kh"))
+    return kh.select("_id", F.posexplode("_kh").alias("pos", "_h"))
+
+
+def _merge_runs(positions: DataFrame, k: int) -> DataFrame:
+    """Merge per-doc consecutive duplicated gram positions into maximal
+    spans: (_id, span_start, span_end). Adjacent/overlapping duplicated
+    k-grams are one region (``pos - row_number`` is constant along a
+    consecutive run). Doc-bounded window — one Exchange on _id; the
+    following groupBy reuses that partitioning (grouping keys are a
+    superset of the hash-partitioning key, no second shuffle).
+    """
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = positions.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return runs.groupBy("_id", "_grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated token spans — the span-granular dedup modality
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every region of ≥ k consecutive tokens covered by
+    k-grams that occur ≥ ``min_occurrences`` times corpus-wide (within- or
+    cross-document), and report it with its position.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — token offsets
+    0-based inclusive, one row per maximal duplicated region. Where the
+    doc/chunk-level tiers decide about whole documents or fixed chunk
+    boundaries, this localizes the duplicated text itself (boilerplate,
+    license headers, quoted reposts) at arbitrary offsets.
+
+    Semantics note: a maximal run merges overlapping duplicated k-grams
+    even when adjacent grams duplicate against DIFFERENT partners, so a
+    span is a "duplicated-coverage region", exactly the overlapping-range
+    merge the suffix-array pipeline performs before cutting — not a claim
+    that the whole span recurs verbatim somewhere.
+
+    100 TB shape (why not a suffix array): the suffix-array construction
+    is memory-superlinear and single-image; any duplicated span of length
+    L ≥ k is the union of its L-k+1 duplicated k-grams, so the shuffle
+    architecture expresses the same discovery as (1) a Σ n_tokens-row
+    narrow index (id, pos, hash), (2) one partial-aggregated groupBy on
+    the 8-byte gram hash (map-side combine collapses each partition's
+    repeats before the wire; a boilerplate gram repeated 10⁹× is ONE row
+    per map partition), (3) one equi-semi-join back on the same key (AQE
+    skew-split handles hot grams — no windowed count over a gram
+    partition, which would sort the 10⁹ rows on one reducer), (4) a
+    doc-bounded run merge. Nothing quadratic, nothing collected.
+    """
+    pos = _reuse(_kgram_positions(df, id_col, text_col, k))
+    dup_h = (
+        pos.groupBy("_h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= F.lit(min_occurrences))
+        .select("_h")
+    )
+    spans = _merge_runs(pos.join(dup_h, "_h", "left_semi"), k).select(
+        F.col("_id").cast("long").alias("doc_id"),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+    if min_span_tokens is not None:
+        spans = spans.filter(F.col("span_tokens") >= F.lit(min_span_tokens))
+    return spans
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Remove duplicated spans, keeping each duplicated k-gram's FIRST
+    corpus occurrence (first = lowest (doc_id, pos)) — the removal step
+    paired with :func:`duplicated_spans`' discovery, with the
+    keep-one-copy rule the suffix-array pipeline applies so the
+    duplicated text still exists exactly once in the corpus.
+
+    Output: (doc_id, n_tokens, n_removed, scrubbed_text) — one row per
+    input document; surviving tokens re-joined with single spaces in
+    original order. A document is untouched (n_removed = 0) iff none of
+    its grams is a non-canonical duplicate.
+
+    Plan shape: the canonical occurrence per gram comes from ONE
+    partial-aggregated groupBy — ``min(struct(doc_id, pos))`` is
+    combiner-friendly, so no row_number window over the gram partition
+    (a hot gram would sort its entire occurrence list on one reducer);
+    the cut set joins back on the 8-byte hash (AQE skew-split), runs
+    merge doc-bounded, and the final token filter is array-side against
+    each doc's own (small) cut-span list — no token explode, no second
+    pass over text.
+    """
+    tk = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    pos = _reuse(_kgram_positions(df, id_col, text_col, k))
+    gram_stats = pos.groupBy("_h").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct("_id", "pos")).alias("_first"),
+    )
+    cut = (
+        pos.join(gram_stats.filter(F.col("_n") >= F.lit(min_occurrences)), "_h")
+        .filter(F.struct("_id", "pos") != F.col("_first"))
+        .select("_id", "pos")
+    )
+    cut_spans = _merge_runs(cut, k).groupBy("_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = tk.join(
+        cut_spans, tk["doc_id"] == cut_spans["_id"], "left"
+    ).drop("_id")
+    spans_arr = F.coalesce(
+        "_spans", F.array().cast("array<struct<span_start:long,span_end:long>>")
+    )
+    kept = F.filter(
+        F.col("_tk"),
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col("doc_id").cast("long"),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("scrubbed_text"),
+    )

@@ -4606,6 +4606,105 @@ SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
 """
 
 
+# --------------------------------------------------------------------------
+# q143/q144 — span-level dedup (r14): maximal duplicated token spans and
+# the keep-first-occurrence scrub (Lee et al. 2022 exact-substring dedup,
+# expressed as positional k-gram runs — operators/dedup.py docstrings
+# carry the 100 TB plan-shape argument). Complements the doc-level
+# (q30/q36/q39), chunk-level (q74), and fingerprint (q50) tiers with the
+# arbitrary-offset modality none of them localize.
+# --------------------------------------------------------------------------
+
+_Q143_K = 8
+
+#: shared oracle CTE prefix: positional k-grams over whitespace tokens.
+#: The Spark side keys gram identity by xxhash64 of the same space-join
+#: (injective — tokens are whitespace-split); the oracle groups by the
+#: gram string itself, so the two agree exactly modulo 64-bit hash
+#: collisions (~G²/2⁶⁵).
+_Q143_GRAMS_CTE = f"""
+WITH doc_toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+         array_to_string(tk[g.i : g.i + {_Q143_K - 1}], ' ') AS gram
+  FROM doc_toks, LATERAL (SELECT unnest(range(1, len(tk) - {_Q143_K} + 2)) AS i) g
+)"""
+
+
+def q143_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", k=_Q143_K)
+
+
+Q143_SQL = f"""{_Q143_GRAMS_CTE},
+dup AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) >= 2),
+dp AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_Q143_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {_Q143_K} AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_id, grp
+"""
+
+
+def q144_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import scrub_duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return scrub_duplicated_spans(d, "doc_id", "text", k=_Q143_K)
+
+
+Q144_SQL = f"""{_Q143_GRAMS_CTE},
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS n
+  FROM grams
+),
+cut AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rn > 1),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM cut
+),
+cutspans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_Q143_K - 1} AS e
+  FROM runs GROUP BY doc_id, grp
+),
+toks AS (
+  SELECT doc_id, tk[t.i] AS tok, CAST(t.i - 1 AS BIGINT) AS pos
+  FROM doc_toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cutspans c
+    WHERE c.doc_id = t.doc_id AND t.pos BETWEEN c.s AND c.e)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+),
+nt AS (SELECT doc_id, len(tk) AS n_tokens FROM doc_toks)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.txt, '') AS scrubbed_text
+FROM documents d
+JOIN nt n ON d.doc_id = n.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -4804,4 +4903,8 @@ QUERIES: dict[str, QuerySpec] = {
         Q142_SQL,
         "§2.9 + §7 streaming-index-maintenance",
     ),
+    "q143_duplicated_spans": QuerySpec(
+        q143_duplicated_spans, Q143_SQL, "§7 dedup-spans"
+    ),
+    "q144_scrub_spans": QuerySpec(q144_scrub_spans, Q144_SQL, "§7 dedup-spans-scrub"),
 }

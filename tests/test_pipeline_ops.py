@@ -1154,3 +1154,86 @@ class TestBloomDecontamination:
         rows = contamination_flags_bloom(corpus, bench, "doc_id", "text").collect()
         assert len(rows) == 2
         assert all(r["n_shared"] == 0 and r["contaminated"] is False for r in rows)
+
+
+class TestDuplicatedSpans:
+    """Span-level dedup (r14): maximal duplicated k-gram runs + the
+    keep-first-occurrence scrub (operators/dedup.py, q143/q144)."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # k=3 fixtures: doc 5 is an exact copy of doc 0; doc 1 shares the
+        # interior run "c d e f" with them; doc 2 repeats its own 4-token
+        # phrase; doc 3 is shorter than k; doc 4 is empty.
+        return spark.createDataFrame(
+            [
+                (0, "a b c d e f g h"),
+                (1, "z z c d e f z q"),
+                (2, "m n o p m n o p"),
+                (3, "a b"),
+                (4, ""),
+                (5, "a b c d e f g h"),
+            ],
+            "doc_id: long, text: string",
+        )
+
+    def spans_of(self, df, **kw):
+        from citibike_analysis_spark.operators.dedup import duplicated_spans
+
+        kw.setdefault("k", 3)
+        out = duplicated_spans(df, "doc_id", "text", **kw).collect()
+        return sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out)
+
+    def test_cross_doc_within_doc_and_merge(self, spark, docs):
+        assert self.spans_of(docs) == [
+            (0, 0, 7, 8),  # whole doc duplicated by doc 5
+            (1, 2, 5, 4),  # shared interior run only
+            (2, 0, 3, 4),  # first copy of the self-repeat
+            (2, 4, 7, 4),  # second copy (non-adjacent -> separate span)
+            (5, 0, 7, 8),
+        ]
+
+    def test_min_occurrences_threshold(self, spark, docs):
+        # only "c d e"/"d e f" occur >= 3x (docs 0, 1, 5)
+        assert self.spans_of(docs, min_occurrences=3) == [
+            (0, 2, 5, 4),
+            (1, 2, 5, 4),
+            (5, 2, 5, 4),
+        ]
+
+    def test_min_span_tokens_filter(self, spark, docs):
+        assert self.spans_of(docs, min_span_tokens=5) == [
+            (0, 0, 7, 8),
+            (5, 0, 7, 8),
+        ]
+
+    def test_no_cartesian_and_no_gram_partition_sort(self, spark, docs):
+        from citibike_analysis_spark.operators.dedup import duplicated_spans
+
+        plan = duplicated_spans(docs, "doc_id", "text", k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # candidate reduction is the partial-agg'd groupBy + semi-join on
+        # the gram hash, never a windowed count over the gram partition
+        # (hot-gram skew would sort 1e9 rows on one reducer)
+        assert "LeftSemi" in plan
+
+    def test_scrub_keeps_first_occurrence(self, spark, docs):
+        from citibike_analysis_spark.operators.dedup import scrub_duplicated_spans
+
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+            for r in scrub_duplicated_spans(docs, "doc_id", "text", k=3).collect()
+        }
+        assert got[0] == (8, 0, "a b c d e f g h")  # canonical copy untouched
+        assert got[1] == (8, 4, "z z z q")  # interior run cut, flanks kept
+        assert got[2] == (8, 4, "m n o p")  # self-repeat keeps first copy
+        assert got[3] == (2, 0, "a b")  # shorter than k: no grams
+        assert got[4] == (0, 0, "")
+        assert got[5] == (8, 8, "")  # exact copy fully scrubbed
+
+    def test_scrub_removed_counts_are_consistent(self, spark, docs):
+        from citibike_analysis_spark.operators.dedup import scrub_duplicated_spans
+
+        for r in scrub_duplicated_spans(docs, "doc_id", "text", k=3).collect():
+            kept = [t for t in r.scrubbed_text.split(" ") if t]
+            assert r.n_tokens - r.n_removed == len(kept)
