@@ -47,13 +47,27 @@ long-running stream needs periodic ``compact_ivf_index`` /
 ``compact_lsh_index`` exactly like a batch appender — but compaction
 REWRITES and RENAME-SWAPS the tables it compacts, and an append
 racing that swap could land rows in the renamed-aside table or fail
-mid-epoch with the catalog in its half-swapped state. Run compaction
-from the maintenance owner's cadence with the stream STOPPED (stop →
-compact → restart from the same checkpoint: the offset log makes the
-pause exact — no batch is lost or doubled, pinned by the kill-resume
-tests), never concurrently with it. Probes stay up throughout: they
-read whichever committed table state the catalog serves, and the
-compaction's self-heal + screens cover a crash between its renames.
+mid-epoch with the catalog in its half-swapped state. Two safe
+cadences:
+
+- **in-stream** (``compact_every=N``): the sink compacts inside its
+  own ``foreachBatch`` body after every N-th non-empty epoch. This is
+  race-free BY CONSTRUCTION — the sink is the single writer, and
+  within ``foreachBatch`` no other epoch of the same query can be
+  in flight. Crash-safe under replay: the cadence predicate is a pure
+  function of ``epoch_id`` (re-delivered unchanged on restart), so a
+  crash anywhere around the compaction re-runs it on the replayed
+  epoch — compaction is idempotent (re-absorbs the same tombstones,
+  re-dedupes nothing new) and its half-swap self-heal covers a crash
+  between its own renames.
+- **out-of-band**: stop → compact → restart from the same checkpoint
+  (the offset log makes the pause exact — no batch lost or doubled,
+  pinned by the kill-resume tests). For removals, which are ALSO
+  writes (tombstone appends), this remains the only safe window —
+  never run ``remove_from_*`` concurrently with a live stream.
+
+Probes stay up throughout either cadence: they read whichever
+committed table state the catalog serves.
 """
 
 from __future__ import annotations
@@ -72,6 +86,7 @@ def start_index_maintenance(
     vec_col: str = "embedding",
     num_buckets: int = 16,
     refresh_codes: bool = True,
+    compact_every: int | None = None,
     on_batch: Callable[[dict], None] | None = None,
     query_name: str | None = None,
 ):
@@ -89,7 +104,13 @@ def start_index_maintenance(
        :func:`~citibike_analysis_spark.operators.pq.refresh_pq_codes`
        (batch-cost: encodes only the just-appended ids), so the IVF-PQ
        probe screen stays green without any probe-side work,
-    4. invoke ``on_batch`` with the append's stats dict plus
+    4. when ``compact_every=N``, run
+       :func:`~citibike_analysis_spark.operators.similarity.compact_ivf_index`
+       after every N-th non-empty epoch (in-stream single-writer
+       cadence — module docstring; the compaction's stats land in the
+       seam dict under ``"compaction"``), resetting per-batch file
+       accumulation and absorbing any tombstones queued out-of-band,
+    5. invoke ``on_batch`` with the append's stats dict plus
        ``epoch_id``/``n_batch_rows``/``n_novel``/``n_codes_refreshed``
        — the drift-monitoring seam: a caller watches ``drift``/
        ``ed_drift``/``share_tv`` per batch and schedules a rebuild on
@@ -158,6 +179,14 @@ def start_index_maintenance(
             from citibike_analysis_spark.operators.pq import refresh_pq_codes
 
             stats["n_codes_refreshed"] = refresh_pq_codes(spark, table)
+        # cadence on epoch_id, not a local counter: the epoch id is
+        # re-delivered unchanged on crash replay, so a compaction torn
+        # by a crash is simply re-run by the replayed epoch (idempotent)
+        # instead of silently skipped
+        if compact_every is not None and (int(epoch_id) + 1) % compact_every == 0:
+            from citibike_analysis_spark.operators import similarity as _sim
+
+            stats["compaction"] = _sim.compact_ivf_index(spark, table)
         if on_batch is not None:
             on_batch(stats)
 
@@ -182,6 +211,7 @@ def start_lsh_index_maintenance(
     dim: int = 64,
     seed: int = 42,
     num_buckets: int = 16,
+    compact_every: int | None = None,
     on_batch: Callable[[dict], None] | None = None,
     query_name: str | None = None,
 ):
@@ -210,6 +240,11 @@ def start_lsh_index_maintenance(
     non-empty batch (the LSH append returns no drift statistics —
     planes are data-independent, so there is no baseline to drift
     from; corpus-shift monitoring is the IVF family's seam).
+    ``compact_every=N`` runs
+    :func:`~citibike_analysis_spark.operators.similarity.compact_lsh_index`
+    after every N-th non-empty epoch under the same in-stream
+    single-writer cadence (and replay-idempotence argument) as the IVF
+    sink; its stats ride the seam dict under ``"compaction"``.
 
     The LSH family makes streamed-equals-rebuilt EXACT and
     parameter-only: planes derive from (bits, tables, dim, seed), so a
@@ -237,10 +272,15 @@ def start_lsh_index_maintenance(
             num_buckets=num_buckets,
             assume_novel=False,
         )
-        if on_batch is not None:
-            on_batch(
-                {"epoch_id": int(epoch_id), "n_batch_rows": batch.count()}
+        stats: dict = {"epoch_id": int(epoch_id), "n_batch_rows": batch.count()}
+        if compact_every is not None and (int(epoch_id) + 1) % compact_every == 0:
+            from citibike_analysis_spark.operators import similarity as _sim
+
+            stats["compaction"] = _sim.compact_lsh_index(
+                batch.sparkSession, table
             )
+        if on_batch is not None:
+            on_batch(stats)
 
     writer = (
         batches.writeStream.outputMode("append")

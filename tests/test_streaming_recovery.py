@@ -935,3 +935,201 @@ def test_index_maintenance_pause_compact_resume(spark, dirs):
     finally:
         for s in ("", "__cents", "__tombs", "__codes", "__books"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+def test_index_maintenance_inline_compaction_cadence(spark, dirs, monkeypatch):
+    """In-stream single-writer compaction (``compact_every``): the sink
+    compacts inside its own foreachBatch body, so no stop/restart window
+    is needed for file-accumulation maintenance. The cadence absorbs a
+    tombstone queued before the stream started, and a crash injected
+    right AFTER the first compaction completes (offset uncommitted) is
+    healed by the replayed epoch re-running the idempotent compaction:
+    final state equals a one-shot build over the surviving rows — probe
+    parity, count caches exact, id audit clean, tombstones purged."""
+    import pyspark.sql.functions as F
+
+    import citibike_analysis_spark.operators.similarity as sim
+    from citibike_analysis_spark.operators.pq import (
+        _IVFPQ_NCODES_PROP,
+        attach_pq_codes,
+        ivfpq_topk,
+        verify_ivfpq_consistency,
+    )
+    from citibike_analysis_spark.operators.similarity import (
+        _IVF_NROWS_PROP,
+        build_ivf_index,
+        remove_from_ivf_index,
+    )
+    from citibike_analysis_spark.sources.tables import load_table
+    from citibike_analysis_spark.streaming.ann import start_index_maintenance
+
+    emb = load_table(spark, EMB_SF, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    removed = even.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    train = even.select("vec_id", "embedding")
+    t, ref = "ann_maint_inline_idx", "ann_maint_inline_ref"
+    flag = os.path.join(dirs["flag"], "compact_crash.flag")
+    real_compact = sim.compact_ivf_index
+
+    def crash_after_compact(sp, table_):
+        out = real_compact(sp, table_)
+        if not os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected crash: after inline compaction")
+        return out
+
+    try:
+        keep = emb.join(removed, "vec_id", "left_anti")
+        build_ivf_index(keep, ref, nlist=8, train_iters=2, train_on=even)
+        attach_pq_codes(spark, ref, m=8, ksub=16, train_iters=2, train_on=train)
+        build_ivf_index(even, t, nlist=8, train_iters=2, train_on=even)
+        attach_pq_codes(spark, t, m=8, ksub=16, train_iters=2, train_on=train)
+        # tombstone BEFORE the stream starts (removals are writes — the
+        # out-of-band window); the in-stream cadence purges it
+        remove_from_ivf_index(spark, t, removed)
+        _write_emb_batches(spark, odd, dirs["in"], 2)
+
+        def make_stream():
+            return (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(dirs["in"])
+            )
+
+        monkeypatch.setattr(sim, "compact_ivf_index", crash_after_compact)
+        seen_crashed: list[dict] = []
+        q = start_index_maintenance(
+            make_stream(), t, dirs["ckpt_a"], compact_every=2,
+            on_batch=seen_crashed.append,
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            try:
+                q.processAllAvailable()
+                q.awaitTermination()
+            finally:
+                q.stop()
+        assert os.path.exists(flag)  # compaction COMPLETED, then crashed
+        monkeypatch.setattr(sim, "compact_ivf_index", real_compact)
+
+        seen: list[dict] = []
+        q2 = start_index_maintenance(
+            make_stream(), t, dirs["ckpt_a"], compact_every=2,
+            on_batch=seen.append,
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        # the replayed epoch re-ran the cadence slot: nothing novel, yet
+        # a compaction entry landed in the seam (idempotent re-run)
+        replay_compactions = [
+            s for s in seen if s["n_novel"] == 0 and "compaction" in s
+        ]
+        assert replay_compactions, seen
+        spark.catalog.refreshTable(t)
+        spark.catalog.refreshTable(f"{t}__codes")
+        n_expect = emb.count() - removed.count()
+        assert spark.table(t).count() == n_expect
+        assert not spark.catalog.tableExists(f"{t}__tombs")  # purged
+        assert verify_ivfpq_consistency(spark, t) == 0
+        lp = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+        }
+        cp = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}__codes").collect()
+        }
+        assert int(lp[_IVF_NROWS_PROP]) == n_expect
+        assert int(cp[_IVFPQ_NCODES_PROP]) == n_expect
+        probe_q = emb.filter(F.col("vec_id") < 10)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        got = key(
+            ivfpq_topk(
+                spark, t, probe_q, k=5, nprobe=4, shortlist=50, n_queries=10
+            ).collect()
+        )
+        want = key(
+            ivfpq_topk(
+                spark, ref, probe_q, k=5, nprobe=4, shortlist=50, n_queries=10
+            ).collect()
+        )
+        assert got and got == want  # inline-compacted ≡ one-shot build
+    finally:
+        for tb in (t, ref):
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+
+
+def test_lsh_index_maintenance_inline_compaction_cadence(spark, dirs):
+    """LSH counterpart of the in-stream cadence: ``compact_every``
+    compacts inside foreachBatch (single writer, race-free), the seam
+    carries the compaction stats, and the maintained-and-compacted
+    index still equals a one-shot full build bit-for-bit (compaction
+    rewrites through the same bucket spec; planes parameter-derived)."""
+    import pyspark.sql.functions as F
+
+    from citibike_analysis_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+        verify_lsh_index_consistency,
+    )
+    from citibike_analysis_spark.sources.tables import load_table
+    from citibike_analysis_spark.streaming.ann import (
+        start_lsh_index_maintenance,
+    )
+
+    emb = load_table(spark, EMB_SF, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    t, ref = "ann_lsh_inline_idx", "ann_lsh_inline_ref"
+    in_dir = tempfile.mkdtemp(prefix="cbs_rec_lshin_")
+    ckpt = tempfile.mkdtemp(prefix="cbs_rec_lshck_")
+    try:
+        build_lsh_index(emb, ref)
+        build_lsh_index(even, t)
+        _write_emb_batches(spark, odd, in_dir, 2)
+        seen: list[dict] = []
+        q = start_lsh_index_maintenance(
+            (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            ),
+            t,
+            ckpt,
+            compact_every=2,
+            on_batch=seen.append,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(seen) == 2
+        compactions = [s for s in seen if "compaction" in s]
+        assert len(compactions) == 1  # epoch 1 only (cadence 2)
+        spark.catalog.refreshTable(t)
+        spark.catalog.refreshTable(f"{t}__vecs")
+        verify_lsh_index_consistency(spark, t)
+        assert spark.table(f"{t}__vecs").count() == emb.count()
+        probe_q = emb.filter(F.col("vec_id") < 10)
+        key = lambda rows: sorted(
+            (r["query_id"], r["neighbor_id"], r["rk"]) for r in rows
+        )
+        got = key(
+            lsh_index_topk(spark, t, probe_q, k=5, n_queries=10).collect()
+        )
+        want = key(
+            lsh_index_topk(spark, ref, probe_q, k=5, n_queries=10).collect()
+        )
+        assert got and got == want
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for tb in (t, ref):
+            for s in ("", "__vecs", "__tombs"):
+                spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
