@@ -871,14 +871,35 @@ def _kgram_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
     injective and the hash keys gram IDENTITY; collision odds across G
     distinct grams ≈ G²/2⁶⁵ — ~1e-11 at a million grams).
 
-    Shuffle-free: tokenize once behind a named projection (the
-    CSE-through-lambda rule ``functions/text.py`` documents), hash
-    array-side, posexplode. Output is Σ n_tokens rows of
-    (id, int, long) — the narrow substrate both span operators key on.
+    Shuffle-free, and deliberately NOT ``posexplode(kgram_hashes_of(…))``:
+    exploding a lambda-BUILT array is the Generate variant of the
+    CSE-through-lambda trap — the optimizer folds the projected transform
+    into the Generate's interpreted generator, which re-evaluates it per
+    OUTPUT element (O(n_tokens²·k) per doc; measured 407 s vs 3.6 s for
+    this exact index on the 5k-doc/200-token x1 rehearsal corpus, where a
+    LIMIT barrier in between — which blocks the fold — reads fast). This
+    form explodes only the cheap position sequence and computes each
+    gram's hash ROW-side with plain element_at/concat_ws/xxhash64 — no
+    higher-order function anywhere, so the whole index stays inside
+    whole-stage codegen; the token array rides the Generate as a
+    pass-through reference and is dropped before anything materializes.
+    ``kgram_hashes_of`` remains correct for ARRAY-side consumers (winnow's
+    min-windows) — it must just never be exploded.
+
+    Output is Σ n_tokens rows of (id, int, long) — the narrow substrate
+    both span operators key on.
     """
     tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
-    kh = tk.select("_id", kgram_hashes_of(F.col("_tk"), k).alias("_kh"))
-    return kh.select("_id", F.posexplode("_kh").alias("pos", "_h"))
+    n = F.size("_tk") - (k - 1)
+    idx = F.when(n < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1)
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_tk"), F.col("pos") + 1 + j) for j in range(k)]
+    )
+    return tk.select("_id", "_tk", F.explode(idx).alias("pos")).select(
+        "_id", "pos", F.xxhash64(gram).alias("_h")
+    )
 
 
 def _merge_runs(positions: DataFrame, k: int) -> DataFrame:
