@@ -55,6 +55,9 @@ HEADLINE = [
     "q68_unigram_logprob",
     "q72_frequent_tokens",
     "q74_chunk_dedup",
+    # r14: span-level dedup joins the headline — totals from r14 on
+    # carry one extra row vs the r11-r13 band; trend per-query.
+    "q143_duplicated_spans",
     "q77_semantic_dedup",
     "q79_bigram_logprob",
     "q86_corpus_pipeline",

@@ -67,6 +67,14 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
     interpreted lambda, so inlining re-tokenizes the document n times per
     shingle (measured ~10x slowdown). A named projection below survives —
     CollapseProject keeps non-cheap aliases referenced more than once.
+    CAVEAT (r14): that protection does NOT cover an EXPLODE consumer —
+    InferFiltersFromGenerate synthesizes a ``size(expr) > 0`` pre-filter
+    and pushdown substitutes the projections into it, re-inlining
+    tokens() per lambda element (O(n_tokens²·n) per doc; measured 407 s
+    → 2.5 s on 200-token docs). Hot explode paths over long docs should
+    explode positions and compute row-side instead — see
+    ``operators/dedup.py::_kgram_positions`` for the pattern and the
+    captured plan.
 
     Built with per-position ``element_at`` concat rather than
     ``slice``+``concat_ws``: higher-order expressions run interpreted

@@ -872,19 +872,25 @@ def _kgram_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
     distinct grams ≈ G²/2⁶⁵ — ~1e-11 at a million grams).
 
     Shuffle-free, and deliberately NOT ``posexplode(kgram_hashes_of(…))``:
-    exploding a lambda-BUILT array is the Generate variant of the
-    CSE-through-lambda trap — the optimizer folds the projected transform
-    into the Generate's interpreted generator, which re-evaluates it per
-    OUTPUT element (O(n_tokens²·k) per doc; measured 407 s vs 3.6 s for
-    this exact index on the 5k-doc/200-token x1 rehearsal corpus, where a
-    LIMIT barrier in between — which blocks the fold — reads fast). This
-    form explodes only the cheap position sequence and computes each
-    gram's hash ROW-side with plain element_at/concat_ws/xxhash64 — no
-    higher-order function anywhere, so the whole index stays inside
-    whole-stage codegen; the token array rides the Generate as a
-    pass-through reference and is dropped before anything materializes.
-    ``kgram_hashes_of`` remains correct for ARRAY-side consumers (winnow's
-    min-windows) — it must just never be exploded.
+    exploding a lambda-BUILT array trips the Generate variant of the
+    CSE-through-lambda trap. The Generate node itself stays clean, but
+    ``InferFiltersFromGenerate`` synthesizes a pre-filter
+    ``size(<generator expr>) > 0 AND isnotnull(<generator expr>)`` and
+    predicate pushdown substitutes the named projections INTO it — the
+    optimized plan (captured on the x1 rehearsal corpus) shows
+    ``tokens(text)`` re-inlined at every ``element_at`` site inside the
+    filter's transform lambda, so the filter re-tokenizes the document
+    k times PER LAMBDA ELEMENT, per conjunct: O(n_tokens²·k) regex
+    splits per doc. Measured: 407 s vs 3.6 s for this exact index on
+    5k docs × 200 tokens (a LIMIT barrier, which blocks the pushdown
+    substitution, also reads fast — the inferred filter, not the
+    explode, is the cost). This form explodes only the cheap position
+    sequence — the inferred filter over ``sequence(…)`` is O(n) ints,
+    evaluated once per row — and computes each gram's hash ROW-side
+    with plain element_at/concat_ws/xxhash64: no higher-order function
+    in the hot path, whole-stage codegen throughout.
+    ``kgram_hashes_of`` remains correct for ARRAY-side consumers
+    (winnow's min-windows) — it must just never be exploded.
 
     Output is Σ n_tokens rows of (id, int, long) — the narrow substrate
     both span operators key on.
