@@ -1042,3 +1042,48 @@ def scrub_duplicated_spans(
         (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("scrubbed_text"),
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Localize verbatim benchmark leakage: maximal spans in corpus
+    documents covered by k-grams that occur ANYWHERE in the benchmark —
+    the span-granular sibling of :func:`contamination_flags`. Where the
+    doc-level detectors decide which documents to drop, this answers
+    "WHERE is the leaked text", which is what a surgical decontamination
+    pass (cut the quoted benchmark item, keep the rest of the document)
+    and a leakage audit both need.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — 0-based
+    inclusive token offsets into the corpus document, one row per
+    maximal leaked region (the :func:`duplicated_spans` run-merge
+    semantics, against the benchmark gram set instead of corpus-wide
+    duplication counts).
+
+    Plan shape: the corpus side is the row-side positional index
+    (Σ n_tokens narrow rows, whole-stage codegen — the
+    ``_kgram_positions`` docstring's inferred-filter rule); the
+    benchmark side reduces to DISTINCT 8-byte gram hashes BEFORE the
+    semi-join — benchmarks are small by definition, so AQE broadcasts
+    the reduced set and the 100 TB corpus side never shuffles. One
+    doc-bounded window merges runs. Nothing pairwise, nothing collected.
+    """
+    pos = _kgram_positions(corpus, id_col, text_col, k)
+    bench_h = (
+        _kgram_positions(benchmark, id_col, text_col, k).select("_h").distinct()
+    )
+    spans = _merge_runs(pos.join(bench_h, "_h", "left_semi"), k).select(
+        F.col("_id").cast("long").alias("doc_id"),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+    if min_span_tokens is not None:
+        spans = spans.filter(F.col("span_tokens") >= F.lit(min_span_tokens))
+    return spans

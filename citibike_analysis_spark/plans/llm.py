@@ -4705,6 +4705,51 @@ LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q145 — span-level decontamination (r14): localize verbatim benchmark
+# leakage as maximal k-gram-covered spans (operators/dedup.py::
+# contaminated_spans). Benchmark convention mirrors q63: documents with
+# source == src0 are the held-out benchmark, the rest are the corpus.
+# --------------------------------------------------------------------------
+
+
+def q145_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import contaminated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != _Q63_BENCH_SOURCE)
+    bench = d.filter(F.col("source") == _Q63_BENCH_SOURCE)
+    return contaminated_spans(corpus, bench, "doc_id", "text", k=_Q143_K)
+
+
+Q145_SQL = f"""
+WITH doc_toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, source, CAST(g.i - 1 AS BIGINT) AS pos,
+         array_to_string(tk[g.i : g.i + {_Q143_K - 1}], ' ') AS gram
+  FROM doc_toks, LATERAL (SELECT unnest(range(1, len(tk) - {_Q143_K} + 2)) AS i) g
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = '{_Q63_BENCH_SOURCE}'
+),
+dp AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gram)
+  WHERE g.source <> '{_Q63_BENCH_SOURCE}'
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_Q143_K - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {_Q143_K} AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_id, grp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -4907,4 +4952,7 @@ QUERIES: dict[str, QuerySpec] = {
         q143_duplicated_spans, Q143_SQL, "§7 dedup-spans"
     ),
     "q144_scrub_spans": QuerySpec(q144_scrub_spans, Q144_SQL, "§7 dedup-spans-scrub"),
+    "q145_contaminated_spans": QuerySpec(
+        q145_contaminated_spans, Q145_SQL, "§7 decontaminate-spans"
+    ),
 }

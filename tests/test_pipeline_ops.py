@@ -1237,3 +1237,61 @@ class TestDuplicatedSpans:
         for r in scrub_duplicated_spans(docs, "doc_id", "text", k=3).collect():
             kept = [t for t in r.scrubbed_text.split(" ") if t]
             assert r.n_tokens - r.n_removed == len(kept)
+
+
+class TestContaminatedSpans:
+    """Span-level decontamination (r14, q145): leaked-region localization
+    against a benchmark gram set."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")],
+            "doc_id: long, text: string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (0, "x y alpha beta gamma delta epsilon z"),  # full quote at 2
+                (1, "alpha beta gamma q r s"),  # leading partial overlap
+                (2, "no leak in this document"),
+                (3, "alpha beta"),  # shorter than k
+                (4, "x y z x y z x y z"),  # corpus-internal repeat only
+            ],
+            "doc_id: long, text: string",
+        )
+        return corpus, bench
+
+    def test_localizes_leaked_regions_only(self, spark, frames):
+        from citibike_analysis_spark.operators.dedup import contaminated_spans
+
+        corpus, bench = frames
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in contaminated_spans(corpus, bench, "doc_id", "text", k=3).collect()
+        )
+        # doc 4's internal repeats and doc 2 are invisible: only grams in
+        # the BENCHMARK set count
+        assert got == [(0, 2, 6, 5), (1, 0, 2, 3)]
+
+    def test_min_span_tokens_gate(self, spark, frames):
+        from citibike_analysis_spark.operators.dedup import contaminated_spans
+
+        corpus, bench = frames
+        got = [
+            (r.doc_id, r.span_tokens)
+            for r in contaminated_spans(
+                corpus, bench, "doc_id", "text", k=3, min_span_tokens=5
+            ).collect()
+        ]
+        assert got == [(0, 5)]
+
+    def test_benchmark_side_reduces_before_join(self, spark, frames):
+        from citibike_analysis_spark.operators.dedup import contaminated_spans
+
+        corpus, bench = frames
+        plan = (
+            contaminated_spans(corpus, bench, "doc_id", "text", k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan
