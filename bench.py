@@ -376,6 +376,64 @@ def _bench_rollup(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BAT
         q.stop()
 
 
+def _bench_index_maintenance(
+    spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH
+) -> dict:
+    """Throughput of the composed tier (r14): micro-batches appended into
+    a persisted IVF index via the foreachBatch maintenance sink —
+    anti-join exactly-once + stamped assignment + three-axis drift stats
+    per batch. Build over the sf embeddings, stream deterministic
+    synthetic vectors with disjoint ids; rows/sec is the ingest rate a
+    continuously-maintained 100 TB similarity index sustains per core.
+    """
+    from pyspark.sql import functions as F
+
+    from citibike_analysis_spark.operators.similarity import build_ivf_index
+    from citibike_analysis_spark.sources.tables import load_table
+    from citibike_analysis_spark.streaming.ann import start_index_maintenance
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    in_dir = os.path.join(workdir, "vec_in")
+    ckpt = os.path.join(workdir, "vec_ckpt")
+    os.makedirs(in_dir)
+    table = "bench_maint_idx"
+    for s in ("", "__cents", "__tombs", "__codes", "__books"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{s}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, table, nlist=16, train_iters=2)
+    dim = len(emb.select("embedding").first()["embedding"])
+    total = 0
+    for b in range(STREAM_BATCHES):
+        ids = spark.range(
+            10_000_000 + b * rows_per_batch,
+            10_000_000 + (b + 1) * rows_per_batch,
+        )
+        vecs = ids.select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.sin(F.col("id") * 0.37 + j * 0.11).cast("float"),
+            ).alias("embedding"),
+        )
+        vecs.coalesce(1).write.mode("append").parquet(in_dir)
+        total += rows_per_batch
+    stream = (
+        spark.readStream.schema(f"vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = start_index_maintenance(stream, table, ckpt)
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        return _progress_stats(q, wall, total)
+    finally:
+        q.stop()
+        for s in ("", "__cents", "__tombs", "__codes", "__books"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{s}")
+
+
 def _bench_admission(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH) -> dict:
     import json as _json
     from datetime import datetime, timedelta
@@ -630,6 +688,15 @@ def streaming_block(spark) -> dict:
         (
             f"weather_join_sized8_{STREAM_ROWS_PER_BATCH}",
             functools.partial(_bench_weather_join, shuffle_partitions=8),
+            STREAM_ROWS_PER_BATCH,
+        ),
+    ] + [
+        # r14: the composed tier — persisted-IVF maintenance under
+        # foreachBatch (streaming/ann.py), per-batch anti-join +
+        # stamped assignment + drift stats
+        (
+            f"index_maint_{STREAM_ROWS_PER_BATCH}",
+            _bench_index_maintenance,
             STREAM_ROWS_PER_BATCH,
         ),
     ]
