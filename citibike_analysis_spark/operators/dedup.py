@@ -1020,7 +1020,19 @@ def scrub_duplicated_spans(
         .filter(F.struct("_id", "pos") != F.col("_first"))
         .select("_id", "pos")
     )
-    cut_spans = _merge_runs(cut, k).groupBy("_id").agg(
+    return _cut_spans_from_docs(tk, _merge_runs(cut, k))
+
+
+def _cut_spans_from_docs(tk: DataFrame, cut_span_runs: DataFrame) -> DataFrame:
+    """Shared scrub tail: remove every token covered by a cut span.
+
+    ``tk`` = (doc_id, _tk); ``cut_span_runs`` = (_id, span_start,
+    span_end). Per-doc span lists are collected (small — bounded by the
+    doc's own span count) and the token filter runs ARRAY-side with an
+    index-aware lambda — no token explode, no second pass over text.
+    Output: (doc_id, n_tokens, n_removed, scrubbed_text).
+    """
+    cut_spans = cut_span_runs.groupBy("_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     joined = tk.join(
@@ -1087,3 +1099,33 @@ def contaminated_spans(
     if min_span_tokens is not None:
         spans = spans.filter(F.col("span_tokens") >= F.lit(min_span_tokens))
     return spans
+
+
+def scrub_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Cut EVERY leaked span out of the corpus — the removal half of
+    :func:`contaminated_spans`. Unlike :func:`scrub_duplicated_spans`
+    there is no keep-first rule: benchmark text must survive NOWHERE in
+    the training corpus, so all covered tokens go. Documents with no
+    leak pass through untouched; a document that is wholly benchmark
+    text scrubs to ''.
+
+    Output: (doc_id, n_tokens, n_removed, scrubbed_text) — one row per
+    corpus document. Same plan shape as the detector plus the shared
+    array-side scrub tail (no token explode).
+    """
+    tk = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    pos = _kgram_positions(corpus, id_col, text_col, k)
+    bench_h = (
+        _kgram_positions(benchmark, id_col, text_col, k).select("_h").distinct()
+    )
+    return _cut_spans_from_docs(
+        tk, _merge_runs(pos.join(bench_h, "_h", "left_semi"), k)
+    )

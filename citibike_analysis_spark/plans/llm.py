@@ -4750,6 +4750,68 @@ FROM runs GROUP BY doc_id, grp
 """
 
 
+def q146_scrub_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citibike_analysis_spark.operators.dedup import scrub_contaminated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != _Q63_BENCH_SOURCE)
+    bench = d.filter(F.col("source") == _Q63_BENCH_SOURCE)
+    return scrub_contaminated_spans(corpus, bench, "doc_id", "text", k=_Q143_K)
+
+
+Q146_SQL = f"""
+WITH doc_toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, source, CAST(g.i - 1 AS BIGINT) AS pos,
+         array_to_string(tk[g.i : g.i + {_Q143_K - 1}], ' ') AS gram
+  FROM doc_toks, LATERAL (SELECT unnest(range(1, len(tk) - {_Q143_K} + 2)) AS i) g
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = '{_Q63_BENCH_SOURCE}'
+),
+dp AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gram)
+  WHERE g.source <> '{_Q63_BENCH_SOURCE}'
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+),
+cutspans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_Q143_K - 1} AS e
+  FROM runs GROUP BY doc_id, grp
+),
+toks AS (
+  SELECT doc_id, tk[t.i] AS tok, CAST(t.i - 1 AS BIGINT) AS pos
+  FROM doc_toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t
+  WHERE source <> '{_Q63_BENCH_SOURCE}'
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cutspans c
+    WHERE c.doc_id = t.doc_id AND t.pos BETWEEN c.s AND c.e)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id, len(tk) AS n_tokens FROM doc_toks
+  WHERE source <> '{_Q63_BENCH_SOURCE}'
+)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.txt, '') AS scrubbed_text
+FROM nt n
+LEFT JOIN agg a ON n.doc_id = a.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -4954,5 +5016,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q144_scrub_spans": QuerySpec(q144_scrub_spans, Q144_SQL, "§7 dedup-spans-scrub"),
     "q145_contaminated_spans": QuerySpec(
         q145_contaminated_spans, Q145_SQL, "§7 decontaminate-spans"
+    ),
+    "q146_scrub_contaminated": QuerySpec(
+        q146_scrub_contaminated, Q146_SQL, "§7 decontaminate-spans-scrub"
     ),
 }

@@ -1295,3 +1295,22 @@ class TestContaminatedSpans:
         )
         assert "CartesianProduct" not in plan
         assert "LeftSemi" in plan
+
+    def test_scrub_cuts_every_leaked_span(self, spark, frames):
+        from citibike_analysis_spark.operators.dedup import (
+            scrub_contaminated_spans,
+        )
+
+        corpus, bench = frames
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+            for r in scrub_contaminated_spans(
+                corpus, bench, "doc_id", "text", k=3
+            ).collect()
+        }
+        # no keep-first rule: the quote goes even on its first occurrence
+        assert got[0] == (8, 5, "x y z")
+        assert got[1] == (6, 3, "q r s")
+        assert got[2] == (5, 0, "no leak in this document")
+        assert got[3] == (2, 0, "alpha beta")  # shorter than k: untouchable
+        assert got[4] == (9, 0, "x y z x y z x y z")
