@@ -1041,8 +1041,12 @@ def _cut_spans_from_docs(tk: DataFrame, cut_span_runs: DataFrame) -> DataFrame:
     spans_arr = F.coalesce(
         "_spans", F.array().cast("array<struct<span_start:long,span_end:long>>")
     )
+    # NULL text tokenizes to NULL, and size(NULL) = -1 under the default
+    # sizeOfNull — a NULL-text document must read as an EMPTY one
+    # (n_tokens 0, untouched), not emit a garbage negative count (review)
+    toks_arr = F.coalesce(F.col("_tk"), F.array().cast("array<string>"))
     kept = F.filter(
-        F.col("_tk"),
+        toks_arr,
         lambda t, i: ~F.exists(
             spans_arr,
             lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
@@ -1050,8 +1054,8 @@ def _cut_spans_from_docs(tk: DataFrame, cut_span_runs: DataFrame) -> DataFrame:
     )
     return joined.select(
         F.col("doc_id").cast("long"),
-        F.size("_tk").cast("long").alias("n_tokens"),
-        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.size(toks_arr).cast("long").alias("n_tokens"),
+        (F.size(toks_arr) - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("scrubbed_text"),
     )
 
@@ -1085,6 +1089,15 @@ def contaminated_spans(
     semi-join — benchmarks are small by definition, so AQE broadcasts
     the reduced set and the 100 TB corpus side never shuffles. One
     doc-bounded window merges runs. Nothing pairwise, nothing collected.
+
+    Role swap gives INCREMENTAL span dedup for free: call with
+    ``corpus=new_batch, benchmark=existing_corpus`` to find new-batch
+    spans already present verbatim in the corpus (the span-granular
+    :func:`dedup_against_corpus`). The "benchmark" gram set is then
+    corpus-sized — too big to broadcast — but the semi-join degrades
+    gracefully to a shuffle keyed on the 8-byte hash with the SMALL
+    batch side as probe; nothing in the plan assumes the right side
+    fits in memory.
     """
     pos = _kgram_positions(corpus, id_col, text_col, k)
     bench_h = (

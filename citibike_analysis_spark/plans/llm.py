@@ -4722,7 +4722,11 @@ def q145_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_spans(corpus, bench, "doc_id", "text", k=_Q143_K)
 
 
-Q145_SQL = f"""
+#: shared q145/q146 oracle prefix (the q143/q144 `_Q143_GRAMS_CTE`
+#: pattern): source-tagged positional grams, the benchmark gram set,
+#: leaked corpus positions, and their consecutive-run grouping — the
+#: two decontamination oracles must never drift apart on this algebra.
+_Q145_DP_CTE = f"""
 WITH doc_toks AS (
   SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents
 ), grams AS (
@@ -4741,7 +4745,10 @@ runs AS (
   SELECT doc_id, pos,
          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM dp
-)
+)"""
+
+
+Q145_SQL = f"""{_Q145_DP_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + {_Q143_K - 1} AS BIGINT) AS span_end,
@@ -4759,26 +4766,7 @@ def q146_scrub_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_contaminated_spans(corpus, bench, "doc_id", "text", k=_Q143_K)
 
 
-Q146_SQL = f"""
-WITH doc_toks AS (
-  SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents
-), grams AS (
-  SELECT doc_id, source, CAST(g.i - 1 AS BIGINT) AS pos,
-         array_to_string(tk[g.i : g.i + {_Q143_K - 1}], ' ') AS gram
-  FROM doc_toks, LATERAL (SELECT unnest(range(1, len(tk) - {_Q143_K} + 2)) AS i) g
-),
-bench AS (
-  SELECT DISTINCT gram FROM grams WHERE source = '{_Q63_BENCH_SOURCE}'
-),
-dp AS (
-  SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gram)
-  WHERE g.source <> '{_Q63_BENCH_SOURCE}'
-),
-runs AS (
-  SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM dp
-),
+Q146_SQL = f"""{_Q145_DP_CTE},
 cutspans AS (
   SELECT doc_id, min(pos) AS s, max(pos) + {_Q143_K - 1} AS e
   FROM runs GROUP BY doc_id, grp

@@ -51,7 +51,9 @@ mid-epoch with the catalog in its half-swapped state. Two safe
 cadences:
 
 - **in-stream** (``compact_every=N``): the sink compacts inside its
-  own ``foreachBatch`` body after every N-th non-empty epoch. This is
+  own ``foreachBatch`` body after every N-th epoch (an aligned slot
+  compacts even on an empty delivery, so a zero-row file can never
+  delay maintenance a full cycle). This is
   race-free BY CONSTRUCTION — the sink is the single writer, and
   within ``foreachBatch`` no other epoch of the same query can be
   in flight. Crash-safe under replay: the cadence predicate is a pure
@@ -106,7 +108,7 @@ def start_index_maintenance(
        probe screen stays green without any probe-side work,
     4. when ``compact_every=N``, run
        :func:`~citibike_analysis_spark.operators.similarity.compact_ivf_index`
-       after every N-th non-empty epoch (in-stream single-writer
+       after every N-th epoch (in-stream single-writer
        cadence — module docstring; the compaction's stats land in the
        seam dict under ``"compaction"``), resetting per-batch file
        accumulation and absorbing any tombstones queued out-of-band,
@@ -137,8 +139,32 @@ def start_index_maintenance(
         append_to_ivf_index,
     )
 
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+
+    def _compaction_due(epoch_id: int) -> bool:
+        return compact_every is not None and (int(epoch_id) + 1) % compact_every == 0
+
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
+            # an empty delivery on an aligned cadence slot still
+            # compacts (review: skipping would delay maintenance a full
+            # cycle whenever an upstream writer lands a zero-row file
+            # on the aligned epoch)
+            if _compaction_due(epoch_id):
+                from citibike_analysis_spark.operators import similarity as _sim
+
+                stats = {
+                    "epoch_id": int(epoch_id),
+                    "n_batch_rows": 0,
+                    "n_novel": 0,
+                    "n_codes_refreshed": 0,
+                    "compaction": _sim.compact_ivf_index(
+                        batch.sparkSession, table
+                    ),
+                }
+                if on_batch is not None:
+                    on_batch(stats)
             return
         spark = batch.sparkSession
         ids = spark.table(table).select(
@@ -149,10 +175,11 @@ def start_index_maintenance(
             .join(ids, id_col, "left_anti")
             .localCheckpoint(eager=True)
         )
-        n_batch = batch.count()
         stats: dict = {
             "epoch_id": int(epoch_id),
-            "n_batch_rows": n_batch,
+            # counted only when someone is listening (an extra job over
+            # the micro-batch source — the default call shape skips it)
+            "n_batch_rows": batch.count() if on_batch is not None else None,
             "n_novel": 0,
             "n_codes_refreshed": 0,
         }
@@ -183,7 +210,7 @@ def start_index_maintenance(
         # re-delivered unchanged on crash replay, so a compaction torn
         # by a crash is simply re-run by the replayed epoch (idempotent)
         # instead of silently skipped
-        if compact_every is not None and (int(epoch_id) + 1) % compact_every == 0:
+        if _compaction_due(epoch_id):
             from citibike_analysis_spark.operators import similarity as _sim
 
             stats["compaction"] = _sim.compact_ivf_index(spark, table)
@@ -242,7 +269,7 @@ def start_lsh_index_maintenance(
     from; corpus-shift monitoring is the IVF family's seam).
     ``compact_every=N`` runs
     :func:`~citibike_analysis_spark.operators.similarity.compact_lsh_index`
-    after every N-th non-empty epoch under the same in-stream
+    after every N-th epoch under the same in-stream
     single-writer cadence (and replay-idempotence argument) as the IVF
     sink; its stats ride the seam dict under ``"compaction"``.
 
@@ -257,8 +284,29 @@ def start_lsh_index_maintenance(
         append_to_lsh_index,
     )
 
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+
+    def _compaction_due(epoch_id: int) -> bool:
+        return compact_every is not None and (int(epoch_id) + 1) % compact_every == 0
+
+    def _maybe_compact(batch: DataFrame, epoch_id: int, stats: dict) -> None:
+        if _compaction_due(epoch_id):
+            from citibike_analysis_spark.operators import similarity as _sim
+
+            stats["compaction"] = _sim.compact_lsh_index(
+                batch.sparkSession, table
+            )
+
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
+            # aligned cadence slots still compact on empty deliveries
+            # (same rule as the IVF sink — see its _apply)
+            if _compaction_due(epoch_id):
+                stats: dict = {"epoch_id": int(epoch_id), "n_batch_rows": 0}
+                _maybe_compact(batch, epoch_id, stats)
+                if on_batch is not None:
+                    on_batch(stats)
             return
         append_to_lsh_index(
             batch.select(id_col, vec_col).localCheckpoint(eager=True),
@@ -272,13 +320,13 @@ def start_lsh_index_maintenance(
             num_buckets=num_buckets,
             assume_novel=False,
         )
-        stats: dict = {"epoch_id": int(epoch_id), "n_batch_rows": batch.count()}
-        if compact_every is not None and (int(epoch_id) + 1) % compact_every == 0:
-            from citibike_analysis_spark.operators import similarity as _sim
-
-            stats["compaction"] = _sim.compact_lsh_index(
-                batch.sparkSession, table
-            )
+        stats: dict = {"epoch_id": int(epoch_id)}
+        if on_batch is not None:
+            # counted only when someone is listening: the count is a
+            # full extra job over the micro-batch source (review — the
+            # default call shape must not pay it per epoch)
+            stats["n_batch_rows"] = batch.count()
+        _maybe_compact(batch, epoch_id, stats)
         if on_batch is not None:
             on_batch(stats)
 

@@ -41,9 +41,8 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from citibike_analysis_spark.session import get_spark
 from citibike_analysis_spark.cache import release_all
-from citibike_analysis_spark.functions.text import kgram_hashes_of, tokens
 from citibike_analysis_spark.operators.dedup import (
-    duplicated_spans, scrub_duplicated_spans,
+    _kgram_positions, duplicated_spans, scrub_duplicated_spans,
 )
 from citibike_analysis_spark.sources.tables import load_table
 
@@ -52,11 +51,12 @@ spark = get_spark(app_name="ab_spans")
 spark.sparkContext.setLogLevel("ERROR")
 docs = load_table(spark, sf_dir, "documents")
 
-# economics (untimed): gram-index width and duplication fractions
-tk = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
-pos = tk.select(
-    "doc_id", F.posexplode(kgram_hashes_of(F.col("_tk"), k)).alias("p", "h")
-)
+# economics (untimed): gram-index width and duplication fractions —
+# through the operator's own row-side index (review: an earlier draft
+# re-spelled the index here as posexplode(kgram_hashes_of(...)); that
+# one-projection-level shape measures fine, but re-spelling invites the
+# stacked-projection blowup _kgram_positions documents)
+pos = _kgram_positions(docs, "doc_id", "text", k).withColumnRenamed("_h", "h")
 n_pos = pos.count()
 gstats = pos.groupBy("h").count()
 agg = gstats.agg(
@@ -107,10 +107,18 @@ def main() -> int:
     for scale in scales:
         sf_dir = ensure_corpus(work, scale)
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
-        out = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(repo=REPO, sf_dir=sf_dir, k=k, reps=reps)],
-            capture_output=True, text=True, env=env,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _CHILD.format(repo=REPO, sf_dir=sf_dir, k=k, reps=reps)],
+                capture_output=True, text=True, env=env,
+                timeout=int(os.environ.get("AS_TIMEOUT", "3600")),
+            )
+        except subprocess.TimeoutExpired as exc:
+            # fail loudly with partials: a buffered child is otherwise
+            # indistinguishable from a hang (measurement-hygiene note)
+            print(f"TIMEOUT at {scale}; partial rows above", file=sys.stderr)
+            print((exc.stdout or b"")[-2000:], file=sys.stderr)
+            return 1
         line = next(
             (l for l in out.stdout.splitlines() if l.startswith("ABSPANS ")), None
         )

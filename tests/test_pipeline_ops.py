@@ -1314,3 +1314,21 @@ class TestContaminatedSpans:
         assert got[2] == (5, 0, "no leak in this document")
         assert got[3] == (2, 0, "alpha beta")  # shorter than k: untouchable
         assert got[4] == (9, 0, "x y z x y z x y z")
+
+    def test_null_text_reads_as_empty_document(self, spark):
+        from citibike_analysis_spark.operators.dedup import (
+            scrub_duplicated_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b c a b c a b c"), (1, None)],
+            "doc_id: long, text: string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+            for r in scrub_duplicated_spans(df, "doc_id", "text", k=3).collect()
+        }
+        # size(NULL) is -1 under default sizeOfNull; the scrub must not
+        # leak that as a negative token count
+        assert got[1] == (0, 0, "")
+        assert got[0][0] == 9

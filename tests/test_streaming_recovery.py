@@ -1133,3 +1133,19 @@ def test_lsh_index_maintenance_inline_compaction_cadence(spark, dirs):
         for tb in (t, ref):
             for s in ("", "__vecs", "__tombs"):
                 spark.sql(f"DROP TABLE IF EXISTS {tb}{s}")
+
+
+def test_maintenance_compact_every_validated_at_call_time():
+    """compact_every=0 must raise a ValueError when the stream is
+    DECLARED, not a ZeroDivisionError inside foreachBatch that kills the
+    first epoch (review)."""
+    from citibike_analysis_spark.streaming.ann import (
+        start_index_maintenance,
+        start_lsh_index_maintenance,
+    )
+
+    for fn in (start_index_maintenance, start_lsh_index_maintenance):
+        with pytest.raises(ValueError, match="compact_every"):
+            fn(None, "t", "/tmp/nope", compact_every=0)
+        with pytest.raises(ValueError, match="compact_every"):
+            fn(None, "t", "/tmp/nope", compact_every=-2)
