@@ -1142,3 +1142,161 @@ def scrub_contaminated_spans(
     return _cut_spans_from_docs(
         tk, _merge_runs(pos.join(bench_h, "_h", "left_semi"), k)
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted gram index (r14): the 100 TB form of span dedup. The ad-hoc
+# span operators rescan the reference corpus per call; a production
+# ingest probes a PERSISTED gram-hash set instead — build once, append
+# per batch, probe at batch cost. Same catalog-table lifecycle as the
+# LSH/IVF families (sources/bucketed.py), bucketed on the 8-byte gram
+# hash so every probe/append join is exchange-free on the index side.
+# --------------------------------------------------------------------------
+
+_GRAM_K_PROP = "cbs.gramindex.k"
+
+
+def _gram_index_k(spark, table: str) -> int:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    if _GRAM_K_PROP not in props:
+        raise ValueError(
+            f"{table} carries no {_GRAM_K_PROP} property — not a gram index"
+        )
+    return int(props[_GRAM_K_PROP])
+
+
+def build_gram_index(
+    docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_buckets: int = 16,
+) -> int:
+    """Persist the corpus's k-gram hash set as a bucketed catalog table:
+    one row per DISTINCT gram, (h long, contributor long) with
+    ``contributor`` = the lowest doc id containing it.
+
+    The contributor column is what makes probes REPLAY-STABLE under the
+    at-least-once streaming tier: :func:`gram_index_coverage` counts a
+    gram as seen only when ``contributor != probing doc``, so a crashed
+    epoch whose own grams already landed re-reads the SAME coverage on
+    replay instead of suddenly seeing itself in the index and flipping
+    an admission decision.
+
+    Plan: the positional index collapses to one partial-aggregated
+    groupBy on the hash (``min`` is combiner-friendly; a boilerplate
+    gram is one row per map partition before the wire), then one
+    bucketed write on ``h`` — every later probe and append joins
+    exchange-free on the index side. ``k`` rides TBLPROPERTIES so
+    probes cannot silently mix gram widths. Returns the distinct gram
+    count.
+    """
+    from citibike_analysis_spark.sources.bucketed import write_bucketed
+
+    spark = docs.sparkSession
+    grams = (
+        _kgram_positions(docs, id_col, text_col, k)
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.min("_id").cast("long").alias("contributor"))
+    )
+    write_bucketed(grams, table, ["h"], num_buckets)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('{_GRAM_K_PROP}'='{int(k)}')"
+    )
+    return spark.table(table).count()
+
+
+def append_to_gram_index(
+    spark,
+    table: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Add a batch's NOVEL grams to a persisted gram index — the
+    maintenance leg (batch cost: the batch's gram set anti-joined
+    against the index, nothing rescans the corpus).
+
+    Idempotent by construction: the anti-join drops grams already
+    present, so a replayed streaming epoch appends nothing — the same
+    exactly-once-without-markers contract as the other index families.
+    Existing grams keep their original contributor (first-writer-wins;
+    the anti-join never updates rows). Returns the number of grams
+    appended.
+    """
+    from citibike_analysis_spark.sources.bucketed import append_bucketed
+
+    k = _gram_index_k(spark, table)
+    batch = (
+        _kgram_positions(docs, id_col, text_col, k)
+        .groupBy(F.col("_h").alias("h"))
+        .agg(F.min("_id").cast("long").alias("contributor"))
+    )
+    novel = batch.join(
+        spark.table(table).select("h"), "h", "left_anti"
+    ).localCheckpoint(eager=True)
+    n = novel.count()
+    if n:
+        # bucket spec read back from the catalog so a mismatch is
+        # impossible by construction
+        num_buckets = int(
+            spark.sql(f"DESCRIBE EXTENDED {table}")
+            .filter(F.col("col_name") == "Num Buckets")
+            .collect()[0]["data_type"]
+        )
+        append_bucketed(novel, table, ["h"], num_buckets)
+    return n
+
+
+def gram_index_coverage(
+    spark,
+    table: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span coverage against a persisted gram
+    index: (doc_id, n_grams, n_covered, coverage) — the admission
+    statistic of the span tier (gate a crawl batch on "how much of this
+    document already exists verbatim in the corpus" WITHOUT rescanning
+    the corpus).
+
+    A gram counts as covered only when its index ``contributor`` is a
+    DIFFERENT document (replay stability — :func:`build_gram_index`).
+    Documents with fewer than k tokens have no grams and read
+    coverage 0.0. The probe join is an equi-join on the index's bucket
+    key: the index side scans in place, only the (small) batch side
+    shuffles to the bucket layout.
+    """
+    k = _gram_index_k(spark, table)
+    pos = _kgram_positions(docs, id_col, text_col, k)
+    idx = spark.table(table)
+    hits = pos.join(idx, pos["_h"] == idx["h"], "left").select(
+        "_id",
+        (
+            F.col("h").isNotNull() & (F.col("contributor") != F.col("_id"))
+        ).cast("int").alias("_cov"),
+    )
+    per_doc = hits.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("_cov").cast("long").alias("n_covered"),
+    )
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        base.join(per_doc, base["doc_id"] == per_doc["_id"], "left")
+        .drop("_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -4800,6 +4800,70 @@ LEFT JOIN agg a ON n.doc_id = a.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q147 — persisted gram index (r14): build the even half's gram set as a
+# bucketed catalog table, probe the odd half's span coverage against it
+# (operators/dedup.py::build_gram_index/gram_index_coverage — the 100 TB
+# form of span dedup: a crawl batch is gated on how much of it already
+# exists verbatim, without rescanning the corpus). Index tables carry a
+# per-process uuid (the q131 rule) and are dropped in a finally.
+# --------------------------------------------------------------------------
+
+_Q147_RUN_TAG: str | None = None
+
+
+def q147_gram_index_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import uuid
+
+    from citibike_analysis_spark.operators.dedup import (
+        build_gram_index,
+        gram_index_coverage,
+    )
+
+    global _Q147_RUN_TAG
+    if _Q147_RUN_TAG is None:
+        _Q147_RUN_TAG = uuid.uuid4().hex[:8]
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    t = f"q147_gram_idx_{_Q147_RUN_TAG}_{sf_tag}"
+    d = load_table(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    try:
+        build_gram_index(even, t, k=_Q143_K)
+        # eager localCheckpoint detaches the result from the catalog
+        # table, which the finally below drops before the caller reads
+        return gram_index_coverage(spark, t, odd).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+Q147_SQL = f"""
+WITH doc_toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(tk[g.i : g.i + {_Q143_K - 1}], ' ') AS gram
+  FROM doc_toks, LATERAL (SELECT unnest(range(1, len(tk) - {_Q143_K} + 2)) AS i) g
+),
+even_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0),
+hits AS (
+  SELECT o.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_covered
+  FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 2 = 1) o
+  LEFT JOIN even_grams e USING (gram)
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_covered, 0) AS BIGINT) AS n_covered,
+       round(CAST(coalesce(h.n_covered, 0) AS DOUBLE)
+             / greatest(coalesce(h.n_grams, 0), 1), 6) AS coverage
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q30_dedup_exact": QuerySpec(q30_dedup_exact, Q30_SQL, "§7 dedup-exact"),
     "q31_token_count": QuerySpec(q31_token_count, Q31_SQL, "§7 text-tokens"),
@@ -5007,5 +5071,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q146_scrub_contaminated": QuerySpec(
         q146_scrub_contaminated, Q146_SQL, "§7 decontaminate-spans-scrub"
+    ),
+    "q147_gram_index_coverage": QuerySpec(
+        q147_gram_index_coverage, Q147_SQL, "§7 dedup-spans-gram-index"
     ),
 }

@@ -1332,3 +1332,97 @@ class TestContaminatedSpans:
         # leak that as a negative token count
         assert got[1] == (0, 0, "")
         assert got[0][0] == 9
+
+
+class TestGramIndex:
+    """Persisted gram index (r14): build / append / coverage lifecycle —
+    the 100 TB form of span dedup (probe without rescanning the corpus)."""
+
+    T = "gram_idx_test"
+
+    @pytest.fixture()
+    def table(self, spark):
+        yield self.T
+        spark.sql(f"DROP TABLE IF EXISTS {self.T}")
+
+    def cov(self, spark, df):
+        from citibike_analysis_spark.operators.dedup import gram_index_coverage
+
+        return {
+            r.doc_id: (r.n_grams, r.n_covered, r.coverage)
+            for r in gram_index_coverage(spark, self.T, df).collect()
+        }
+
+    def test_build_probe_append_lifecycle(self, spark, table):
+        from citibike_analysis_spark.operators.dedup import (
+            append_to_gram_index,
+            build_gram_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, "a b c d e f"), (1, "m n o p q r")],
+            "doc_id: long, text: string",
+        )
+        n = build_gram_index(corpus, self.T, k=3, num_buckets=4)
+        assert n == 8  # 4 grams per doc, all distinct
+        probes = spark.createDataFrame(
+            [
+                (10, "a b c d e f"),  # verbatim corpus doc -> full coverage
+                (11, "x y a b c z w"),  # one corpus gram at offset 2
+                (12, "u v w x y z"),  # nothing shared
+                (13, "a b"),  # shorter than k: no grams
+            ],
+            "doc_id: long, text: string",
+        )
+        got = self.cov(spark, probes)
+        assert got[10] == (4, 4, 1.0)
+        assert got[11] == (5, 1, 0.2)
+        assert got[12] == (4, 0, 0.0)
+        assert got[13] == (0, 0, 0.0)
+        # append the novel batch; its grams become corpus for LATER probes
+        added = append_to_gram_index(spark, self.T, probes)
+        assert added > 0
+        spark.catalog.refreshTable(self.T)
+        later = spark.createDataFrame(
+            [(20, "u v w x y z")], "doc_id: long, text: string"
+        )
+        assert self.cov(spark, later)[20] == (4, 4, 1.0)
+
+    def test_append_is_idempotent_and_coverage_replay_stable(self, spark, table):
+        from citibike_analysis_spark.operators.dedup import (
+            append_to_gram_index,
+            build_gram_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, "a b c d e f")], "doc_id: long, text: string"
+        )
+        build_gram_index(corpus, self.T, k=3, num_buckets=4)
+        batch = spark.createDataFrame(
+            [(5, "p q r s t u")], "doc_id: long, text: string"
+        )
+        before = self.cov(spark, batch)[5]
+        assert append_to_gram_index(spark, self.T, batch) == 4
+        spark.catalog.refreshTable(self.T)
+        # replayed epoch: same batch again -> nothing novel
+        assert append_to_gram_index(spark, self.T, batch) == 0
+        # replay STABILITY: the batch's own grams are in the index now
+        # (contributor = itself), yet its coverage must read unchanged —
+        # an admission decision cannot flip on a crash replay
+        assert self.cov(spark, batch)[5] == before == (4, 0, 0.0)
+        # a DIFFERENT doc with the same text is genuinely covered
+        other = spark.createDataFrame(
+            [(6, "p q r s t u")], "doc_id: long, text: string"
+        )
+        assert self.cov(spark, other)[6] == (4, 4, 1.0)
+
+    def test_probe_refuses_non_gram_index_table(self, spark, table):
+        from citibike_analysis_spark.operators.dedup import gram_index_coverage
+
+        spark.createDataFrame([(1,)], "x: long").write.saveAsTable(self.T)
+        with pytest.raises(ValueError, match="not a gram index"):
+            gram_index_coverage(
+                spark,
+                self.T,
+                spark.createDataFrame([(0, "a b c")], "doc_id: long, text: string"),
+            )
