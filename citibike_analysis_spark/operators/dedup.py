@@ -1182,10 +1182,14 @@ def build_gram_index(
 
     The contributor column is what makes probes REPLAY-STABLE under the
     at-least-once streaming tier: :func:`gram_index_coverage` counts a
-    gram as seen only when ``contributor != probing doc``, so a crashed
-    epoch whose own grams already landed re-reads the SAME coverage on
-    replay instead of suddenly seeing itself in the index and flipping
-    an admission decision.
+    gram as seen only when its ``contributor`` lies outside the probing
+    batch (per-doc self-exclusion by default; pass the batch's ids as
+    ``exclude_contributors`` for the full guarantee — a gram shared by
+    TWO batch documents is stored under the other document's id, which
+    per-doc exclusion alone would wrongly count). A crashed epoch whose
+    own grams already landed therefore re-reads the SAME coverage on
+    replay instead of seeing itself in the index and flipping an
+    admission decision.
 
     Plan: the positional index collapses to one partial-aggregated
     groupBy on the hash (``min`` is combiner-friendly; a boilerplate
@@ -1258,6 +1262,7 @@ def gram_index_coverage(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_contributors: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage against a persisted gram
     index: (doc_id, n_grams, n_covered, coverage) — the admission
@@ -1266,20 +1271,38 @@ def gram_index_coverage(
     the corpus).
 
     A gram counts as covered only when its index ``contributor`` is a
-    DIFFERENT document (replay stability — :func:`build_gram_index`).
+    DIFFERENT document, and — when ``exclude_contributors`` (a
+    one-column DataFrame of doc ids) is given — one OUTSIDE that set.
+    The exclusion set is the replay-stability mechanism for streamed
+    batches (:func:`build_gram_index`): pass the probing batch's OWN
+    ids, so grams the batch itself crash-landed before an offset
+    commit — including grams SHARED between two batch documents, where
+    per-doc self-exclusion is not enough because the other document's
+    id is the stored contributor — read exactly as they did on first
+    delivery and no admission decision can flip. The semantics are
+    then cleanly "coverage vs everything seen BEFORE this batch".
     Documents with fewer than k tokens have no grams and read
     coverage 0.0. The probe join is an equi-join on the index's bucket
     key: the index side scans in place, only the (small) batch side
-    shuffles to the bucket layout.
+    shuffles to the bucket layout; the exclusion set joins on
+    ``contributor`` (batch-sized — broadcast).
     """
     k = _gram_index_k(spark, table)
     pos = _kgram_positions(docs, id_col, text_col, k)
     idx = spark.table(table)
-    hits = pos.join(idx, pos["_h"] == idx["h"], "left").select(
+    joined = pos.join(idx, pos["_h"] == idx["h"], "left")
+    not_excluded = F.col("contributor") != F.col("_id")
+    if exclude_contributors is not None:
+        excl = exclude_contributors.select(
+            F.col(exclude_contributors.columns[0]).cast("long").alias("_excl_id")
+        )
+        joined = joined.join(
+            excl, F.col("contributor") == F.col("_excl_id"), "left"
+        )
+        not_excluded = not_excluded & F.col("_excl_id").isNull()
+    hits = joined.select(
         "_id",
-        (
-            F.col("h").isNotNull() & (F.col("contributor") != F.col("_id"))
-        ).cast("int").alias("_cov"),
+        (F.col("h").isNotNull() & not_excluded).cast("int").alias("_cov"),
     )
     per_doc = hits.groupBy("_id").agg(
         F.count("*").cast("long").alias("n_grams"),

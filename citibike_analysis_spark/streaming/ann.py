@@ -338,3 +338,104 @@ def start_lsh_index_maintenance(
     if query_name is not None:
         writer = writer.queryName(query_name)
     return writer.start()
+
+
+def start_span_admission(
+    batches: DataFrame,
+    table: str,
+    sink: Callable[[DataFrame, int], None],
+    max_coverage: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    on_batch: Callable[[dict], None] | None = None,
+    query_name: str | None = None,
+):
+    """Span-coverage admission over a PERSISTED gram index — the span
+    tier's streaming composition (the q142 shape for text): each
+    micro-batch is scored with
+    :func:`~citibike_analysis_spark.operators.dedup.gram_index_coverage`
+    (fraction of its k-grams already in the index), documents at or
+    under ``max_coverage`` are handed to ``sink(admitted_df,
+    epoch_id)``, and then ALL of the batch's grams are appended via
+    :func:`~citibike_analysis_spark.operators.dedup.append_to_gram_index`
+    — the index is the SEEN set, not the admitted set, so a rejected
+    near-copy still contributes its grams and a later third copy reads
+    even higher coverage (the cross-batch dedup semantics of the
+    doc-level admission tier, at span granularity).
+
+    Replay correctness (at-least-once foreachBatch):
+
+    - the gram append is an anti-join — a replayed epoch appends
+      nothing (exactly-once without markers, the family contract);
+    - the ADMISSION DECISION cannot flip on replay: a crashed epoch may
+      have landed the batch's own grams before the offset commit, but
+      coverage is scored with the batch's ids as the
+      ``exclude_contributors`` set, so every gram the batch itself
+      contributed — including grams SHARED between two batch documents,
+      which land under the OTHER document's id — scores exactly as on
+      first delivery and the replayed epoch re-delivers the identical
+      admitted set (the crash test pins this with a planted
+      intra-batch-shared case surfaced by the first test run);
+    - ``sink`` receives the same admitted rows again on replay — the
+      usual foreachBatch idempotence contract applies.
+
+    Within one batch, documents do not see each other's grams (the
+    append runs after scoring) — intra-batch duplicates are the
+    downstream exact-dedup tier's job, exactly as in the doc-level
+    admission filter. ``on_batch`` receives ``{"epoch_id",
+    "n_batch_rows", "n_admitted", "n_grams_appended"}``.
+
+    Single-writer contract: the sink owns the index while the stream
+    runs — schedule ``build_gram_index`` rebuilds or out-of-band
+    appends only with the stream stopped (the module docstring's
+    cadence rules; gram indexes have no tombstones or compaction, so
+    the in-stream knob has nothing to do here).
+    """
+    from citibike_analysis_spark.operators.dedup import (
+        append_to_gram_index,
+        gram_index_coverage,
+    )
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        b = batch.localCheckpoint(eager=True)
+        # the batch's OWN ids are the exclusion set: grams this epoch
+        # crash-landed before an offset commit (including grams SHARED
+        # between two batch docs) score exactly as on first delivery
+        cov = gram_index_coverage(
+            spark, table, b, id_col, text_col,
+            exclude_contributors=b.select(id_col),
+        )
+        admitted = (
+            b.join(
+                cov.filter(F.col("coverage") <= F.lit(max_coverage)).select(
+                    F.col("doc_id").alias("_adm_id")
+                ),
+                b[id_col] == F.col("_adm_id"),
+                "left_semi",
+            )
+        )
+        sink(admitted, int(epoch_id))
+        n_appended = append_to_gram_index(spark, table, b, id_col, text_col)
+        if on_batch is not None:
+            on_batch(
+                {
+                    "epoch_id": int(epoch_id),
+                    "n_batch_rows": b.count(),
+                    "n_admitted": admitted.count(),
+                    "n_grams_appended": n_appended,
+                }
+            )
+
+    writer = (
+        batches.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if query_name is not None:
+        writer = writer.queryName(query_name)
+    return writer.start()

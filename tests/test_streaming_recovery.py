@@ -1149,3 +1149,129 @@ def test_maintenance_compact_every_validated_at_call_time():
             fn(None, "t", "/tmp/nope", compact_every=0)
         with pytest.raises(ValueError, match="compact_every"):
             fn(None, "t", "/tmp/nope", compact_every=-2)
+
+
+def test_span_admission_crash_replay_decisions_stable(spark, dirs, monkeypatch):
+    """The span tier's streaming composition: coverage-gated admission
+    over a persisted gram index. Crash AFTER epoch 0's gram append
+    committed (offset uncommitted), restart: the replayed epoch must
+    re-deliver the IDENTICAL admitted set (contributor self-exclusion —
+    the batch's own landed grams cannot flip its coverage), append
+    nothing (anti-join), and the final admitted sets must equal the
+    batch oracle computed from per-batch reference indexes."""
+    import pyspark.sql.functions as F
+
+    import citibike_analysis_spark.operators.dedup as ded
+    from citibike_analysis_spark.operators.dedup import (
+        build_gram_index,
+        gram_index_coverage,
+    )
+    from citibike_analysis_spark.sources.tables import load_table
+    from citibike_analysis_spark.streaming.ann import start_span_admission
+
+    docs = load_table(spark, EMB_SF, "documents").select("doc_id", "text")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    b0 = odd.filter(F.col("doc_id") < 250)
+    b1 = odd.filter(F.col("doc_id") >= 250)
+    t, ref0, ref1 = "span_adm_idx", "span_adm_ref0", "span_adm_ref1"
+    in_dir = os.path.join(dirs["out"], "docs_in")
+    ckpt = os.path.join(dirs["out"], "ckpt")
+    os.makedirs(in_dir)
+    flag = os.path.join(dirs["flag"], "span_adm_crash.flag")
+    real_append = ded.append_to_gram_index
+
+    def crash_after_append(sp, table_, batch, *a, **kw):
+        out = real_append(sp, table_, batch, *a, **kw)
+        if not os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("crashed")
+            raise RuntimeError("injected crash: after gram append")
+        return out
+
+    K, MAXCOV = 8, 0.5
+
+    def expected_admitted(batch_df, index_docs, ref):
+        build_gram_index(index_docs, ref, k=K)
+        try:
+            cov = gram_index_coverage(spark, ref, batch_df)
+            return {
+                r.doc_id for r in cov.filter(F.col("coverage") <= MAXCOV).collect()
+            }
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {ref}")
+
+    try:
+        want0 = expected_admitted(b0, even, ref0)
+        want1 = expected_admitted(b1, even.unionByName(b0), ref1)
+        assert want0 and want1  # non-degenerate
+        n_rejected = (b0.count() - len(want0)) + (b1.count() - len(want1))
+        assert n_rejected > 0  # the gate actually rejects something
+
+        build_gram_index(even, t, k=K)
+        import pyarrow as pa
+
+        from citibike_analysis_spark.plans.relational import _write_replay_batches
+
+        schema = pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
+        )
+        _write_replay_batches(b0, in_dir, 1, schema, ["doc_id"])
+
+        admitted_epochs: list[tuple[int, frozenset]] = []
+
+        def sink(adf, epoch_id):
+            admitted_epochs.append(
+                (epoch_id, frozenset(r.doc_id for r in adf.select("doc_id").collect()))
+            )
+
+        def make_stream():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+
+        monkeypatch.setattr(ded, "append_to_gram_index", crash_after_append)
+        q = start_span_admission(
+            make_stream(), t, sink, max_coverage=MAXCOV, checkpoint_dir=ckpt
+        )
+        with pytest.raises(Exception, match="injected crash"):
+            try:
+                q.processAllAvailable()
+                q.awaitTermination()
+            finally:
+                q.stop()
+        assert os.path.exists(flag)  # epoch 0's grams landed, then crash
+        first_delivery = dict(admitted_epochs)
+
+        monkeypatch.setattr(ded, "append_to_gram_index", real_append)
+        # land batch 1 and restart from the same checkpoint
+        import pyarrow.parquet as pq_mod
+
+        pdf = b1.toPandas()
+        pq_mod.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False).cast(schema),
+            os.path.join(in_dir, "b900.parquet"),
+        )
+        seen: list[dict] = []
+        q2 = start_span_admission(
+            make_stream(), t, sink, max_coverage=MAXCOV,
+            checkpoint_dir=ckpt, on_batch=seen.append,
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        replayed = dict(admitted_epochs[len(first_delivery):])
+        # replayed epoch 0: IDENTICAL admitted set despite its own grams
+        # already being in the index (contributor self-exclusion)
+        assert replayed[0] == first_delivery[0] == frozenset(want0)
+        assert replayed[1] == frozenset(want1)
+        # replayed epoch appended nothing; batch 1 appended its novelty
+        by_epoch = {s["epoch_id"]: s for s in seen}
+        assert by_epoch[0]["n_grams_appended"] == 0
+        assert by_epoch[1]["n_grams_appended"] > 0
+    finally:
+        for tb in (t, ref0, ref1):
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")
