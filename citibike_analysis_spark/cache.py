@@ -78,13 +78,34 @@ def reuse(df: DataFrame, env: str = "SPARK_GRAFT_DEDUP_REUSE") -> DataFrame:
 
     Both materializing strategies register the frame for
     :func:`cache_scope` / :func:`release_all` cleanup.
+
+    ``SPARK_GRAFT_REUSE_EAGER=1`` additionally materializes the persist
+    with a ``count()`` before returning. Background (r14 profiling,
+    guide §7.1): under AQE an action materializes all its shuffle /
+    broadcast stages CONCURRENTLY, and every stage subtree referencing
+    a still-cold persist races to compute the same blocks — a task that
+    finds a block's write lock held computes the iterator itself
+    (BlockInfoManager semantics), so the pipeline can run once PER
+    BRANCH (q46's one-partition inverted index was evaluated EIGHT
+    times inside one execution — 8 identical ~0.9 s jobs). Eager
+    materialization removes that redundancy, but measured LOCALLY it
+    does not pay: the redundant evaluations run concurrently on
+    otherwise-idle cores (off the critical path) while the count() is a
+    serial barrier on it — fresh-JVM min-of-3 at sf0.1: q34 0.82 s lazy
+    vs 1.16 eager, q36 2.60 vs 3.48, q143 1.05 vs 1.33, q46 equal. The
+    default therefore stays LAZY; on a saturated production cluster the
+    redundant branch evaluations cost real resources and the knob is
+    the documented remedy.
     """
     mode = os.environ.get(env, "persist")
     if mode == "checkpoint":
         return track(df.localCheckpoint(eager=False))
     if mode == "none":
         return df
-    return track(df.persist())
+    out = track(df.persist())
+    if os.environ.get("SPARK_GRAFT_REUSE_EAGER", "0") == "1":
+        out.count()
+    return out
 
 
 def _checkpoint_rdd(df: DataFrame):

@@ -106,7 +106,15 @@ def _shingle_intersections(
       smaller pair table instead.
     A 64-bit hash collision would conflate two shingles — negligible at
     any realistic shingle cardinality (birthday bound ≈ n²/2⁶⁵).
+
+    The corpus is ``spread()`` first (r14): tokenize+shingle+hash is the
+    family's CPU-heavy stage and a single-row-group source would run it
+    on one core (guide §2.5 input skew; no-op whenever the scan already
+    carries ≥ default-parallelism partitions).
     """
+    from citibike_analysis_spark.partitioning import spread
+
+    df = spread(df, id_col)
     tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
     inv = tk.select(
         "_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s")
@@ -235,7 +243,13 @@ def minhash_signatures(
     hashes the fixed-width base (``xxhash64(i, base)``, an 8-byte input)
     instead of re-hashing the variable-length string k times — same
     independence guarantees, measured ~2x on the signature stage.
+
+    Spread first (r14): the tokenize+shingle+hash stage is CPU-bound and
+    must not inherit a single-split scan's one-core layout (guide §2.5).
     """
+    from citibike_analysis_spark.partitioning import spread
+
+    df = spread(df, id_col)
     exploded = (
         df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
         .select("_id", F.explode(shingles_of(F.col("_tk"), shingle_n)).alias("_s"))
@@ -363,7 +377,11 @@ def winnow_fingerprints(
     """(id, fingerprint) winnowing index — one row per selected k-gram
     hash (functions.text.winnow_of). Positional fingerprinting: shared
     fingerprints localize *where* documents overlap, which set-sampling
-    (MinHash) cannot."""
+    (MinHash) cannot. Spread first (r14, guide §2.5): the rolling-hash
+    winnowing is CPU-bound."""
+    from citibike_analysis_spark.partitioning import spread
+
+    df = spread(df, id_col)
     return (
         df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
         .select("_id", kgram_hashes_of(F.col("_tk"), k).alias("_kh"))
@@ -893,8 +911,13 @@ def _kgram_positions(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
     (winnow's min-windows) — it must just never be exploded.
 
     Output is Σ n_tokens rows of (id, int, long) — the narrow substrate
-    both span operators key on.
+    both span operators key on. Spread first (r14): the tokenize +
+    per-position gram hashing is CPU-bound and must not inherit a
+    single-split scan's one-core layout (guide §2.5).
     """
+    from citibike_analysis_spark.partitioning import spread
+
+    df = spread(df, id_col)
     tk = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk"))
     n = F.size("_tk") - (k - 1)
     idx = F.when(n < 1, F.array().cast("array<int>")).otherwise(

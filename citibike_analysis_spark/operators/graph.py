@@ -44,9 +44,30 @@ def connected_components(
     min vertex id in the connected component. Deterministic.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Symmetrize with ONE reference to the edge plan, not a self-union
+    # (r14, guide §2.4): ``e ∪ e.swap`` embeds the upstream pair
+    # pipeline TWICE, and both copies execute — for q46 that meant the
+    # whole shingle-intersection join ran once per union side (the
+    # profiled execution scanned documents 8×: 2 union sides × 4 index
+    # references). Exploding a 2-element struct array doubles the rows
+    # in one pass over a single copy of the plan; the inferred
+    # size(array(..))>0 filter is constant-foldable, so the
+    # explode-of-lambda trap (_kgram_positions docstring) does not
+    # apply.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
     sym = sym.localCheckpoint(eager=False)
 
     labels = (
