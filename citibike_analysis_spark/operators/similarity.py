@@ -1771,18 +1771,40 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
     cents = _train_centroids(c, "_id", "_v", k, train_iters)
+    # Spread the EMIT pass only (r14, guide §2.5): training stays on the
+    # unspread frame (measured: spreading the per-iteration Lloyd jobs
+    # costs more in shuffle/collect overhead than the 1-task assign at
+    # bench scale — q76 1.79 s → 2.79 s), but the final
+    # assign+normalize feeds the pair join and was a 1.0 s single task.
+    from citibike_analysis_spark.partitioning import spread
+
     # normalize each vector ONCE before the pairwise stage: the verify
     # then pays a single dot fold per candidate pair instead of
     # dot + two norms (interpreted HOFs — measured ~2x at sf0.1);
     # cos(a, b) = dot(â, b̂) exactly (float path differs in the last ulp)
     assigned = (
-        _assign_nearest(c, "_id", "_v", cents)
+        _assign_nearest(spread(c, "_id"), "_id", "_v", cents)
         .withColumn("_n", norm(F.col("_v")))
         .select(
             "_id",
             "cid",
             F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"),
         )
+    )
+    # Repartition by cid BEFORE persisting (r14, guide §2.4/§2.5): the
+    # persisted frame feeds both sides of the cid equi-join, so a
+    # cid-hash layout (a) is REUSED by the join — at scale the SMJ reads
+    # both sides co-partitioned from cache instead of shuffling the
+    # frame twice (2 exchanges → 1, and the 1 runs before the persist) —
+    # and (b) spreads the Σ|cluster|² pair-scoring work across tasks.
+    # Without it the bench-scale plan ran the ENTIRE pair scoring in ONE
+    # task (3.1 s measured): the tiny scan is one partition, the narrow
+    # assign pipeline preserves it, and AQE's byte-based coalescing has
+    # no idea the join condition folds a dim-wide dot per candidate
+    # pair. The explicit count pins the exchange against that
+    # coalescing; defaultParallelism scales it with the session.
+    assigned = assigned.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col("cid")
     )
     # feeds BOTH sides of the cid self-join: without persisting, the
     # assignment pipeline (k-way score + argmax + normalize) re-runs the
