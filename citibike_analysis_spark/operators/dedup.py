@@ -205,8 +205,20 @@ def ngram_containment_pairs(
     # (executes twice under SPARK_GRAFT_DEDUP_REUSE=none or with exchange
     # reuse disabled — review finding; same rule as inv/cand/sh)
     inter = _reuse(inter)
-    directed = inter.select("_x", "_y", "_common").union(
-        inter.select(F.col("_y").alias("_x"), F.col("_x").alias("_y"), "_common")
+    # single-reference symmetrize (r14, guide §2.4): the explode derives
+    # both directions from one copy of the intersection plan instead of
+    # embedding it once per union side
+    directed = (
+        inter.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_x"), F.col("_y")),
+                    F.struct(F.col("_y").alias("_x"), F.col("_x").alias("_y")),
+                )
+            ).alias("_d"),
+            "_common",
+        )
+        .select("_d._x", "_d._y", "_common")
     )
     return (
         directed.join(sizes.withColumnsRenamed({"_id": "_x", "_n": "_na"}), "_x")
@@ -336,16 +348,18 @@ def minhash_dedup_pairs(
     at scale this touches a vanishing fraction of the corpus.
     """
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    # the candidate list feeds three branches (the verify join + both
-    # halves of the id set); materialize so the signature+banding
-    # pipeline runs once, not three times
+    # the candidate list feeds the verify join and the id-set derivation;
+    # materialize so the signature+banding pipeline runs once
     cand = _reuse(cand)
     # Shingle only candidate documents: broadcast-semi-join the candidate
     # id set *below* the shingle projection, so tokenization runs on the
     # (vanishing at scale) candidate subset, not the corpus.
+    # One reference to cand, not a self-union (r14, guide §2.4 — same
+    # fix as connected_components' symmetrize): ``cand ∪ cand.swap``
+    # embedded the banding pipeline twice in the plan; exploding a
+    # 2-element array derives both halves from a single copy.
     cand_ids = (
-        cand.select(F.col("id_a").alias("_cid"))
-        .union(cand.select(F.col("id_b")))
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("_cid"))
         .distinct()
     )
     sh = (
