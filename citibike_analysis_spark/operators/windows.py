@@ -43,21 +43,50 @@ def approx_ntile(
     g-th percentile"): a tied run is either wholly above or wholly below
     a gate, never split arbitrarily.
     """
+    return approx_ntile_multi(df, [value_col], n, [out], relative_error)
+
+
+def approx_ntile_multi(
+    df: DataFrame,
+    value_cols: list[str],
+    n: int,
+    outs: list[str],
+    relative_error: float = 0.0001,
+) -> DataFrame:
+    """:func:`approx_ntile` over several columns in ONE pass (r14,
+    guide §2.2 "shuffle fewer bytes / fewer passes"): chaining k
+    single-column calls plans k ``percentile_approx`` aggregations and
+    k broadcast joins, and each call references its input twice (cutoff
+    agg + assignment join), so a k-chain embeds the source plan 2^k
+    times — q104's profiled execution materialized its persisted
+    variability frame through EIGHT racing plan references. One agg
+    computing all k cutoff arrays + one broadcast join is 2 references
+    and k× fewer passes, with the same buckets: percentile_approx
+    sketches each column independently, and the chained form's
+    intermediate 1-row broadcast joins add no rows and reorder nothing,
+    so the per-column sketch inputs are identical (equality pinned in
+    tests/test_operators.py on the real variability frame).
+    """
+    acc = int(1.0 / relative_error)
     qs = [i / n for i in range(1, n)]
-    # dunder-prefixed internal name: a bare "cuts" collided with any
+    # dunder-prefixed internal names: a bare "cuts" collided with any
     # input that already carries a cuts column — AMBIGUOUS_REFERENCE on
     # the bucket expression, or worse, drop() deleting the user's column
     # (review finding; same convention as asof.py's __asof_* internals)
+    cut_cols = [f"__ntile_cuts_{i}" for i in range(len(value_cols))]
     cuts = df.select(
-        F.percentile_approx(value_col, qs, int(1.0 / relative_error)).alias(
-            "__ntile_cuts"
-        )
+        *[
+            F.percentile_approx(c, qs, acc).alias(cc)
+            for c, cc in zip(value_cols, cut_cols)
+        ]
     )
     with_cuts = df.join(F.broadcast(cuts))
-    bucket = F.lit(1) + F.size(
-        F.filter(F.col("__ntile_cuts"), lambda c: c <= F.col(value_col))
-    )
-    return with_cuts.withColumn(out, bucket.cast("long")).drop("__ntile_cuts")
+    for c, cc, out in zip(value_cols, cut_cols, outs):
+        bucket = F.lit(1) + F.size(
+            F.filter(F.col(cc), lambda x: x <= F.col(c))
+        )
+        with_cuts = with_cuts.withColumn(out, bucket.cast("long"))
+    return with_cuts.drop(*cut_cols)
 
 
 def sessionize(

@@ -708,21 +708,25 @@ def q20_interesting_suppliers(
         # bucket, so gate selections can differ from exact ntile at
         # bucket boundaries (bounded in tests/test_operators.py).
         from citibike_analysis_spark.cache import track
-        from citibike_analysis_spark.operators.windows import approx_ntile
-
-        # each approx_ntile consumes its input twice (cutoff agg +
-        # assignment join), so the chained three would re-execute the
-        # lineitem scan + per-supplier shuffle up to ~2^3 times without
-        # a materialization — the same three-consumer recompute q40
-        # fixed with its persist (review finding); scope-released via
-        # cache_scope/release_all like every operator persist
-        variability = track(variability.persist())
-        percentiles = approx_ntile(variability, "max_qty", 100, "max_qty_pctl")
-        percentiles = approx_ntile(
-            percentiles, "times_no_discount", 100, "no_discount_pctl"
+        from citibike_analysis_spark.operators.windows import (
+            approx_ntile_multi,
         )
-        percentiles = approx_ntile(
-            percentiles, "times_no_tax", 100, "no_tax_pctl"
+
+        # ONE pass computes all three cutoff arrays and ONE broadcast
+        # join assigns all three buckets (r14, guide §2.2): the chained
+        # three approx_ntile calls each consumed their input twice
+        # (cutoff agg + assignment join), embedding the variability plan
+        # 2^3 = 8 times — the profiled execution ran eight racing
+        # 32-task materializations of the persist plus three sketch
+        # aggregations where one suffices. The persist stays: the multi
+        # form still references variability twice (agg + join), and the
+        # final semi-join side makes a third consumer.
+        variability = track(variability.persist())
+        percentiles = approx_ntile_multi(
+            variability,
+            ["max_qty", "times_no_discount", "times_no_tax"],
+            100,
+            ["max_qty_pctl", "no_discount_pctl", "no_tax_pctl"],
         )
     else:
         percentiles = variability.select(

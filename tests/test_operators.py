@@ -115,6 +115,32 @@ class TestApproxNtile:
         off = joined.filter(F.abs(F.col("b") - F.col("b2")) > 1).count()
         assert off == 0, "approx ntile bucket differs from exact by >1"
 
+    def test_multi_equals_chained(self, spark):
+        # the r14 one-pass form must assign the SAME buckets as the
+        # chained per-column calls it replaced (q104's plan): the
+        # chained form's intermediate 1-row broadcast joins add no rows,
+        # so each column's sketch input is identical either way
+        from citibike_analysis_spark.operators.windows import (
+            approx_ntile,
+            approx_ntile_multi,
+        )
+        from citibike_analysis_spark.plans.relational import (
+            _supplier_variability,
+        )
+        from citibike_analysis_spark.sources.tables import load_table
+
+        v = _supplier_variability(load_table(spark, SF, "lineitem"))
+        cols = ["max_qty", "times_no_discount", "times_no_tax"]
+        outs = ["b_qty", "b_disc", "b_tax"]
+        chained = v
+        for c, o in zip(cols, outs):
+            chained = approx_ntile(chained, c, 100, o)
+        multi = approx_ntile_multi(v, cols, 100, outs)
+        key = ["l_suppkey"]
+        a = sorted(map(tuple, chained.select(*key, *outs).collect()))
+        b = sorted(map(tuple, multi.select(*key, *outs).collect()))
+        assert a == b
+
 
 class TestSpatialJoin:
     def test_band_join_equals_bruteforce(self, spark):
