@@ -30,11 +30,24 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rare tokens (OCR noise, wrong language, mojibake) score far below
     the corpus mode, with no model dependency. Output:
     (doc_id, n_tokens, avg_logp) — avg_logp null for empty documents.
+
+    r14 (guide §2.4/§2.5): the corpus is ``spread()`` first — tokenize +
+    explode is the CPU-heavy stage and a single-row-group source runs it
+    on one core — and ``freq`` is materialized once: it feeds two plan
+    branches (the 1-row total and the re-score join) whose subtrees
+    Spark does not dedupe (the tokens() lambda defeats exchange
+    canonicalization, profiled as two racing full evaluations of the
+    tokenize pipeline), so without the persist the corpus is
+    tokenized once per branch.
     """
+    from citibike_analysis_spark.cache import reuse
+    from citibike_analysis_spark.partitioning import spread
+
+    df = spread(df, id_col)
     tk = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
     )
-    freq = tk.groupBy("_t").agg(F.count("*").alias("_c"))
+    freq = reuse(tk.groupBy("_t").agg(F.count("*").alias("_c")))
     total = freq.agg(F.sum("_c").alias("_n"))  # 1 row: corpus token count
     scored = (
         tk.join(freq, "_t")
@@ -297,7 +310,17 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Same scale shape as unigram_logprob: one explode (n-1 rows per doc),
     bigram- and context-keyed aggregations whose shuffles carry one row
     per DISTINCT bigram/context, and an equi-join back to occurrences.
+
+    r14 (guide §2.4/§2.5): ``spread()`` + ``reuse(freq)`` for the same
+    reasons as :func:`unigram_logprob` — profiled THREE racing
+    single-task evaluations of the tokenize+explode pipeline (one per
+    freq consumer plus the re-score side); the persist collapses the
+    two freq subtrees and the spread parallelizes what remains.
     """
+    from citibike_analysis_spark.cache import reuse
+    from citibike_analysis_spark.partitioning import spread
+
+    df = spread(df, id_col)
     tk = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
     )
@@ -316,7 +339,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("_b"),
     ).select("_id", "_b._w1", "_b._w2")
-    freq = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c"))
+    freq = reuse(bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c")))
     ctx = freq.groupBy("_w1").agg(F.sum("_c").alias("_cw1"))
     scored = (
         bg.join(freq, ["_w1", "_w2"])
