@@ -31,23 +31,24 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the corpus mode, with no model dependency. Output:
     (doc_id, n_tokens, avg_logp) — avg_logp null for empty documents.
 
-    r14 (guide §2.4/§2.5): the corpus is ``spread()`` first — tokenize +
+    r14 (guide §2.5): the corpus is ``spread()`` first — tokenize +
     explode is the CPU-heavy stage and a single-row-group source runs it
-    on one core — and ``freq`` is materialized once: it feeds two plan
-    branches (the 1-row total and the re-score join) whose subtrees
-    Spark does not dedupe (the tokens() lambda defeats exchange
-    canonicalization, profiled as two racing full evaluations of the
-    tokenize pipeline), so without the persist the corpus is
-    tokenized once per branch.
+    on one core. ``freq`` deliberately stays UNPERSISTED: its only
+    duplicated consumer is the 1-row total, and the measured A/B
+    (ab_env, reuse=persist vs none, fresh-JVM min-of-3) read the persist
+    10% SLOWER — the redundant branch evaluation races on otherwise-idle
+    cores while the persist adds a barrier + cache write (the same
+    economics as Finding 1's lazy-default decision in
+    OPTIMIZATION_r14.md; contrast :func:`bigram_logprob`, where three
+    heavy branches make the persist win).
     """
-    from citibike_analysis_spark.cache import reuse
     from citibike_analysis_spark.partitioning import spread
 
     df = spread(df, id_col)
     tk = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
     )
-    freq = reuse(tk.groupBy("_t").agg(F.count("*").alias("_c")))
+    freq = tk.groupBy("_t").agg(F.count("*").alias("_c"))
     total = freq.agg(F.sum("_c").alias("_n"))  # 1 row: corpus token count
     scored = (
         tk.join(freq, "_t")

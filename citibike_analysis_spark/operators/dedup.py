@@ -468,9 +468,22 @@ def contamination_flags(
     scanned once; nothing quadratic anywhere. A 64-bit hash collision
     would flag one extra shingle — negligible (same birthday bound as
     :func:`ngram_jaccard_pairs`).
+
+    The corpus side is ``spread()`` first (r14, guide §2.5): tokenize +
+    shingle + hash is the CPU-heavy stage and a single-row-group source
+    runs it on one core (profiled: the corpus gram job carried 0.58 s of
+    q63's 0.84 s job time in ONE task). No-op whenever the scan already
+    carries ≥ default-parallelism partitions, and a refused probe on
+    non-scan-level inputs (q86 passes a window output) leaves the plan
+    untouched.
     """
+    from citibike_analysis_spark.partitioning import spread
+
+    # spread only the gram side: the final left-join side projects bare
+    # ids and would pay the repartition exchange for nothing
     csh = (
-        corpus.select(
+        spread(corpus, id_col)
+        .select(
             F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
         )
         .select("_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
@@ -592,14 +605,18 @@ def contamination_flags_bloom(
     the probe-gram shuffle is the bottleneck; use the exact form on
     single nodes and memory-local shuffles.
     """
+    from citibike_analysis_spark.partitioning import spread
+
     # both sides reduce grams to 64-bit hashes IMMEDIATELY (the exact
     # operator's economics: distinct/shuffle 8-byte longs, never gram
     # strings — the string-keyed first cut paid a 40-byte-row bench
     # shuffle that dominated its wall); the bloom's k salted positions
     # hash the HASH (xxhash64(_h, i)), which inherits the same 64-bit
-    # collision bound already documented for the exact join
+    # collision bound already documented for the exact join. The corpus
+    # gram side is spread() first (r14, guide §2.5) like the exact form.
     csh = (
-        corpus.select(
+        spread(corpus, id_col)
+        .select(
             F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
         )
         .select("_id", F.explode(shingles_of(F.col("_tk"), n)).alias("_s"))
