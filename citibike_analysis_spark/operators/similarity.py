@@ -125,6 +125,30 @@ _PAIR_DOT_CHUNK = 4096
 _ARROW_DOT_MIN_ROWS = 50_000
 
 
+def _pair_stage_width(spark, est_rows: int | None, row_bytes: int = 48) -> int:
+    """Partition count for a candidate-pair stage whose per-row CPU AQE
+    cannot see (guide §2.5): ``defaultParallelism`` floor — one core one
+    partition, the quantity byte-based coalescing undoes on KB-scale
+    pair frames — raised by the estimated pair bytes at the session's
+    advisory partition size so corpus-scale runs keep AQE-comparable
+    widths instead of being pinned down to the core count. ``row_bytes``
+    is the SHUFFLE weight of one bare pair row (two longs + record
+    overhead), deliberately generous."""
+    floor = spark.sparkContext.defaultParallelism
+    if not est_rows:
+        return floor
+    try:
+        raw = (
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            .strip().lower().removesuffix("b")
+        )
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:], 1)
+        advisory = int(raw.rstrip("kmg")) * mult
+    except Exception:  # noqa: BLE001 - unparseable form: Spark's default
+        advisory = 64 << 20
+    return max(floor, int(est_rows) * row_bytes // max(advisory, 1 << 20))
+
+
 def pick_pair_dot(spark, n_rows: int | None = None) -> "Callable[[Column, Column], Column]":
     """Per-pair dot choice for verify stages (r08 A/B,
     `scripts/ab_pair_dot.py`), keyed on master AND corpus size:
@@ -2787,6 +2811,31 @@ def near_duplicate_embeddings(
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        # Pin the dedup exchange's width (r14, guide §2.5): the verify —
+        # one interpreted dot fold per candidate PAIR — runs on the
+        # dedup aggregate's output partitions, and AQE's byte-based
+        # coalescing shrank them to 2 (2.4 MiB of bare id pairs) with no
+        # idea each row folds a dim-wide dot downstream (measured: the
+        # verify stage carried 1.3 s of q39's 2.4 s wall in 2 tasks; the
+        # pinned exchange reads 2.38 → 1.29 s min-of-4). The explicit
+        # repartition satisfies the dedup's clustering requirement, so
+        # it REPLACES the planner's exchange rather than adding one; the
+        # width is scale-adaptive: defaultParallelism floor, raised by
+        # the auto-mode candidate estimate (~4·tables·n pairs) at the
+        # session's advisory partition size so a 100 TB corpus is not
+        # pinned DOWN to the core count (repartitioning the SIGNATURE
+        # frame by (tbl, bkt) before the persist was also measured —
+        # q77's layout trick — and REJECTED: the self-join builds a
+        # broadcast from the cached frame, so the extra exchange buys
+        # nothing and cost +27%).
+        .repartition(
+            _pair_stage_width(
+                corpus.sparkSession,
+                None if n_rows is None else 4 * tables * n_rows,
+            ),
+            F.col("id_a"),
+            F.col("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs_n = vecs.withColumn("_nm", norm(F.col("_v")))
