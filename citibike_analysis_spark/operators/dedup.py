@@ -267,9 +267,16 @@ def minhash_signatures(
         .select("_id", F.explode(shingles_of(F.col("_tk"), shingle_n)).alias("_s"))
         .select("_id", F.xxhash64("_s").alias("_h"))
     )
+    # each family min as ONE F.expr string: the nested-builder form
+    # (F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(...)) cost 5 py4j
+    # round-trips per family — profiled at 0.78 s of q36's 1.6 s
+    # DataFrame-construction wall (r14, guide §5: driver-side latency;
+    # ~0.45 ms per round-trip × 64 families × 5 calls). The SQL string
+    # parses to the identical expression: an INT literal `i` (matching
+    # F.lit(int)) hashed with the long `_h`.
     return exploded.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"h{i}")
+            F.expr(f"min(xxhash64({i}, _h)) AS h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -303,16 +310,21 @@ def minhash_lsh_candidates(
         )
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.col(f"h{j * rows + r}") for r in range(rows)])
-                ).alias("bh"),
+    # one F.expr for the whole band array (r14): the nested-builder form
+    # paid ~8 py4j round-trips per band (profiled 0.79 s of q36's
+    # construction wall across these two listcomps); the SQL string is
+    # one round-trip and parses to the identical expression (INT band
+    # literal, same concat_ws(',') over the same h-columns).
+    band_structs = F.expr(
+        "array({})".format(
+            ", ".join(
+                "struct({j} AS band, xxhash64(concat_ws(',', {cols})) AS bh)".format(
+                    j=j,
+                    cols=", ".join(f"h{j * rows + r}" for r in range(rows)),
+                )
+                for j in range(bands)
             )
-            for j in range(bands)
-        ]
+        )
     )
     banded = sig.select("_id", F.explode(band_structs).alias("_b")).select(
         "_id", "_b.band", "_b.bh"
