@@ -157,6 +157,13 @@ def build_vocab(df: DataFrame, text_col: str) -> DataFrame:
     one task, rank via approx-quantile bucketing (operators/windows.
     approx_ntile) exactly as q56 does for suppliers.
     """
+    from citibike_analysis_spark.partitioning import spread
+
+    # spread() before tokenize (r14, guide §2.5): keyed on the text
+    # column (this operator has no id column in scope); deterministic
+    # and well-spread for any non-degenerate corpus. Measured as part
+    # of q90's 0.44x A/B (vocab + encode together).
+    df = spread(df, text_col)
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
@@ -184,7 +191,12 @@ def encode_documents(
     order-restoring aggregation as dedup_chunks' reassembly. Empty
     documents produce an empty array.
     """
-    tk = df.select(
+    from citibike_analysis_spark.partitioning import spread
+
+    # spread() the tokenize+posexplode side only (r14, guide §2.5): the
+    # trailing doc_id join reads bare ids and would pay the exchange for
+    # nothing. q90 A/B (with build_vocab's spread): 6.56 → 2.86 s.
+    tk = spread(df, id_col).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
     )
     pos = tk.select("_id", F.posexplode("_tk").alias("_pos", "token"))
@@ -373,6 +385,9 @@ def tfidf_topk(
     WindowGroupLimit keeps ≤ k rows per document on the map side of the
     final shuffle.
     """
+    # NOT spread() (r14): measured 1.27x slower (q69 min 1.89 → 2.40 s)
+    # — the (doc, token) tf aggregate right above the explode already
+    # shuffles, so the extra exchange buys no downstream parallelism.
     tk = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
     )

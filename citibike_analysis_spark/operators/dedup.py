@@ -749,7 +749,11 @@ def dedup_chunks(
     the identical key), one groupBy to reassemble. Work is linear in
     corpus size; nothing is quadratic and nothing collects.
     """
-    tk = df.select(
+    from citibike_analysis_spark.partitioning import spread
+
+    # spread() the chunking side only (r14, guide §2.5; q74 A/B
+    # 3.67 → 3.01 s): the trailing doc_id joins read bare ids.
+    tk = spread(df, id_col).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
     )
     starts = F.when(
@@ -849,7 +853,11 @@ def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     map-side — the shuffle carries 64 ints per document. Documents with
     zero tokens produce no signature (no explode rows).
     """
-    exploded = df.select(
+    from citibike_analysis_spark.partitioning import spread
+
+    # spread() first (r14, guide §2.5): the 64-bit-vote aggregate's map
+    # side is the CPU-heavy stage. q37 A/B: 10.26 → 3.79 s (0.37x).
+    exploded = spread(df, id_col).select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
     ).withColumn("_th", F.xxhash64(F.col("_t")))
     votes = exploded.groupBy("_id").agg(

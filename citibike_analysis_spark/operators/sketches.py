@@ -86,6 +86,11 @@ def frequent_tokens(
             f"capacity {capacity} < 1/min_fraction ({guarantee}): "
             "pass 1 could prune a true heavy hitter"
         )
+    # NOT spread() (r14): measured 1.7x SLOWER with the corpus
+    # repartitioned before tokenize (q72 min 1.91 -> 3.24 s, reversed-
+    # order A/B) — the stream is reuse()-persisted below, so the
+    # exchange ships full text bytes to save a tokenize pass that the
+    # persist already bounds to one evaluation.
     stream = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     # the token stream feeds three branches (MG candidate fold, total
     # count, recount semi-join) — materialize once so tokenize+explode
