@@ -2991,6 +2991,21 @@ def q86_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
     )
     gated = meta.filter(F.col("n_tokens") >= _Q86_MIN_TOKENS)
+    # Pin the dedup window's exchange width (r14, guide §2.5, the q39
+    # pattern): everything downstream of this exchange — the md5 window,
+    # the contamination gram pipeline (whose own spread() probe refuses
+    # window-output inputs by design), the mixture gate and the packing
+    # windows — inherits its partition count, and AQE coalesced the
+    # ~1 MiB exchange to ONE partition with no idea the gram stage
+    # tokenizes every surviving document downstream. The explicit
+    # repartition on the window's own partition key satisfies its
+    # required distribution, so it replaces the planner's exchange
+    # rather than adding one. A/B: 1.66 → 1.37 s (−17%); spreading the
+    # SCAN instead was measured at +64% (four sibling branches re-read
+    # the scan and each paid the full-text exchange).
+    gated = gated.repartition(
+        spark.sparkContext.defaultParallelism, F.md5(F.col("text"))
+    )
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     deduped = (
         gated.withColumn("_rn", F.row_number().over(w))
