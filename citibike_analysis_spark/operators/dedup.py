@@ -124,6 +124,12 @@ def _shingle_intersections(
     inv = _reuse(inv)
     sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
     joinable = _df_capped(inv, "_h", max_doc_freq)
+    # NOT width-pinned (r14): an explicit repartition(_h) on the join
+    # side — the q39/q86 exchange-pin pattern — measured q34 1.81x and
+    # q92 1.75x SLOWER (q46 wash): this self-join broadcasts one side
+    # from the persisted index, so the pin added a real exchange and
+    # forced a sort-merge where a broadcast join was free. The pin
+    # pattern pays only where the planner already NEEDS the exchange.
     a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
