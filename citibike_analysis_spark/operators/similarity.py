@@ -1628,6 +1628,14 @@ def _train_centroids(
     assignment is appended to it — one extra k-way-score aggregation
     per iteration, so it is OFF for the production paths (q76/q77/q49)
     and on only for the audit query."""
+    # NOT spread() before the persist (r14): measured q76 1.82x /
+    # q49 1.27x / q77 1.20x SLOWER with the training cache laid out
+    # 32-way — at k-training sizes the per-iteration task+Arrow-batch
+    # overhead of 32 tiny partitions exceeds the single-task assign it
+    # replaces (the per-ITERATION spread variant measured the same
+    # direction earlier this round: q76 1.79 -> 2.79 s). At corpus
+    # scale the source scan already carries wide partitioning into the
+    # cache, so there is nothing to repair there either.
     c = c.persist()
     try:
         centroids = [
