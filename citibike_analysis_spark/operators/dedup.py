@@ -124,6 +124,23 @@ def _shingle_intersections(
     inv = _reuse(inv)
     sizes = inv.groupBy("_id").agg(F.count("*").alias("_n"))  # shingles distinct
     joinable = _df_capped(inv, "_h", max_doc_freq)
+    # Materialize the df-capped view once (r15, guide §2.4): both
+    # self-join sides reference it, and the plan computed the cap
+    # WINDOW (a full-index exchange + count window) once PER SIDE —
+    # plans/r15/q61_capped_jaccard_before.txt shows two Window nodes
+    # with two hashpartitioning(_h) exchanges and no ReusedExchange.
+    # Persisting the capped index runs the window once; at corpus scale
+    # that saves a full index exchange+window pass per query.
+    # Interleaved fresh-JVM min-of-5 (ab_env, sf0.1, local[32]):
+    # q34 1.054→0.640 s (0.61×), q61 1.898→1.230 (0.65×),
+    # q46 3.334→2.838 (0.85×), q92 0.809→0.791 (0.98×). Persisting
+    # ``sizes`` as well was measured and REJECTED (same protocol:
+    # "both" mode read q34 0.777 vs join-only 0.640, q61 1.526 vs
+    # 1.230 — the tiny aggregate's persist barrier costs more than the
+    # duplicated one-pass agg; same economics as q68's rejected freq
+    # persist).
+    if max_doc_freq is not None:
+        joinable = _reuse(joinable)
     # NOT width-pinned (r14): an explicit repartition(_h) on the join
     # side — the q39/q86 exchange-pin pattern — measured q34 1.81x and
     # q92 1.75x SLOWER (q46 wash): this self-join broadcasts one side
