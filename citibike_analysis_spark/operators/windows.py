@@ -67,8 +67,25 @@ def approx_ntile_multi(
     so the per-column sketch inputs are identical (equality pinned in
     tests/test_operators.py on the real variability frame).
     """
+    if len(value_cols) != len(outs):
+        raise ValueError(
+            f"value_cols and outs must have equal length, got "
+            f"{len(value_cols)} vs {len(outs)} (zip would silently "
+            "truncate)"
+        )
+    if len(set(outs)) != len(outs):
+        raise ValueError(f"duplicate out names in {outs!r}")
     acc = int(1.0 / relative_error)
-    qs = [i / n for i in range(1, n)]
+    # ONE F.expr SQL string per aggregate (r15, guide §5 — the q36
+    # driver-chatter fix): building the 99-element quantile array as a
+    # Python list made functions.lit convert it element-wise — ~100 py4j
+    # round-trips per column, 0.19 s of the 0.32 s this function cost in
+    # q104's profiled builder. repr(i/n) is the shortest round-trip
+    # decimal, which the SQL parser reads back to the IDENTICAL double,
+    # so the sketch inputs are unchanged (output proven byte-identical
+    # to the literal-array form at sf0.01 and sf0.1 before landing).
+    # The D suffix forces DOUBLE literal parsing (never decimal).
+    qs_sql = ",".join(repr(i / n) + "D" for i in range(1, n))
     # dunder-prefixed internal names: a bare "cuts" collided with any
     # input that already carries a cuts column — AMBIGUOUS_REFERENCE on
     # the bucket expression, or worse, drop() deleting the user's column
@@ -76,7 +93,9 @@ def approx_ntile_multi(
     cut_cols = [f"__ntile_cuts_{i}" for i in range(len(value_cols))]
     cuts = df.select(
         *[
-            F.percentile_approx(c, qs, acc).alias(cc)
+            F.expr(
+                f"percentile_approx(`{c}`, array({qs_sql}), {acc})"
+            ).alias(cc)
             for c, cc in zip(value_cols, cut_cols)
         ]
     )
