@@ -20,6 +20,8 @@ truncates identically, so oracle parity holds under both conventions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,36 @@ TABLES = (
 )
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+# Session-scoped schema catalog (r15, guide §6): ``spark.read.parquet``
+# resolves the schema from parquet footers on EVERY call — a driver-side
+# footer read + py4j round per load, ~0.08 s on this host, paid by every
+# query builder and every bench rep. A catalog-backed table reads its
+# schema from the metastore instead; this dict is that metastore role
+# for the path-addressed testdata. METADATA only — the scan itself
+# still reads the parquet data at every action (nothing about results
+# or row data is cached), and the key includes the file mtime so
+# regenerated testdata invalidates immediately. Keyed on applicationId:
+# schema resolution depends on session confs (nanosAsLong /
+# inferTimestampNTZ), so a schema never leaks across sessions.
+# ``SPARK_GRAFT_SCHEMA_CACHE=0`` disables (A/B instrument).
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SCHEMA_CACHE", "1") != "1":
+        return spark.read.parquet(path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, path, mtime)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def ns_long_to_ntz(colname: str) -> F.Column:
@@ -76,7 +108,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set(_NANOS_CONF, "true")
     except Exception:
         pass
-    raw = spark.read.parquet(path)
+    raw = _read_parquet(spark, path)
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":
         # nanosAsLong applied: raw int64 ns; exact integer conversion
@@ -129,7 +161,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     except Exception:
         pass
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
