@@ -772,11 +772,18 @@ def dedup_chunks(
     the identical key), one groupBy to reassemble. Work is linear in
     corpus size; nothing is quadratic and nothing collects.
     """
-    from citibike_analysis_spark.partitioning import spread
-
-    # spread() the chunking side only (r14, guide §2.5; q74 A/B
-    # 3.67 → 3.01 s): the trailing doc_id joins read bare ids.
-    tk = spread(df, id_col).select(
+    # NOT spread() (r15 adjudication of the r14 driver regression —
+    # BENCH_r14 read q74 at 0.849 on the touched code): the r14 cell
+    # (3.67 → 3.01) did not reproduce under an INTERLEAVED fresh-JVM
+    # protocol on an idle host. 6 alternating passes at 32 cores read
+    # unspread faster in 5 of 6 (median 1.63 s vs 2.03, min 1.25 vs
+    # 1.35); 4 passes at 8 cores read a wash (median 0.98 vs 0.87 the
+    # other way). Mechanism matches q72's rejected spread: the exchange
+    # ships FULL TEXT bytes to parallelize a tokenize whose output the
+    # md5-chunk window immediately re-shuffles anyway — the window
+    # exchange already spreads the heavy dedup work, so the extra
+    # full-text exchange only adds bytes. Reverted to the pre-r14 shape.
+    tk = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
     )
     starts = F.when(
