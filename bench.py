@@ -68,6 +68,82 @@ HEADLINE = [
 
 
 # --------------------------------------------------------------------------
+# x10 cell (r15, r14 VERDICT #6): at sf0.1 EVERY headline query ran
+# faster at 8 cores than 32 (scaling ratios 0.36-0.93) — the bench was
+# measuring driver/AQE/task overhead, not data. This leg generates the
+# deterministic x10 rehearsal corpus (50k docs / 20k vecs, seed 7,
+# numpy generator from scripts/scale_rehearsal.py, written multi-row-
+# group so scans parallelize) into a tempdir at bench time — nothing
+# persisted across runs — and times four representative data-bound
+# families on it under the same 2-rep warm/cold protocol. Entries are
+# ADDED to the queries dict under x10_* names: totals from r15 on carry
+# these extra rows (trend per-query, as with q143 in r14).
+# --------------------------------------------------------------------------
+
+X10_DOCS, X10_VECS = 50_000, 20_000
+X10_QUERIES = (
+    "q61_capped_jaccard",
+    "q36_minhash_dedup",
+    "q39_embedding_near_dup",
+    "q90_encode_documents",
+)
+
+
+def x10_block(spark, steady: dict, cold: dict) -> dict:
+    """Generate the x10 corpus and time X10_QUERIES on it, merging
+    ``x10_<name>`` entries into the steady/cold dicts. Never sinks the
+    bench: any error is reported in the returned info block."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from citibike_analysis_spark.cache import release_all
+    from citibike_analysis_spark.plans import all_queries
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    info: dict = {"docs": X10_DOCS, "vecs": X10_VECS, "seed": 7}
+    work = tempfile.mkdtemp(prefix="bench_x10_")
+    try:
+        import pyarrow.parquet as _pq
+
+        import scale_rehearsal as sr
+
+        t0 = _time.perf_counter()
+        for t, gen in (
+            ("documents", sr.gen_documents(X10_DOCS, seed=7)),
+            ("embeddings", sr.gen_embeddings(X10_VECS, seed=7)),
+        ):
+            _pq.write_table(
+                gen,
+                os.path.join(work, f"{t}.parquet"),
+                # ~128 row groups so the scan carries byte-sized splits
+                # (the single-row-group shape would serialize every
+                # pipeline above the scan — cluster_rehearsal.py's
+                # convention)
+                row_group_size=max(1024, (len(gen) + 127) // 128),
+            )
+        info["gen_sec"] = round(_time.perf_counter() - t0, 2)
+        specs = all_queries()
+        for name in X10_QUERIES:
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                release_all()
+                t0 = _time.perf_counter()
+                specs[name].fn(spark, work).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(_time.perf_counter() - t0)
+            cold[f"x10_{name}"] = round(runs[0], 3)
+            steady[f"x10_{name}"] = round(min(runs), 3)
+    except Exception as exc:  # noqa: BLE001 - report, never sink the bench
+        info["err"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return info
+
+
+# --------------------------------------------------------------------------
 # Cross-round comparability (r03 VERDICT #4). The host drifted ~4.5x
 # between rounds 2 and 3, which made raw BENCH_r*.json deltas
 # uninterpretable and cost two rounds of phantom-regression chasing.
@@ -271,8 +347,24 @@ def canary_block(sf_dir: str, cpus: str, reps: int = 3) -> dict:
             cwd=REPO, check=True, capture_output=True, timeout=60,
         )
         try:
-            prev = _time_tree(wt, sf_dir, cpus, reps)
-            head = _time_tree(REPO, sf_dir, cpus, reps)
+            # INTERLEAVED passes (r15 measurement fix, stated in
+            # OPTIMIZATION_r15.md): the old single prev-then-head pass
+            # put all of a host swing on one side — BENCH r15's first
+            # run read head 1.3-1.9x on every canary INCLUDING
+            # untouched code, and a 3-pass interleaved re-run on the
+            # same host read 0.83-1.04x. Two passes alternating tree
+            # order, min per tree: a drift lands inside both records.
+            prev: dict = {}
+            head: dict = {}
+            for p in range(2):
+                cells = [("prev", wt), ("head", REPO)]
+                if p % 2:
+                    cells.reverse()
+                for label, tree in cells:
+                    t = _time_tree(tree, sf_dir, cpus, reps)
+                    acc = prev if label == "prev" else head
+                    for q, v in t.items():
+                        acc[q] = min(acc.get(q, v), v)
         finally:
             subprocess.run(
                 ["git", "worktree", "remove", "--force", wt],
@@ -282,6 +374,8 @@ def canary_block(sf_dir: str, cpus: str, reps: int = 3) -> dict:
             "ref": sha[:9],
             "round": rnd,
             "reps": reps,
+            "passes": 2,
+            "interleaved": True,
             "prev": prev,
             "head": head,
         }
@@ -377,7 +471,10 @@ def _bench_rollup(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BAT
 
 
 def _bench_index_maintenance(
-    spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH
+    spark,
+    workdir: str,
+    rows_per_batch: int = STREAM_ROWS_PER_BATCH,
+    shuffle_partitions: int | None = None,
 ) -> dict:
     """Throughput of the composed tier (r14): micro-batches appended into
     a persisted IVF index via the foreachBatch maintenance sink —
@@ -385,7 +482,13 @@ def _bench_index_maintenance(
     per batch. Build over the sf embeddings, stream deterministic
     synthetic vectors with disjoint ids; rows/sec is the ingest rate a
     continuously-maintained 100 TB similarity index sustains per core.
-    """
+
+    ``shuffle_partitions`` (r15, r14 VERDICT #7) starts the maintenance
+    query under that ``spark.sql.shuffle.partitions`` — the r14
+    decomposition showed p50 ~1.07 s/batch dominated by 32 per-partition
+    state commits, and the width is a START-time deployment setting
+    frozen into the checkpoint (the r07 stateful sizing rule), so the
+    bench carries both widths like ``weather_join`` already does."""
     from pyspark.sql import functions as F
 
     from citibike_analysis_spark.operators.similarity import build_ivf_index
@@ -422,16 +525,22 @@ def _bench_index_maintenance(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = start_index_maintenance(stream, table, ckpt)
-    t0 = time.perf_counter()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
-        wall = time.perf_counter() - t0
-        return _progress_stats(q, wall, total)
+        q = start_index_maintenance(stream, table, ckpt)
+        t0 = time.perf_counter()
+        try:
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0
+            return _progress_stats(q, wall, total)
+        finally:
+            q.stop()
+            for s in ("", "__cents", "__tombs", "__codes", "__books"):
+                spark.sql(f"DROP TABLE IF EXISTS {table}{s}")
     finally:
-        q.stop()
-        for s in ("", "__cents", "__tombs", "__codes", "__books"):
-            spark.sql(f"DROP TABLE IF EXISTS {table}{s}")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _bench_admission(spark, workdir: str, rows_per_batch: int = STREAM_ROWS_PER_BATCH) -> dict:
@@ -699,6 +808,16 @@ def streaming_block(spark) -> dict:
             _bench_index_maintenance,
             STREAM_ROWS_PER_BATCH,
         ),
+    ] + [
+        # r15 (r14 VERDICT #7): the SIZED width next to the default-32
+        # row — per-batch cost decomposed to 32 per-partition state
+        # commits; stateful width is a start-time deployment setting
+        # (r07 rule), so both widths carry bench artifacts
+        (
+            f"index_maint_sized8_{STREAM_ROWS_PER_BATCH}",
+            functools.partial(_bench_index_maintenance, shuffle_partitions=8),
+            STREAM_ROWS_PER_BATCH,
+        ),
     ]
     for name, fn, rows in jobs:
         workdir = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
@@ -763,6 +882,8 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         steady[name] = round(min(runs), 3)
 
+    x10_info = x10_block(spark, steady, cold)
+
     streaming = streaming_block(spark)
 
     spark.stop()
@@ -783,6 +904,7 @@ def main() -> None:
         "value_cold": round(sum(cold.values()), 3),
         "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "x10": x10_info,
         "streaming": streaming,
         "host": {**host_block(), "idle_gate": idle_gate},
         "canary": canary,
