@@ -55,6 +55,14 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
         wide = (
             "Join", "Aggregate", "Window", "Sort", "Repartition",
             "Union", "Generate", "Distinct", "GlobalLimit",
+            # Python map/group nodes (r14 ADVICE): these also require
+            # exchanges at execution, so they must never fall through to
+            # the .rdd probe below (which would eagerly materialize
+            # their query stages under AQE). Logical node names as they
+            # print in optimizedPlan().
+            "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
+            "MapInPandas", "PythonMapInArrow", "MapInArrow",
+            "FlatMapGroupsWithState", "MapGroups", "CoGroup",
         )
         if any(w in plan_str for w in wide):
             return df
@@ -64,5 +72,10 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     if current >= target:
         return df
     if key_cols:
+        # a missing key degrades to a no-op instead of raising
+        # AnalysisException mid-plan (r14 ADVICE: the repartition sat
+        # outside the guarded block, contradicting the test's claim)
+        if any(c not in df.columns for c in key_cols):
+            return df
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)

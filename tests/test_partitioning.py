@@ -54,8 +54,12 @@ def test_spread_refuses_wide_plans(spark):
 
 def test_spread_refuses_missing_key_gracefully(spark):
     d = _docs(spark)
-    # a bogus key column fails inside the probe/repartition path; the
-    # operator must degrade to a no-op, never raise mid-plan
+    # a GENUINELY bogus key column (r14 ADVICE: the old test passed a
+    # valid key, so the graceful-degradation claim was untested) must
+    # degrade to a no-op — the SAME frame back, never an
+    # AnalysisException mid-plan
+    assert spread(d, "no_such_column") is d
+    # and a valid narrow projection still spreads
     out = spread(d.select("doc_id"), "doc_id")
     assert out.count() == d.count()
 
