@@ -1834,7 +1834,15 @@ def semantic_dedup_pairs(
     # assign pipeline preserves it, and AQE's byte-based coalescing has
     # no idea the join condition folds a dim-wide dot per candidate
     # pair. The explicit count pins the exchange against that
-    # coalescing; defaultParallelism scales it with the session.
+    # coalescing. K-BOUND (r14 ADVICE): cid has at most k distinct
+    # values, so at most k partitions are non-empty (fewer under hash
+    # collisions) — pair-scoring parallelism is bounded by k regardless
+    # of core count, and one hot cluster still scores its |cluster|²
+    # pairs in one task. Salting is NOT available here (it would break
+    # the cid co-partitioning the self-join reuses), so the real levers
+    # at scale are raising k (the operator's own guidance: k ≈ n/1000)
+    # or splitting hot clusters upstream; defaultParallelism is just
+    # the partition COUNT, useful only up to that k ceiling.
     assigned = assigned.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, F.col("cid")
     )

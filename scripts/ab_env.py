@@ -41,14 +41,30 @@ spark.stop()
 
 
 def main() -> int:
-    spec = sys.argv[1]
-    var, _, vals = spec.partition("=")
+    # argparse (r14 ADVICE): the old hand parser IndexError'd on the
+    # space-separated '--reps 3' form and let the bare '3' land in the
+    # query-name list; names are now validated against the registry
+    # before any subprocess launches.
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("spec", help="ENVVAR=a,b[,c...]")
+    ap.add_argument("queries", nargs="+", help="registered query names")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    var, _, vals = args.spec.partition("=")
+    if not var or not vals:
+        ap.error(f"spec must look like ENVVAR=a,b — got {args.spec!r}")
     values = vals.split(",")
-    names = [a for a in sys.argv[2:] if not a.startswith("--")]
-    reps = 3
-    for a in sys.argv[2:]:
-        if a.startswith("--reps"):
-            reps = int(a.split("=")[1])
+    names = args.queries
+    reps = args.reps
+    sys.path.insert(0, REPO)
+    from citibike_analysis_spark.plans import all_queries
+
+    known = set(all_queries())
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        ap.error(f"unknown queries: {unknown}")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     code = _CELL % {
