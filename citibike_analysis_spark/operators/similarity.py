@@ -116,13 +116,18 @@ def pair_dot(a: Column, b: Column) -> Column:
 _PAIR_DOT_CHUNK = 4096
 
 
-# the measured local-mode crossover for the per-pair dot (r08, same-day
-# quiet-host cells at 24g): 20k vecs / 0.78M pairs → fold wins (8.84 s
-# vs 11.15, ratio 0.79); 200k vecs / 7.2M pairs → ARROW wins (36.3 s vs
-# 62.3, ratio 1.72) — the fold's interpreted cost is linear in pairs
-# while Arrow's serialization amortizes. Log-linear interpolation puts
-# the break-even at n ≈ 40–60k rows; 50k splits the bracket.
-_ARROW_DOT_MIN_ROWS = 50_000
+# the measured local-mode crossover for the per-pair dot. r08 bracketed
+# it at 40-60k rows on the pre-spread/pre-width-pin plans (20k vecs →
+# fold 0.79×; 200k → arrow 1.72×). r15 RE-MEASURED on the current plans
+# (r14 VERDICT #2 — the pair stages are now 32-wide, which changes
+# Arrow's per-partition batch sizes): fresh-JVM min-of-4 ab_env cells
+# on the rehearsal-generator corpora read fold/arrow = 2k: 1.06/1.53 s,
+# 6k: 3.08/8.85, 10k: 4.78/6.82, 20k: 12.22/7.25 — fold wins through
+# 10k, ARROW wins at 20k (0.59×). The crossover moved DOWN to between
+# 10k and 20k rows; 15k splits the new bracket. (Outputs are identical
+# at the 6-decimal consumer rounding either way — pytest-pinned — so
+# the keying can only change wall time.)
+_ARROW_DOT_MIN_ROWS = 15_000
 
 
 def _pair_stage_width(spark, est_rows: int | None, row_bytes: int = 48) -> int:

@@ -14,11 +14,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CELL = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[%(cpus)s]")
          .config("spark.sql.shuffle.partitions", "%(cpus)s")
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from citibike_analysis_spark.plans import all_queries

@@ -33,6 +33,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
         .appName(f"profile_{name}")
