@@ -199,29 +199,57 @@ def encode_documents(
     tk = spread(df, id_col).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
     )
-    pos = tk.select("_id", F.posexplode("_tk").alias("_pos", "token"))
-    joined = pos.join(vocab.select("token", "token_id"), "token", "left")
+    # posexplode_OUTER + no join back to df (r15, guide §2.3/§8 "attach
+    # without re-shuffling the payload"): the old plan posexploded (a
+    # zero-token document vanished) and LEFT-joined the aggregate back
+    # to df only to resurrect those rows — and at the x10 cell that
+    # join's enc-side exchange shipped the ENCODED ARRAYS (123 MB of
+    # payload moved to attach bare ids: AQE flips the join to SMJ once
+    # enc outgrows the broadcast threshold). The OUTER explode emits a
+    # (null, null) row per empty document, count(token) ignores it and
+    # collect_list skips the null struct, so every df row is already
+    # present in the aggregate — same rows, one source reference
+    # instead of two, no payload-bearing join (output proven
+    # byte-identical to the join form at sf0.01 and sf0.1, and on
+    # empty-text/null-text fixtures, before landing).
+    pos = tk.select("_id", F.posexplode_outer("_tk").alias("_pos", "token"))
+    # EXPLICIT broadcast of the vocab side (r15, guide §3.1 "estimates
+    # are often badly wrong after filters or UDFs — use a hint"): the
+    # rank window in build_vocab destroys the size estimate, so at the
+    # x10 cell the planner flipped this join to SortMergeJoin — which
+    # exchanged the posexploded corpus by token (138 MB) AND destroyed
+    # the spread()'s _id partitioning, forcing a second 123 MB exchange
+    # to reassemble. With the vocab broadcast, the join and the
+    # reassembly aggregate both ride the spread partitioning: zero
+    # corpus-sized exchanges in the whole encode (x10 plan: 2 exchanges
+    # of exploded rows → 0). Scale contract unchanged: build_vocab's
+    # global rank window ALREADY requires the vocabulary (heaps' law,
+    # ~10⁶-10⁷ rows at 100 TB) to fit a single task; a side that fits
+    # one task fits a broadcast.
+    joined = pos.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
     enc = joined.groupBy("_id").agg(
-        F.count("*").alias("n_tokens"),
+        F.count("token").alias("n_tokens"),
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct("_pos", F.coalesce("token_id", F.lit(-1)).alias("tid"))
+                    F.when(
+                        F.col("token").isNotNull(),
+                        F.struct(
+                            "_pos",
+                            F.coalesce("token_id", F.lit(-1)).alias("tid"),
+                        ),
+                    )
                 )
             ),
             lambda s: s["tid"],
         ).alias("token_ids"),
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(enc, F.col("doc_id") == F.col("_id"), "left")
-        .select(
-            F.col("doc_id").cast("long"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce("token_ids", F.array().cast("array<long>")).alias(
-                "token_ids"
-            ),
-        )
+    return enc.select(
+        F.col("_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("token_ids").alias("token_ids"),
     )
 
 

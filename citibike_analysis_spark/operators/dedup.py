@@ -139,6 +139,12 @@ def _shingle_intersections(
     # 1.230 — the tiny aggregate's persist barrier costs more than the
     # duplicated one-pass agg; same economics as q68's rejected freq
     # persist).
+    # Eager materialization of this persist was measured and REJECTED
+    # twice at the x10 cell (r15): blanket SPARK_GRAFT_REUSE_EAGER=1
+    # read q61 0.69x once but q34 2.85x and q46 1.21x worse; a targeted
+    # count() on joinable alone read q61 1.02 (wash) and q46 1.56x
+    # worse on the re-run — the one-off q61 win did not reproduce. The
+    # lazy local default stands (cache._eager_default).
     if max_doc_freq is not None:
         joinable = _reuse(joinable)
     # NOT width-pinned (r14): an explicit repartition(_h) on the join
