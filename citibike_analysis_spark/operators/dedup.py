@@ -795,9 +795,24 @@ def dedup_chunks(
     starts = F.when(
         F.size("_tk") < 1, F.array().cast("array<int>")
     ).otherwise(F.sequence(F.lit(1), F.size("_tk"), F.lit(chunk_tokens)))
+    # explode_OUTER + ONE conditional aggregate, no joins (r15, guide
+    # §2.4/§8 — the q90 encode pattern): the old plan referenced the
+    # exploded chunk frame TWICE (the kept window and a separate
+    # n_chunks groupBy — two full tokenize+explode evaluations, the
+    # frame is deliberately unpersisted) and LEFT-joined both aggregates
+    # back to the source only to resurrect zero-chunk documents, the
+    # kept join shipping the reassembled deduped_text payload. The
+    # OUTER explode keeps a (null, null) row per empty document; those
+    # rows collect in the md5(NULL) window partition, which no real
+    # chunk shares, so every real chunk's row_number is unchanged.
+    # count(chunk) ignores the null rows, the kept-predicate skips
+    # them, and collect_list skips null structs — every df row is
+    # present in the single aggregate. Output proven byte-identical to
+    # the two-join form at sf0.01 and sf0.1 and on empty/null-text
+    # fixtures before landing.
     chunks = tk.select(
         "_id",
-        F.explode(
+        F.explode_outer(
             F.transform(
                 starts,
                 lambda s: F.struct(
@@ -812,33 +827,30 @@ def dedup_chunks(
         ).alias("_c"),
     ).select("_id", "_c.idx", "_c.chunk")
     w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("_id", "idx")
-    kept = (
+    is_kept = F.col("chunk").isNotNull() & (F.col("_rn") == 1)
+    return (
         chunks.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
         .groupBy("_id")
         .agg(
-            F.count("*").alias("n_kept"),
+            F.count("chunk").alias("n_chunks"),
+            F.count(F.when(is_kept, F.lit(1))).alias("n_kept"),
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(is_kept, F.struct("idx", "chunk"))
+                        )
+                    ),
                     lambda s: s["chunk"],
                 ),
             ).alias("deduped_text"),
         )
-    )
-    n_chunks = chunks.groupBy("_id").agg(F.count("*").alias("n_chunks"))
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(n_chunks, F.col("doc_id") == n_chunks["_id"], "left")
-        .drop("_id")
-        .join(kept, F.col("doc_id") == kept["_id"], "left")
-        .drop("_id")
         .select(
-            F.col("doc_id").cast("long"),
-            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+            F.col("_id").cast("long").alias("doc_id"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("deduped_text"),
         )
     )
 
