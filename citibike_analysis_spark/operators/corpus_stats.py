@@ -44,27 +44,38 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from citibike_analysis_spark.partitioning import spread
 
+    # explode_OUTER + no join back to df (r15 — the q90/q74 pattern,
+    # guide §2.4/§8): the old plan LEFT-joined the score aggregate back
+    # to a bare-id scan of the source only to resurrect empty
+    # documents. The OUTER explode keeps a null-token row per empty
+    # document; the freq branch filters it out (so corpus counts and N
+    # are unchanged), the re-score join goes LEFT (a null token matches
+    # nothing), count(_t) ignores it and avg skips the null log — every
+    # df row is present in one aggregate, one less source reference,
+    # no join. Byte-identical to the join form at sf0.01/sf0.1 and on
+    # empty/null-text fixtures (verified before landing).
     df = spread(df, id_col)
     tk = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+        F.col(id_col).alias("_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("_t"),
     )
-    freq = tk.groupBy("_t").agg(F.count("*").alias("_c"))
+    freq = (
+        tk.filter(F.col("_t").isNotNull())
+        .groupBy("_t")
+        .agg(F.count("*").alias("_c"))
+    )
     total = freq.agg(F.sum("_c").alias("_n"))  # 1 row: corpus token count
-    scored = (
-        tk.join(freq, "_t")
+    return (
+        tk.join(freq, "_t", "left")
         .crossJoin(F.broadcast(total))
         .groupBy("_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.count("_t").alias("n_tokens"),
             F.avg(F.log(F.col("_c") / F.col("_n"))).alias("_avg"),
         )
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(scored, F.col("doc_id") == F.col("_id"), "left")
         .select(
-            F.col("doc_id").cast("long"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             F.round("_avg", 6).alias("avg_logp"),
         )
     )
@@ -103,12 +114,17 @@ def importance_weights(
     re-score join is token-keyed like :func:`unigram_logprob`; nothing
     collects to the driver.
     """
+    # explode_OUTER + no join back (r15 — same pattern and verification
+    # as unigram_logprob above): the freq branch filters the null-token
+    # rows so both language models and the union vocabulary are
+    # unchanged; the re-score join goes LEFT and empty pool documents
+    # ride through their own aggregate group.
     tk = df.select(
         F.col(id_col).alias("_id"),
         F.col(target_col).cast("boolean").alias("_tgt"),
-        F.explode(tokens(F.col(text_col))).alias("_t"),
+        F.explode_outer(tokens(F.col(text_col))).alias("_t"),
     )
-    freq = tk.groupBy("_t").agg(
+    freq = tk.filter(F.col("_t").isNotNull()).groupBy("_t").agg(
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
         F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_cr"),
     )
@@ -117,26 +133,21 @@ def importance_weights(
         F.sum("_cr").alias("_nr"),
         F.count("*").alias("_v"),
     )  # 1 row: target tokens, raw-pool tokens, union vocabulary size
-    scored = (
+    return (
         tk.filter(~F.col("_tgt"))
-        .join(freq, "_t")
+        .join(freq, "_t", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy("_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.count("_t").alias("n_tokens"),
             F.avg(
                 F.log((F.col("_ct") + 1) / (F.col("_nt") + F.col("_v")))
                 - F.log((F.col("_cr") + 1) / (F.col("_nr") + F.col("_v")))
             ).alias("_lr"),
         )
-    )
-    return (
-        df.filter(~F.col(target_col).cast("boolean"))
-        .select(F.col(id_col).alias("doc_id"))
-        .join(scored, F.col("doc_id") == F.col("_id"), "left")
         .select(
-            F.col("doc_id").cast("long"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             F.round("_lr", 6).alias("logratio"),
         )
     )
@@ -368,9 +379,16 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     idx = F.when(
         F.size("_tk") < 2, F.array().cast("array<int>")
     ).otherwise(F.sequence(F.lit(1), F.size("_tk") - 1))
+    # explode_OUTER + no join back (r15 — the q90/q74/unigram pattern):
+    # a document with fewer than two tokens keeps a (null, null) bigram
+    # row; the freq branch filters it (bigram and context counts are
+    # unchanged), the re-score joins go LEFT (null keys match nothing),
+    # count(_w1) ignores it and avg skips the null log — every df row
+    # is present in the single aggregate with no bare-id scan and no
+    # join back. Byte-identical at sf0.01/sf0.1 + edge fixtures.
     bg = tk.select(
         "_id",
-        F.explode(
+        F.explode_outer(
             F.transform(
                 idx,
                 lambda i: F.struct(
@@ -380,23 +398,23 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("_b"),
     ).select("_id", "_b._w1", "_b._w2")
-    freq = reuse(bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c")))
+    freq = reuse(
+        bg.filter(F.col("_w1").isNotNull())
+        .groupBy("_w1", "_w2")
+        .agg(F.count("*").alias("_c"))
+    )
     ctx = freq.groupBy("_w1").agg(F.sum("_c").alias("_cw1"))
-    scored = (
-        bg.join(freq, ["_w1", "_w2"])
-        .join(ctx, "_w1")
+    return (
+        bg.join(freq, ["_w1", "_w2"], "left")
+        .join(ctx, "_w1", "left")
         .groupBy("_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.count("_w1").alias("n_bigrams"),
             F.avg(F.log(F.col("_c") / F.col("_cw1"))).alias("_avg"),
         )
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(scored, F.col("doc_id") == F.col("_id"), "left")
         .select(
-            F.col("doc_id").cast("long"),
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("_id").cast("long").alias("doc_id"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
             F.round("_avg", 6).alias("avg_logp"),
         )
     )
