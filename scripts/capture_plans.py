@@ -46,9 +46,17 @@ def main() -> int:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    from citibike_analysis_spark.cache import release_all
+
     failed = 0
     for name in names:
         try:
+            # per-query isolation (r15): operator-internal persists and
+            # AQE query stages from earlier captures otherwise leak into
+            # later plans (InMemoryRelation plan-matching printed
+            # ShuffleQueryStage nodes inside a query that never ran)
+            spark.catalog.clearCache()
+            release_all()
             df = specs[name].fn(spark, sf_dir)
             text = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # noqa: BLE001 - report and continue
