@@ -117,17 +117,24 @@ _PAIR_DOT_CHUNK = 4096
 
 
 # the measured local-mode crossover for the per-pair dot. r08 bracketed
-# it at 40-60k rows on the pre-spread/pre-width-pin plans (20k vecs →
-# fold 0.79×; 200k → arrow 1.72×). r15 RE-MEASURED on the current plans
-# (r14 VERDICT #2 — the pair stages are now 32-wide, which changes
-# Arrow's per-partition batch sizes): fresh-JVM min-of-4 ab_env cells
-# on the rehearsal-generator corpora read fold/arrow = 2k: 1.06/1.53 s,
-# 6k: 3.08/8.85, 10k: 4.78/6.82, 20k: 12.22/7.25 — fold wins through
-# 10k, ARROW wins at 20k (0.59×). The crossover moved DOWN to between
-# 10k and 20k rows; 15k splits the new bracket. (Outputs are identical
-# at the 6-decimal consumer rounding either way — pytest-pinned — so
-# the keying can only change wall time.)
-_ARROW_DOT_MIN_ROWS = 15_000
+# it at 40-60k rows (20k vecs → fold 0.79×; 200k → arrow 1.72×). r15
+# RE-MEASURED on the current 32-wide pair stages (r14 VERDICT #2) and
+# found the crossover is PROTOCOL-DEPENDENT at 20k rows:
+# - warm steady state (1 untimed warmup + min-of-4, fresh JVM): fold/
+#   arrow = 2k: 1.06/1.53 s, 6k: 3.08/8.85, 10k: 4.78/6.82,
+#   20k: 12.22/7.25 — arrow wins at 20k by rep ~3;
+# - the bench's own 2-rep cold protocol: arrow reads 20-24 s at 20k
+#   (Python-worker spawn + codegen warm-up converges 50 → 21 → 18 →
+#   13 → ~8 s across reps, measured in-session) while fold reads
+#   ~15.4 s on rep 1.
+# The threshold is pinned to the DRIVER'S protocol (2 reps), which
+# keeps 20k-row local runs on the fold; at 200k the data dwarfs the
+# warm-up and arrow wins under any protocol, so 50k stands. Production
+# is unaffected either way: every multi-process master picks arrow via
+# the master rule above this size axis. (Outputs are identical at the
+# 6-decimal consumer rounding either way — pytest-pinned — so the
+# keying can only change wall time.)
+_ARROW_DOT_MIN_ROWS = 50_000
 
 
 def _pair_stage_width(spark, est_rows: int | None, row_bytes: int = 48) -> int:
